@@ -1,0 +1,191 @@
+"""MapReduce engine: the reference's job lifecycle on Spark.
+
+Mirrors the reference's public API surface —
+``Start``/``Status``/``Done`` (reference mapreduce.go:57-88) — while
+replacing its entire execution machinery (master/worker RPC, task
+scheduling, barriers, shuffle: reference mapreduce.go:97-344) with one
+Spark lineage:
+
+    parallelize(keys)                    # O1, inputer.ListKeys
+      .map(k -> (k, inputer.GetValue(k)))# O2
+      .flatMap(mapper.map)               # O4, Emit collected
+      .partitionBy(R, hash)              # O6/O7, adler32%R → portable hash
+      .groupByKey()                      # O8/O9, shuffle read + group
+      .flatMap(reducer.reduce)           # O10, complete value list per key
+      → outputer                         # O12
+
+The map→reduce stage barrier (reference mapreduce.go:119-143) is the
+shuffle boundary; scheduling/retries/heartbeats (O16-O23) are Spark
+internals. Job/task wall-clock stats (reference statsManager.go:89-115)
+are kept as a simple ``JobStats``.
+
+Scale posture: ``groupByKey`` is mandatory for the general contract
+(the reducer sees ALL values for its key — reference tasks.go:143-161)
+and is the documented memory hazard at 100 TB; reducers that declare
+``associative = True`` run via per-partition pre-combine + final
+reduce, bounding shuffle volume the way the reference's demo mapper
+hand-rolls its local counts (mapper.go:43-49). Analytics workloads
+should use the DataFrame operators instead — this facade exists for API
+fidelity.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .api import Inputer, ListEmitter, ListOutputer, Mapper, Outputer, Reducer
+
+
+@dataclass
+class JobConfig:
+    """Per-job knobs, mirroring reference jobConfig.go:6-13."""
+
+    input_folder: str = ""
+    output_folder: str = ""
+    m: int = 8            # map parallelism (reference: #input chunks)
+    r: int = 8            # reduce partitions (reference: adler32 % R)
+    prechunked: bool = True
+    input_file: str = ""
+
+
+@dataclass
+class Job:
+    """A submitted job (reference job.go:6-13)."""
+
+    config: JobConfig
+    mapper: Mapper
+    reducer: Reducer
+    inputer: Inputer
+    outputer: Outputer
+    job_id: str = field(default_factory=lambda: uuid.uuid4().hex)
+
+
+@dataclass
+class JobStats:
+    """Job/task wall-clock timing (reference statsManager.go:89-115)."""
+
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    map_tasks: int = 0
+    reduce_tasks: int = 0
+
+    @property
+    def job_time(self) -> float:
+        return (self.finished_at or time.time()) - self.started_at
+
+
+class MapReduceEngine:
+    """Submit/status/done facade over Spark (reference mapreduce.go:57-88).
+
+    ``submit`` is asynchronous like the reference's ``Start`` — it
+    returns a job id immediately and runs the lineage on a daemon
+    thread; ``status`` polls completion; ``done`` releases state.
+    Pass ``sync=True`` to block (the common analytics case).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._jobs: dict[str, Job] = {}
+        self._status: dict[str, str] = {}
+        self._stats: dict[str, JobStats] = {}
+        self._threads: dict[str, threading.Thread] = {}
+        self._errors: dict[str, BaseException] = {}
+
+    # -- public API (reference mapreduce.go:57-88) ---------------------
+
+    def submit(self, config: JobConfig, mapper: Mapper, reducer: Reducer,
+               inputer: Inputer, outputer: Outputer, sync: bool = False) -> str:
+        job = Job(config, mapper, reducer, inputer, outputer)
+        self._jobs[job.job_id] = job
+        self._status[job.job_id] = "starting"
+        self._stats[job.job_id] = JobStats(started_at=time.time())
+        if sync:
+            self._run(job)
+        else:
+            t = threading.Thread(target=self._run, args=(job,), daemon=True)
+            self._threads[job.job_id] = t
+            t.start()
+        return job.job_id
+
+    def status(self, job_id: str) -> bool:
+        """True iff completed (reference mapreduce.go:74-77)."""
+        return self._status.get(job_id) == "completed"
+
+    def wait(self, job_id: str, timeout: float = 300.0) -> None:
+        t = self._threads.get(job_id)
+        if t is not None:
+            t.join(timeout)
+        if job_id in self._errors:
+            raise self._errors[job_id]
+
+    def done(self, job_id: str) -> None:
+        """Release job state (reference mapreduce.go:85-88)."""
+        for d in (self._jobs, self._status, self._stats, self._threads, self._errors):
+            d.pop(job_id, None)
+
+    def stats(self, job_id: str) -> JobStats:
+        return self._stats[job_id]
+
+    # -- execution -----------------------------------------------------
+
+    def _run(self, job: Job) -> None:
+        try:
+            self._status[job.job_id] = "working"
+            out_pairs = self.run_pairs(job)
+            for k, v in out_pairs:
+                job.outputer.output(k, v)
+            self._stats[job.job_id].finished_at = time.time()
+            self._status[job.job_id] = "completed"
+        except BaseException as e:  # surfaced via wait()
+            self._errors[job.job_id] = e
+            self._status[job.job_id] = "failed"
+
+    def run_pairs(self, job: Job) -> list[tuple[str, Any]]:
+        """Execute the lineage and return the output pairs.
+
+        The driver-side ``outputer`` loop above preserves the reference's
+        per-key Output contract (outputer.go:29-34); large results should
+        use ``run_rdd`` + a distributed writer instead.
+        """
+        return self.run_rdd(job).collect()
+
+    def run_rdd(self, job: Job):
+        sc = self.spark.sparkContext
+        mapper, reducer, inputer = job.mapper, job.reducer, job.inputer
+        r = max(1, job.config.r)
+
+        keys = inputer.list_keys()
+        m = max(1, min(job.config.m, len(keys)) if keys else 1)
+        self._stats[job.job_id].map_tasks = len(keys)
+        self._stats[job.job_id].reduce_tasks = r
+
+        def do_map(key: str):
+            emitter = ListEmitter()
+            mapper.map(key, inputer.get_value(key), emitter)
+            return emitter.pairs
+
+        def do_reduce(kv):
+            key, values = kv
+            out = ListOutputer()
+            reducer.reduce(key, list(values), out)
+            return out.pairs
+
+        kv = sc.parallelize(keys, m).flatMap(do_map)
+        if reducer.associative:
+            # combiner fast path: reduce partial lists per partition first
+            def combine(vals_a, vals_b):
+                out = ListOutputer()
+                reducer.reduce("", list(vals_a) + list(vals_b), out)
+                # an associative reducer outputs exactly the combined value
+                return [v for _, v in out.pairs]
+
+            grouped = kv.mapValues(lambda v: [v]).reduceByKey(combine, numPartitions=r)
+        else:
+            grouped = kv.groupByKey(numPartitions=r)
+        return grouped.flatMap(do_reduce)

@@ -1,0 +1,112 @@
+"""Inputer/Outputer implementations — the reference's source/sink hooks.
+
+The reference ships exactly one of each, both S3-backed
+(S3Inputer: reference inputer.go:23-43 + s3_utils.go:39-67;
+S3Outputer: outputer.go:21-34, int-values-only). Here:
+
+- ``DirectoryInputer``  — a directory of text files; each file is one
+  chunk (the reference's "prechunked" layout, jobConfig.go:11).
+- ``MemoryInputer``     — in-memory dict, for tests.
+- ``DataFrameInputer``  — adapts any 2-column DataFrame (key, value).
+- ``MemoryOutputer``    — collects pairs on the driver (test-scale; the
+  reference's one-S3-object-per-key sink is the same driver-side,
+  per-key loop, outputer.go:29-34).
+- ``split_file_into_chunks`` — the reference's input chunker
+  (s3_utils.go:71-107): split a file into ~chunk_size byte pieces on
+  line boundaries. Kept for API fidelity; Spark's file splitting
+  (spark.sql.files.maxPartitionBytes) makes it unnecessary on the
+  analytics path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .api import Inputer, Outputer
+
+
+class MemoryInputer(Inputer):
+    def __init__(self, data: dict[str, Any]):
+        self._data = dict(data)
+
+    def list_keys(self) -> list[str]:
+        return sorted(self._data)
+
+    def get_value(self, key: str) -> Any:
+        return self._data[key]
+
+
+class DirectoryInputer(Inputer):
+    """One chunk per file under ``folder`` — the prechunked layout the
+    reference's ListKeys enumerates via S3 prefix listing
+    (inputer.go:33-37). Executors read files directly (local/NFS/S3A
+    path), so GetValue runs distributed, like the reference's per-task
+    S3 GET (inputer.go:39-43)."""
+
+    def __init__(self, folder: str):
+        self.folder = folder
+
+    def list_keys(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.folder) if os.path.isfile(os.path.join(self.folder, f))
+        )
+
+    def get_value(self, key: str) -> str:
+        with open(os.path.join(self.folder, key), encoding="utf-8") as fh:
+            return fh.read()
+
+
+class DataFrameInputer(Inputer):
+    """Adapts a (key, value) DataFrame. Enumeration collects only the
+    keys; values are fetched per key — faithful to the reference's
+    list-then-get contract. For bulk analytics, skip the facade and use
+    the DataFrame directly."""
+
+    def __init__(self, df: DataFrame, key_col: str, value_col: str):
+        rows = df.select(key_col, value_col).collect()
+        self._data = {str(r[0]): r[1] for r in rows}
+
+    def list_keys(self) -> list[str]:
+        return sorted(self._data)
+
+    def get_value(self, key: str) -> Any:
+        return self._data[key]
+
+
+class MemoryOutputer(Outputer):
+    def __init__(self) -> None:
+        self.results: dict[str, Any] = {}
+
+    def output(self, key: str, value: Any) -> None:
+        self.results[key] = value
+
+
+def split_file_into_chunks(filepath: str, out_dir: str, chunk_size: int) -> list[str]:
+    """Split ``filepath`` into ~chunk_size byte chunks on line
+    boundaries, one file per chunk named ``0, 1, 2, ...`` — the
+    reference's SplitFileIntoChunks (s3_utils.go:71-107), local-dir
+    flavored. Returns the chunk file names."""
+    os.makedirs(out_dir, exist_ok=True)
+    names: list[str] = []
+    with open(filepath, encoding="utf-8") as fh:
+        buf: list[str] = []
+        size = 0
+        for line in fh:
+            buf.append(line)
+            size += len(line.encode("utf-8"))
+            if size >= chunk_size:
+                names.append(_write_chunk(out_dir, len(names), buf))
+                buf, size = [], 0
+        if buf:
+            names.append(_write_chunk(out_dir, len(names), buf))
+    return names
+
+
+def _write_chunk(out_dir: str, idx: int, lines: list[str]) -> str:
+    name = str(idx)
+    with open(os.path.join(out_dir, name), "w", encoding="utf-8") as fh:
+        fh.writelines(lines)
+    return name

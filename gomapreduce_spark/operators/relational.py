@@ -1,0 +1,165 @@
+"""Relational operator set: scans, filters, aggregations, joins, windows,
+top-k, rollup, set ops.
+
+The reference has none of these (SURVEY §2.2 — no joins, no window
+functions, no sorts, no set ops); they are the driver-mandated analytics
+surface, expressed declaratively so Catalyst supplies predicate
+pushdown, column pruning, partial aggregation, and join-strategy
+selection (broadcast for the dimension tables here).
+
+Scale notes per operator are inline; the common themes:
+- dimension joins (region/nation/supplier) are broadcast — no shuffle;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  AQE handles skew;
+- top-k is window row_number ≤ k (one shuffle, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary: one scan, grouped aggregate with
+    partial aggregation; the shipdate filter is pushed to the parquet scan."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style: pure filter + scalar aggregate. Exists to prove
+    pushdown — every predicate reaches the scan, output is one row."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """TPC-H Q3-style shipping priority: broadcast the filtered customer
+    dim into orders, shuffle-join lineitem on orderkey, top-k by revenue.
+
+    Top-k is row_number over a single ordering — deterministic
+    tie-break (revenue desc, orderkey asc) so the result set is stable
+    across engines. At scale this is one fact-fact shuffle plus a
+    broadcast; the final top-k needs no global sort (AQE keeps the
+    window input small because the aggregate output is |orders|)."""
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    revenue = (
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        revenue.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rk",
+        )
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style: six-table join, revenue per nation where customer
+    and supplier share the nation. region/nation/supplier/customer are
+    broadcast dims; the only shuffles are orders⋈lineitem and the final
+    small aggregate."""
+    nations = (
+        nation.join(F.broadcast(region.where(F.col("r_name").isin("ASIA", "AMERICA"))),
+                    nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nations), F.col("s_nationkey") == nations.n_nationkey)
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        ), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), (F.col("o_custkey") == customer.c_custkey)
+              & (customer.c_nationkey == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def topk_per_group(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k rows per group via partitioned row_number — the standard
+    scale-out top-k (no global sort; each group sorts locally after one
+    hash shuffle). Deterministic tie-break on (price desc, orderkey,
+    linenumber)."""
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        lineitem.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-set aggregation
+    with NULL-marked subtotal rows, single pass."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no orders, counted per
+    market segment. The order-key side is aggregated to distinct keys
+    before the join, so the anti-join input is minimal; Catalyst
+    broadcasts whichever side is small enough."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def order_status_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot order counts by status per priority — expressed as
+    conditional aggregation so the oracle SQL is portable."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over the ``embeddings`` table: exact brute-force
+top-k cosine (the correctness baseline) and a random-hyperplane LSH
+variant (the 100 TB scale path).
+
+Driver-mandated extension. All vector math is JVM-side
+(functions.vectors — zip_with/aggregate fold, no Python UDF).
+
+Scale design: brute force is O(|Q|·|N|) — fine when the query set is
+broadcastable and per-partition top-k (partial aggregation via window
+over candidate partitions) keeps the shuffle tiny. The LSH variant
+buckets vectors by sign-bit signature of d_h deterministic hyperplanes;
+top-k then only scans buckets whose signature is Hamming-close to the
+query's, trading recall for a ~2^d_h scan reduction. Hyperplane
+components derive from the cross-engine hash so the whole pipeline is
+reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+import hashlib
+
+from ..functions.hashing import h64
+from ..functions.vectors import cosine, dot, l2_norm
+
+
+def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny → broadcast; candidates never shuffle until
+    reduced to k rows per query by the window. Deterministic ranking on
+    (rounded sim desc, neighbor id asc)."""
+    base = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        # norms precomputed per vector; arithmetic identical to cosine()
+        .withColumn("sim", F.round(dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int):
+    """Deterministic pseudo-random hyperplane: component j is
+    md5-hash("plane{idx}|j") mapped to [-1, 1) — the same 60-bit md5
+    construction as functions.hashing.h64, computed driver-side (the
+    plane is a constant; no reason to evaluate md5 per row)."""
+    vals = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"plane{plane_idx}|{j}".encode()).hexdigest()[:15], 16)
+        vals.append((h % 1_000_000) / 500_000.0 - 1.0)
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def lsh_signatures(emb: DataFrame, n_planes: int = 6, n_tables: int = 6, dim: int = 64) -> DataFrame:
+    """Multi-table sign-bit LSH: ``n_tables`` independent signatures of
+    ``n_planes`` bits each → (vec_id, embedding, table, bucket) rows.
+    Recall for neighbors at angle θ is 1-(1-p^b)^L with p = 1-θ/π —
+    multiple tables are what make random-hyperplane LSH usable for
+    mid-similarity neighbors.
+
+    Here the projections are Catalyst fold expressions (keeps the whole
+    op JVM-side at test scale); on a real 100 TB run the signature step
+    is one matrix multiply per Arrow batch in a pandas UDF — same
+    dataflow, cheaper projection."""
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            bit = (dot(F.col("embedding"), _hyperplane(dim, t * 1009 + i)) >= 0).cast("long")
+            sig = sig + F.shiftleft(bit, i)
+        tables.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return emb.select("vec_id", "embedding", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id",
+        "embedding",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates are vectors sharing a bucket with
+    the query in ANY table, plus Hamming-distance-1 probe buckets
+    (multi-probe). Same output schema as knn_bruteforce; recall vs the
+    exact result is asserted in tests."""
+    sigs = lsh_signatures(emb, n_planes, n_tables, dim).cache()
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q = sigs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("table").alias("q_table"),
+        F.explode(probes).alias("probe_bucket"),
+    )
+    c = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "table", "bucket")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("probe_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", "qe", "ce")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_doc_join(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Multimodal join: documents ⋈ embeddings by id, per-label doc
+    stats. The embedding side is keyed by vec_id == doc_id."""
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double"))), 6).alias(
+            "avg_embedding_sum"
+        ),
+    )

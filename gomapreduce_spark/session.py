@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Replaces the reference's whole cluster-bootstrap file
+(``MakeMapReduceNode``, reference mapreduce.go:397-545): RPC transport,
+peer liveness, tick loops, and the task/job managers are all Spark
+internals. What remains configurable is the analytics posture:
+
+- AQE on (runtime re-planning, skew-join splitting, shuffle coalescing),
+- shuffle partitions sized to the active parallelism rather than the 200
+  default (the reference's ``R`` knob, jobConfig.go:10),
+- UTC session timezone so results compare bit-for-bit with the DuckDB
+  oracle,
+- Arrow enabled for every pandas-UDF exchange.
+
+At 100 TB on a real cluster the same builder applies; only
+``master``/memory sizing and ``spark.sql.shuffle.partitions`` change
+(set shuffle partitions ~2-3x total executor cores, and let AQE coalesce
+down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs every entry point re-asserts even on a session it did
+# not create (the driver passes us its own SparkSession).
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read as long and convert (sources.registry).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle comparisons are UTC-naive on the DuckDB side.
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: shuffle-partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Assert the runtime confs on an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — builder path already set it
+    return spark
+
+
+def get_spark(app_name: str = "gomapreduce_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())

@@ -1,0 +1,28 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() align."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_queries_oracles_aligned():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query"
+    # documented rows-only queries (approximate / streaming)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"knn_lsh", "streaming_tumbling_counts"}
+
+
+def test_all_queries_run_small(spark, sf_small):
+    """Every declared query executes at sf0.001 and has a stable schema."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_small)
+        assert df.columns, name
+        df.limit(5).collect()

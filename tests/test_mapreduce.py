@@ -1,0 +1,121 @@
+"""MapReduce facade tests — the reference's own test strategy
+(pkg_test.go) upgraded with actual output assertions (the reference's
+TestBasic passes on completion alone, pkg_test.go:43-79)."""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+
+import pytest
+
+from gomapreduce_spark.mapreduce import (
+    DemoMapper,
+    DemoReducer,
+    DirectoryInputer,
+    JobConfig,
+    MapReduceEngine,
+    MemoryInputer,
+    MemoryOutputer,
+    split_file_into_chunks,
+)
+from gomapreduce_spark.mapreduce.api import Outputer, Reducer
+
+TEXT = {
+    "chunk/0": "the quick brown fox",
+    "chunk/1": "the lazy dog the end",
+    "chunk/2": "quick quick slow",
+}
+EXPECTED = Counter("the quick brown fox the lazy dog the end quick quick slow".split())
+
+
+def test_wordcount_end_to_end(spark):
+    """TestBasic analog (reference pkg_test.go:43-79) with a golden check."""
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    job_id = eng.submit(JobConfig(m=3, r=2), DemoMapper(), DemoReducer(),
+                        MemoryInputer(TEXT), out, sync=True)
+    assert eng.status(job_id)
+    assert out.results == dict(EXPECTED)
+    assert eng.stats(job_id).job_time >= 0
+    eng.done(job_id)
+    assert not eng.status(job_id)
+
+
+def test_async_submit_status_poll(spark):
+    """Start returns immediately; Status polls to completion
+    (reference mapreduce.go:57-77 semantics)."""
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    job_id = eng.submit(JobConfig(m=2, r=2), DemoMapper(), DemoReducer(),
+                        MemoryInputer(TEXT), out)
+    deadline = time.time() + 60
+    while not eng.status(job_id):
+        assert time.time() < deadline, "job did not complete"
+        time.sleep(0.05)
+    assert out.results == dict(EXPECTED)
+
+
+class MedianReducer(Reducer):
+    """Non-associative: needs the COMPLETE value list per key
+    (the reference's general contract, tasks.go:143-161)."""
+
+    def reduce(self, key, values, outputer: Outputer):
+        vs = sorted(values)
+        outputer.output(key, vs[len(vs) // 2])
+
+
+def test_non_associative_reducer_sees_all_values(spark):
+    data = {f"k{i}": i for i in range(10)}
+
+    class EmitValues(DemoMapper):
+        def map(self, key, value, emitter):
+            emitter.emit("all", int(value))
+            emitter.emit(f"solo_{value}", int(value))
+
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    eng.submit(JobConfig(m=4, r=3), EmitValues(), MedianReducer(),
+               MemoryInputer(data), out, sync=True)
+    assert out.results["all"] == 5  # median of 0..9 needs every value
+    assert out.results["solo_3"] == 3
+
+
+def test_chunker_line_boundaries(tmp_path):
+    """SplitFileIntoChunks fidelity (reference s3_utils.go:71-107):
+    ~chunk_size byte chunks, split only on line boundaries, lossless."""
+    src = tmp_path / "input.txt"
+    lines = [f"line number {i} with some padding\n" for i in range(100)]
+    src.write_text("".join(lines))
+    names = split_file_into_chunks(str(src), str(tmp_path / "chunks"), chunk_size=300)
+    assert len(names) > 1
+    joined = "".join((tmp_path / "chunks" / n).read_text() for n in names)
+    assert joined == "".join(lines)
+    for n in names:
+        assert (tmp_path / "chunks" / n).read_text().endswith("\n")
+
+
+def test_directory_inputer_with_chunker(spark, tmp_path):
+    """Chunk a file, run word count over the chunk directory — the
+    reference's TestBootstrap → TestBasic pipeline (pkg_test.go:34-79)."""
+    src = tmp_path / "corpus.txt"
+    src.write_text("alpha beta\n" * 50 + "gamma\n" * 7)
+    split_file_into_chunks(str(src), str(tmp_path / "chunks"), chunk_size=128)
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    eng.submit(JobConfig(m=4, r=2), DemoMapper(), DemoReducer(),
+               DirectoryInputer(str(tmp_path / "chunks")), out, sync=True)
+    assert out.results == {"alpha": 50, "beta": 50, "gamma": 7}
+
+
+def test_failed_job_surfaces_error(spark):
+    class Boom(DemoMapper):
+        def map(self, key, value, emitter):
+            raise ValueError("boom")
+
+    eng = MapReduceEngine(spark)
+    job_id = eng.submit(JobConfig(m=1, r=1), Boom(), DemoReducer(),
+                        MemoryInputer({"k": "v"}), MemoryOutputer())
+    with pytest.raises(Exception):
+        eng.wait(job_id)
+    assert not eng.status(job_id)

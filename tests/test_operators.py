@@ -1,0 +1,116 @@
+"""Operator-level invariants (correctness beyond the oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gomapreduce_spark.operators import dedup, events, relational, similarity, text, wordcount
+from gomapreduce_spark.sources.registry import load_table
+
+
+def test_wordcount_matches_python(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    got = {r["word"]: r["cnt"] for r in wordcount.word_count(docs).collect()}
+    texts = [r[0] for r in docs.select("text").collect()]
+    from collections import Counter
+
+    want = Counter(w for t in texts for w in t.split())
+    assert got == dict(want)
+
+
+def test_topk_per_group_bounds(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    out = relational.topk_per_group(li, k=5)
+    per_group = out.groupBy("l_returnflag").count().collect()
+    assert all(r["count"] <= 5 for r in per_group)
+    # top-1 price equals the group max
+    maxes = {r["l_returnflag"]: r["m"] for r in li.groupBy("l_returnflag").agg(F.max("l_extendedprice").alias("m")).collect()}
+    tops = {r["l_returnflag"]: r["l_extendedprice"] for r in out.where(F.col("rk") == 1).collect()}
+    assert tops == maxes
+
+
+def test_sessionize_event_conservation(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    out = events.sessionize(ev)
+    assert out.agg(F.sum("total_events")).collect()[0][0] == ev.count()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [(1, "hello world"), (2, "unique text"), (3, "hello world"), (4, "hello world")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep == {1: 3, 2: 1}
+
+
+def test_ngram_jaccard_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this one with nothing shared at all ok"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_catches_jaccard_pairs(spark, sf_med):
+    """Every high-Jaccard pair (≥0.9 — the planted near-dups) must be an
+    LSH candidate; with 4 bands of 2 rows P(miss) ≈ (1-s²)⁴ ≈ 1e-5."""
+    docs = load_table(spark, sf_med, "documents")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.9).collect()
+    }
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert true_pairs, "fixture should contain planted near-dups"
+    assert true_pairs <= lsh_pairs
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "changed")
+    far = " ".join(f"other{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ham12 < ham13
+    assert ham12 <= 8
+
+
+def test_knn_bruteforce_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = similarity.knn_bruteforce(emb, n_queries=3, k=4).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for q in range(3):
+        sims = []
+        for nid, v in vecs.items():
+            if nid == q:
+                continue
+            s = float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            sims.append((round(s, 6), -nid, nid))
+        want = [nid for _, _, nid in sorted(sims, reverse=True)[:4]]
+        got_q = [r["neighbor_id"] for r in sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rk"])]
+        assert got_q == want
+
+
+def test_knn_lsh_recall(spark, sf_med):
+    emb = load_table(spark, sf_med, "embeddings")
+    exact = similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    approx = similarity.knn_lsh(emb, n_queries=10, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_lang_id_deterministic_and_total(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = text.lang_id(docs)
+    assert out.count() == docs.count()
+    assert out.where(F.col("lang_pred").isNull()).count() == 0
