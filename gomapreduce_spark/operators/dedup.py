@@ -42,33 +42,44 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the distinct word n-gram
+    shingles of each document, computed in ONE narrow scan (tokenize
+    once, slide a window over the token array). Docs shorter than n
+    tokens get an empty array. No shuffle, no per-shingle re-parse."""
+    t = docs.select("doc_id", tokenize("text").alias("t"))
+    empty = F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)  # typed empty array<int>
+    idx = F.when(F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))).otherwise(empty)
+    shingle_at = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)])
+    )
+    return t.select("doc_id", F.array_distinct(shingle_at).alias("shingles"))
+
+
 def word_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    toks = tokenize("text")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle_at = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-    )
-    return (
-        docs.select("doc_id", F.explode(shingle_at).alias("shingle"))
-        .where(F.size(tokenize(F.col("shingle"))) == n)  # drop ragged tail of short docs
-        .distinct()
-    )
+    return shingle_arrays(docs, n).select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     The shingle equi-join only materializes pairs with nonzero
-    intersection; |shingles(doc)| comes from a broadcast-joined per-doc
-    count. At 100 TB this runs *after* LSH candidate generation; standalone
-    it is correct but quadratic in the worst case (documented trade-off).
+    intersection, and it joins on a 60-bit hash of the shingle, not the
+    string — the shuffle ships 8 bytes per shingle instead of the text.
+    |shingles(doc)| comes straight from the shingle array (no counting
+    shuffle) and is broadcast. At 100 TB this runs *after* LSH candidate
+    generation; standalone it is correct but quadratic in the worst case
+    (documented trade-off).
     """
-    sh = word_shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    arr = shingle_arrays(docs).cache()
+    sizes = arr.select("doc_id", F.size("shingles").alias("n_sh")).where(F.col("n_sh") > 0)
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", h64(F.col("shingle")).alias("sh_h")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
@@ -86,37 +97,60 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): the k-element MinHash signature as wide
+    columns, h_i = min over shingles of md5-hash(i || '|' || shingle).
+
+    Computed as a pure projection over the shingle array — no explode,
+    no shuffle; the per-doc signature is narrow work that scales linearly
+    with total shingle bytes at 100 TB. Docs with <n tokens (empty
+    shingle set) have no signature and are dropped, matching the oracle.
+    """
+    arr = shingle_arrays(docs).where(F.size("shingles") > 0)
+
+    def mh(i: int):
+        # NB: single-arg lambda — a second arg would be bound to the
+        # array index by transform(), not the Python closure.
+        prefix = f"{i}|"
+        return F.array_min(F.transform(F.col("shingles"), lambda s: h64(F.concat(F.lit(prefix), s))))
+
+    return arr.select("doc_id", *[mh(i).alias(f"mh_{i}") for i in range(k)])
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, hash_idx, minhash): k independent min-hashes per doc,
-    h_i(s) = md5-hash(i || s). Linear in total shingles."""
-    sh = word_shingles(docs)
-    per_hash = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hash_idx"),
-        "shingle",
-    ).withColumn("h", h64(F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("shingle"))))
-    return per_hash.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+    h_i(s) = md5-hash(i || s). Long-format view of :func:`minhash_wide`
+    (stack is a narrow generator — still zero shuffles)."""
+    stack = "stack({}, {}) as (hash_idx, minhash)".format(
+        k, ", ".join(f"{i}, mh_{i}" for i in range(k))
+    )
+    return minhash_wide(docs, k).select("doc_id", F.expr(stack))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
     """LSH candidate pairs + signature-agreement similarity estimate.
 
-    Bands of r=k/bands rows are hashed to buckets; docs colliding in any
-    band become candidates (equi-join on (band, band_hash) — never a
-    cross join). Output: (doc_a, doc_b, est_jaccard = matching signature
-    positions / k) for candidates with est ≥ 1/bands.
+    Bands of r=k/bands signature rows are hashed to buckets; docs
+    colliding in any band become candidates (equi-join on (band,
+    band_hash) — never a cross join). Band hashes are computed narrowly
+    from the wide signature (no collect_list shuffle); the only wide
+    stages are the candidate self-join and its distinct. Scoring joins
+    candidates back to the wide signature, so est_jaccard = matching
+    positions / k is one expression, not a k-row aggregation.
     """
-    sig = minhash_signatures(docs, k).cache()
-    rows_per_band = k // bands
-    banded = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            h64(F.array_join(F.array_sort(F.collect_list(F.concat_ws(":", "hash_idx", "minhash"))), ",")).alias(
-                "band_hash"
-            )
-        )
-    )
+    wide = minhash_wide(docs, k).cache()
+    r = k // bands
+
+    def band_hash(b: int):
+        entries = F.array(*[F.concat_ws(":", F.lit(b * r + j), F.col(f"mh_{b * r + j}")) for j in range(r)])
+        return h64(F.array_join(F.array_sort(entries), ","))
+
+    banded = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -128,13 +162,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "hash_idx", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "hash_idx", F.col("minhash").alias("mh_b"))
+    wa = wide.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
+    wb = wide.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
+    matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "hash_idx"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6).alias("est_jaccard"))
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", F.round(matches.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"))
     )
 
 
@@ -143,24 +177,24 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     the md5 hash of each distinct token; bit b set iff the weighted vote
     is positive. 48 bits so the fingerprint stays in signed-int64 range
     in both engines."""
+    # The bit-b vote is linear in the token weight: summing ±w over
+    # distinct (doc, token) equals summing ±1 over token *occurrences* —
+    # so we skip the (doc, token) pre-aggregation AND the bits-fold
+    # explode entirely. ONE shuffle of (doc_id, 48 longs) with map-side
+    # partial aggregation; rows never multiply by `bits`.
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
-    weighted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w")).withColumn("h", h64(F.col("tok")))
-    votes = (
-        weighted.select(
-            "doc_id",
-            "w",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        )
-        .withColumn("vote", F.when(F.expr("(h >> b) & 1") == 1, F.col("w")).otherwise(-F.col("w")))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
+    hashed = toks.select("doc_id", h64(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    fingerprint = sum(
+        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0).cast("long"))).alias(
-            "simhash"
-        )
-    )
+    return hashed.groupBy("doc_id").agg(*votes).select("doc_id", fingerprint.alias("simhash"))
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:

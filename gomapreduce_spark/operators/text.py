@@ -105,9 +105,10 @@ def doc_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     character k-grams (winnowing's global-min special case). Identical
     fingerprints ⇒ likely shared content; used as a cheap pre-filter for
     near-dedup at scale."""
-    grams = F.transform(
+    gram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
-        lambda i: F.col("text").substr(i, F.lit(k)),
+        lambda i: h64(F.col("text").substr(i, F.lit(k))),
     )
-    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
-    return exploded.groupBy("doc_id").agg(F.min(h64(F.col("gram"))).alias("fingerprint"))
+    # array_min over the per-row gram hashes: a pure projection — no
+    # explode, no shuffle; at 100 TB this is a single codegen'd scan.
+    return docs.select("doc_id", F.array_min(gram_hashes).alias("fingerprint"))
