@@ -25,6 +25,12 @@ BENCH_QUERIES = [
     "topk_per_group",
     "tumbling_window_counts",
     "sessionize",
+    "asof_join_orders",
+    "sliding_window_counts",
+    "cube_by_type_hour",
+    "latest_event_per_user",
+    "json_props_stats",
+    "semi_join_big_spenders",
     "token_stats",
     "quality_score",
     "doc_fingerprint",

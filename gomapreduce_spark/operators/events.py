@@ -64,6 +64,181 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+def session_rows(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-session rows (user_id, session_start, n_events, dur_s) — the
+    batch reference for the stateful-streaming sessionizer. Same
+    lag+cumsum plan as :func:`sessionize`, materialized per session
+    instead of rolled up per user."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        events.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull() | (F.unix_micros("ts") - F.col("prev_us") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000, 4).alias("dur_s"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+def asof_join_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: each event matched to the same customer's most recent
+    order at-or-before the event time (the time-series point-in-time
+    join Spark lacks as a primitive).
+
+    Implemented as the union trick: tag order rows 0 and event rows 1,
+    sort within user by (ts, tag), and carry the last non-null order
+    forward with an ignore-nulls last_value window. ONE shuffle on
+    user_id, no range-join explosion — at 100 TB this beats any
+    inequality join because each side is scanned once and the state
+    carried per row is O(1). Orders are first deduplicated per
+    (customer, date) by max orderkey so ties are deterministic.
+    """
+    o_dedup = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts")
+    ).agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    o_side = o_dedup.select(
+        "user_id", "ts", F.lit(0).alias("tag"), "o_orderkey", "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_side = events.select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"), "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "tag").rowsBetween(W.unboundedPreceding, 0)
+    merged = (
+        o_side.unionByName(e_side)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
+    )
+    return merged.where((F.col("tag") == 1) & F.col("last_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("last_orderkey").alias("o_orderkey"),
+        F.round("last_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def sliding_window_counts(events: DataFrame) -> DataFrame:
+    """Per-event trailing-hour activity: count and value-sum of the same
+    user's events in the preceding hour (inclusive) — a RANGE window
+    frame over event time. One shuffle on user_id; the frame scan is
+    intra-partition."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_hour"),
+    )
+
+
+def cube_by_type_hour(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets in a
+    single pass — the full grouping-sets surface next to rollup_revenue's
+    hierarchy."""
+    return (
+        events.cube("event_type", F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def percentile_stats(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of value per event
+    type. Exact percentile needs the group's values together (one
+    shuffle); at 100 TB the same query would move to approx_percentile
+    (t-digest sketch, partial-mergeable) — kept exact here because the
+    groups are few and the oracle can verify exactness."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def funnel_set_ops(events: DataFrame) -> DataFrame:
+    """Set operations over user cohorts: INTERSECT / EXCEPT / UNION of
+    the click and purchase user sets, reported as segment counts. Each
+    set op is a distinct-aggregate shuffle on user_id."""
+    def users(t: str) -> DataFrame:
+        return events.where(F.col("event_type") == t).select("user_id").distinct()
+
+    click, purchase = users("click"), users("purchase")
+    # aggregate each set separately so empty cohorts still yield a
+    # 0-count row (a groupBy over the union would drop them)
+    parts = [
+        (sdf.agg(F.count("*").alias("n_users")).select(F.lit(seg).alias("segment"), "n_users"))
+        for seg, sdf in [
+            ("click_and_purchase", click.intersect(purchase)),
+            ("click_only", click.subtract(purchase)),
+            ("purchase_only", purchase.subtract(click)),
+            ("click_or_purchase", click.union(purchase).distinct()),
+        ]
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column and aggregate it per event type. get_json_object is
+    a JVM-side path evaluation — no Python in the loop; at scale prefer
+    from_json with an explicit schema once the shape is known."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Keep-latest dedup: each user's most recent event (row_number = 1
+    over ts desc) — the standard CDC/compaction pattern; one shuffle,
+    per-user local sort, deterministic tie-break on event_id."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    sketch path for cardinality at 100 TB (partial-mergeable, no exact
+    distinct shuffle). No SQL oracle (estimates are engine-specific);
+    tests assert relative error vs the exact count."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
 def running_user_totals(events: DataFrame, at_event: int = 5) -> DataFrame:
     """Running cumulative value per user ordered by event time — window
     frame rowsBetween(unboundedPreceding, current). Output is sampled at

@@ -143,15 +143,32 @@ def rollup_revenue(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Anti-join (NOT EXISTS): customers with no orders, counted per
-    market segment. The order-key side is aggregated to distinct keys
-    before the join, so the anti-join input is minimal; Catalyst
-    broadcasts whichever side is small enough."""
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "1998-01-01"
+) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no orders since the cutoff
+    (churn candidates), counted per market segment. The date filter is
+    pushed to the orders scan before the anti-join; Catalyst broadcasts
+    whichever side is small enough. (Without the cutoff every customer
+    has an order and the result is empty — a useless check.)"""
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz"))
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def big_spenders_semi_join(customer: DataFrame, orders: DataFrame, min_total: float = 450_000.0) -> DataFrame:
+    """Semi-join (EXISTS): customers having at least one order above the
+    threshold, per market segment with their average account balance.
+    left_semi keeps the probe side only — no row multiplication however
+    many qualifying orders a customer has."""
+    big = orders.where(F.col("o_totalprice") > min_total)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
     )
 
 

@@ -10,6 +10,7 @@ identically; timestamps are emitted as formatted UTC strings.
 Queries without an oracle entry (approximate / streaming ops) get the
 driver's weaker rows-only check by design:
   - knn_lsh (approximate; recall measured against knn_bruteforce in tests)
+  - approx_distinct_users (HLL sketch; error bound asserted in tests)
   - streaming_tumbling_counts (Structured Streaming; batch-parity in tests)
 """
 
@@ -83,11 +84,24 @@ QUERIES: dict[str, QueryFn] = {
     "anti_join_customers": lambda s, d: relational.customers_without_orders(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
+    "semi_join_big_spenders": lambda s, d: relational.big_spenders_semi_join(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
     "order_status_pivot": lambda s, d: relational.order_status_pivot(load_table(s, d, "orders")),
     # -- event-time --
     "tumbling_window_counts": lambda s, d: events.tumbling_counts(load_table(s, d, "events")),
     "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
     "running_totals": lambda s, d: events.running_user_totals(load_table(s, d, "events")),
+    "asof_join_orders": lambda s, d: events.asof_join_orders(
+        load_table(s, d, "events"), load_table(s, d, "orders")
+    ),
+    "sliding_window_counts": lambda s, d: events.sliding_window_counts(load_table(s, d, "events")),
+    "cube_by_type_hour": lambda s, d: events.cube_by_type_hour(load_table(s, d, "events")),
+    "percentile_stats": lambda s, d: events.percentile_stats(load_table(s, d, "events")),
+    "funnel_set_ops": lambda s, d: events.funnel_set_ops(load_table(s, d, "events")),
+    "json_props_stats": lambda s, d: events.json_props_stats(load_table(s, d, "events")),
+    "latest_event_per_user": lambda s, d: events.latest_event_per_user(load_table(s, d, "events")),
+    "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     # -- text analysis --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
     "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
@@ -116,7 +130,21 @@ def _streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_sliding_counts
+
+    return streaming_sliding_counts(spark, f"{sf_dir}/events.parquet")
+
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_stateful_sessions
+
+    return streaming_stateful_sessions(spark, f"{sf_dir}/events.parquet")
+
+
 QUERIES["streaming_tumbling_counts"] = _streaming_tumbling
+QUERIES["streaming_sliding_counts"] = _streaming_sliding
+QUERIES["streaming_stateful_sessions"] = _streaming_sessions
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +250,73 @@ ORACLES: dict[str, str] = {
     "anti_join_customers": """
         SELECT c_mktsegment, count(*) AS n_customers
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY c_mktsegment
+    """,
+    "semi_join_big_spenders": """
+        SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        GROUP BY c_mktsegment
+    """,
+    "asof_join_orders": """
+        WITH o AS (
+          SELECT o_custkey, o_orderdate,
+                 max(o_orderkey) AS o_orderkey,
+                 arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+        FROM events e ASOF JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "sliding_window_counts": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_trailing_hour,
+               round(sum(value) OVER w, 4) AS sum_trailing_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "cube_by_type_hour": """
+        SELECT event_type, hour(ts)::BIGINT AS hour_of_day,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY CUBE (event_type, hour(ts)::BIGINT)
+    """,
+    "percentile_stats": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "funnel_set_ops": """
+        WITH click AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             purch AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT 'click_and_purchase' AS segment, count(*) AS n_users
+          FROM (SELECT user_id FROM click INTERSECT SELECT user_id FROM purch)
+        UNION ALL
+        SELECT 'click_only', count(*) FROM (SELECT user_id FROM click EXCEPT SELECT user_id FROM purch)
+        UNION ALL
+        SELECT 'purchase_only', count(*) FROM (SELECT user_id FROM purch EXCEPT SELECT user_id FROM click)
+        UNION ALL
+        SELECT 'click_or_purchase', count(*) FROM (SELECT user_id FROM click UNION SELECT user_id FROM purch)
+    """,
+    "json_props_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(k), 6) AS avg_k,
+               min(k)::BIGINT AS min_k,
+               max(k)::BIGINT AS max_k
+        FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+        GROUP BY event_type
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,

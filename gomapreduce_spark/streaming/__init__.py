@@ -1,3 +1,13 @@
-from .windows import streaming_tumbling_counts, streaming_session_windows
+from .windows import (
+    streaming_session_windows,
+    streaming_sliding_counts,
+    streaming_stateful_sessions,
+    streaming_tumbling_counts,
+)
 
-__all__ = ["streaming_tumbling_counts", "streaming_session_windows"]
+__all__ = [
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_sessions",
+    "streaming_tumbling_counts",
+]

@@ -82,6 +82,94 @@ def streaming_tumbling_counts(spark: SparkSession, events_path: str) -> DataFram
     )
 
 
+def streaming_sliding_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Sliding windows: 1-hour windows advancing every 15 minutes (each
+    event lands in 4 windows). Incremental streaming aggregation; the
+    batch-parity check uses the identical window() expression on a
+    static read."""
+    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SESSION_OUT_SCHEMA = "user_id long, session_start string, n_events long, dur_s double"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def streaming_stateful_sessions(
+    spark: SparkSession, events_path: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API — what you reach
+    for when session_window/window can't express the semantics).
+
+    Per user, an open session lives in typed GroupState; each batch
+    merges its (sorted) events into the state, emitting a session row
+    whenever a gap > ``gap_minutes`` closes one. An event-time timeout at
+    (last event + gap) flushes idle sessions once the watermark passes —
+    so with a 0-second watermark delay, every session except those still
+    "open" at end-of-stream is emitted. State is O(1) per user; the
+    shuffle is one hash partition on user_id — the same partitioning
+    contract as the reference's emitted-store (emittedStore.go:40), but
+    with incremental checkpointed state instead of a RAM map.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def emit(user_id: int, start_us: int, last_us: int, n: int) -> dict:
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": n,
+            "dur_s": round((last_us - start_us) / 1_000_000, 4),
+        }
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        closed: list[dict] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append(emit(user_id, start_us, last_us, n))
+            state.remove()
+        else:
+            pdf = pd.concat(list(pdfs))
+            ts_us = sorted(pdf["ts"].astype("datetime64[us]").astype("int64").tolist())
+            cur = state.get if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(emit(user_id, *cur))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            state.update(cur)
+            # flush the open session once the watermark passes last+gap
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(closed, columns=["user_id", "session_start", "n_events", "dur_s"])
+
+    stream = _read_events_stream(spark, events_path).withWatermark("ts", "0 seconds")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(result, "append")
+
+
 def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (session_window) — the streaming
     counterpart of operators.events.sessionize."""

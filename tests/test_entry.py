@@ -17,7 +17,13 @@ def test_queries_oracles_aligned():
     assert set(oracles) <= set(qs), "oracle without a query"
     # documented rows-only queries (approximate / streaming)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"knn_lsh", "streaming_tumbling_counts"}
+    assert rows_only == {
+        "knn_lsh",
+        "approx_distinct_users",
+        "streaming_tumbling_counts",
+        "streaming_sliding_counts",
+        "streaming_stateful_sessions",
+    }
 
 
 def test_all_queries_run_small(spark, sf_small):

@@ -114,3 +114,41 @@ def test_lang_id_deterministic_and_total(spark, sf_small):
     out = text.lang_id(docs)
     assert out.count() == docs.count()
     assert out.where(F.col("lang_pred").isNull()).count() == 0
+
+
+def test_approx_distinct_users_error_bound(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    approx = {r["event_type"]: r["approx_users"] for r in events.approx_distinct_users(ev).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        assert abs(approx[t] - e) / e < 0.05, f"{t}: approx {approx[t]} vs exact {e}"
+
+
+def test_asof_join_semantics(spark, sf_med):
+    """Every matched order must be the max order date <= event ts for
+    that user, verified per-row against a driver-side index."""
+    ev = load_table(spark, sf_med, "events")
+    orders = load_table(spark, sf_med, "orders")
+    got = events.asof_join_orders(ev, orders).collect()
+    by_user: dict[int, list] = {}
+    for r in orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice").collect():
+        by_user.setdefault(r["o_custkey"], []).append(r)
+    ev_ts = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts").collect()}
+    assert len(got) > 0
+    for row in got[:200]:
+        ts = ev_ts[row["event_id"]]
+        elig = [o for o in by_user.get(row["user_id"], []) if o["o_orderdate"] <= ts]
+        assert elig, f"event {row['event_id']} matched but has no eligible order"
+        best_date = max(o["o_orderdate"] for o in elig)
+        best_key = max(o["o_orderkey"] for o in elig if o["o_orderdate"] == best_date)
+        assert row["o_orderkey"] == best_key
+
+
+def test_funnel_set_ops_complete(spark, sf_med):
+    out = {r["segment"]: r["n_users"] for r in events.funnel_set_ops(load_table(spark, sf_med, "events")).collect()}
+    assert set(out) == {"click_and_purchase", "click_only", "purchase_only", "click_or_purchase"}
+    assert out["click_or_purchase"] == out["click_and_purchase"] + out["click_only"] + out["purchase_only"]
