@@ -74,3 +74,77 @@ def multimodal_features(docs: DataFrame) -> DataFrame:
     """End-to-end: encode → mapInPandas feature extraction. Output is
     deterministic from text so a SQL oracle can replicate it."""
     return extract_features(with_binary_payload(docs))
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+
+
+def resize_images(mm: DataFrame, width: int = 64, height: int = 48, fake: bool = True) -> DataFrame:
+    """STUB-decoded resize: binary in → binary out through mapInPandas.
+
+    The real path (PIL/libvips) is unavailable in this container and
+    raises ``NotImplementedError``; the fake path emits a deterministic
+    "thumbnail" (strided byte sample of the payload, length width*height
+    /64 capped) so schema, batch shape, and binary-column round-trip are
+    real and testable. At 100 TB this is the canonical decode-transform
+    stage: embarrassingly parallel, Arrow-batched, output column pruned
+    by parquet when unused."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError("image codecs unavailable; use fake=True")
+            n_out = max(1, (width * height) // 64)
+            thumbs = pdf["payload"].map(
+                lambda b: bytes(b[:: max(1, len(b) // n_out)][:n_out]) if len(b) else b"\x00"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return mm.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_header binary"
+
+
+def sample_frames(mm: DataFrame, frame_size: int = 256, every_n: int = 4) -> DataFrame:
+    """Frame sampling for "video" payloads: chunk the byte stream into
+    fixed-size frames and keep every Nth — a 1→N mapInPandas (each input
+    row yields multiple frame rows; batch shape changes, which is why
+    this is mapInPandas and not a scalar UDF). Deterministic from the
+    payload so tests can assert exact frame counts."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, headers = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, (len(payload) + frame_size - 1) // frame_size)
+                for f in range(0, n_frames, every_n):
+                    chunk = payload[f * frame_size : (f + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sizes.append(len(chunk))
+                    headers.append(bytes(chunk[:8]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes, "frame_header": headers}
+            ).astype({"frame_idx": "int32", "frame_bytes": "int32"})
+
+    return mm.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def frame_stats(docs: DataFrame) -> DataFrame:
+    """Queryable rollup of the frame sampler: frames kept + bytes per
+    doc — deterministic from text length, so SQL-oracle-checkable."""
+    frames = sample_frames(with_binary_payload(docs))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").cast("long").alias("sampled_bytes"),
+        F.min("frame_idx").cast("long").alias("first_frame"),
+        F.max("frame_idx").cast("long").alias("last_frame"),
+    )

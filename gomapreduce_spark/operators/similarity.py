@@ -50,8 +50,8 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
     )
 
 
-def _hyperplane(dim: int, plane_idx: int):
-    """Deterministic pseudo-random hyperplane: component j is
+def _plane_vals(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random vector: component j is
     md5-hash("plane{idx}|j") mapped to [-1, 1) — the same 60-bit md5
     construction as functions.hashing.h64, computed driver-side (the
     plane is a constant; no reason to evaluate md5 per row)."""
@@ -59,7 +59,11 @@ def _hyperplane(dim: int, plane_idx: int):
     for j in range(dim):
         h = int(hashlib.md5(f"plane{plane_idx}|{j}".encode()).hexdigest()[:15], 16)
         vals.append((h % 1_000_000) / 500_000.0 - 1.0)
-    return F.array(*[F.lit(v) for v in vals])
+    return vals
+
+
+def _hyperplane(dim: int, plane_idx: int):
+    return F.array(*[F.lit(v) for v in _plane_vals(dim, plane_idx)])
 
 
 def lsh_signatures(emb: DataFrame, n_planes: int = 6, n_tables: int = 6, dim: int = 64) -> DataFrame:
@@ -121,6 +125,91 @@ def knn_lsh(
         .select("query_id", "neighbor_id", "qe", "ce")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ce")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+IVF_SEED = 9000  # plane-index offset so IVF centroids ≠ LSH hyperplanes
+
+
+def _centroid_scores(n_centroids: int, dim: int):
+    """Array of cosine scores of `embedding` against each deterministic
+    centroid (centroid norms folded in driver-side)."""
+    import math
+
+    scores = []
+    for j in range(n_centroids):
+        vals = _plane_vals(dim, IVF_SEED + j)
+        nrm = math.sqrt(sum(v * v for v in vals))
+        cent = F.array(*[F.lit(v) for v in vals])
+        scores.append(dot(F.col("embedding"), cent) / F.lit(nrm))
+    return F.array(*scores)
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine
+    centroid — a pure narrow projection (argmax over n_centroids fold
+    expressions), no shuffle. The centroids are deterministic
+    pseudo-random points (IVF-flat with random init; at 100 TB you'd
+    train them with k-means on a sample, the dataflow is identical)."""
+    scores = _centroid_scores(n_centroids, dim)
+    return emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cent"),
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe``
+    closest centroids and scores only vectors assigned there — the
+    inverted-list ANN scale path (scan fraction ≈ nprobe/n_centroids).
+    Partitioning the assigned table by ``cent`` makes the probe join a
+    co-located lookup at scale. Same schema as knn_bruteforce; recall
+    asserted in tests."""
+    assigned = ivf_assignments(emb, n_centroids, dim).cache()
+    scores = _centroid_scores(n_centroids, dim)
+    probe_idx = F.transform(
+        F.slice(
+            F.sort_array(
+                F.transform(scores, lambda s, i: F.struct(s.alias("score"), i.alias("idx"))),
+                asc=False,
+            ),
+            1,
+            nprobe,
+        ),
+        lambda st: st["idx"].cast("int"),
+    )
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probe_idx).alias("probe_cent"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cent") == F.col("probe_cent")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

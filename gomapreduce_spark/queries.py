@@ -117,10 +117,12 @@ QUERIES: dict[str, QueryFn] = {
     # -- similarity search / multimodal --
     "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
+    "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "embedding_doc_join": lambda s, d: similarity.embedding_doc_join(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
     "multimodal_features": lambda s, d: multimodal.multimodal_features(load_table(s, d, "documents")),
+    "frame_stats": lambda s, d: multimodal.frame_stats(load_table(s, d, "documents")),
 }
 
 
@@ -511,6 +513,23 @@ ORACLES: dict[str, str] = {
                round(avg(list_sum(embedding::DOUBLE[])), 6) AS avg_embedding_sum
         FROM documents JOIN embeddings ON doc_id = vec_id
         GROUP BY label
+    """,
+    "frame_stats": """
+        WITH c AS (
+          SELECT doc_id, octet_length(encode(text)) AS L,
+                 greatest((octet_length(encode(text)) + 255) // 256, 1) AS nf
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id, L, nf, ((nf - 1) // 4) + 1 AS kept, ((nf - 1) // 4) * 4 AS last_f FROM c
+        )
+        SELECT doc_id,
+               kept::BIGINT AS n_frames,
+               (256 * (kept - 1)
+                + CASE WHEN last_f = nf - 1 THEN L - 256 * (nf - 1) ELSE 256 END)::BIGINT AS sampled_bytes,
+               0::BIGINT AS first_frame,
+               last_f::BIGINT AS last_frame
+        FROM d
     """,
     "multimodal_features": """
         SELECT doc_id,

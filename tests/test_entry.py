@@ -19,6 +19,7 @@ def test_queries_oracles_aligned():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "knn_lsh",
+        "knn_ivf",
         "approx_distinct_users",
         "streaming_tumbling_counts",
         "streaming_sliding_counts",

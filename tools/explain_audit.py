@@ -1,0 +1,170 @@
+"""Physical-plan audit: assert the headline queries compile to the
+plans we'd want on a 1000-executor cluster, not just plans that pass.
+
+Checks (per query, against `.explain("formatted")` text):
+- filter pushdown reached the parquet scan (PushedFilters non-empty
+  where the query filters a scanned column),
+- column pruning: ReadSchema contains only the referenced columns,
+- small dimensions broadcast (BroadcastHashJoin), never CartesianProduct,
+- aggregations are partial+final (two HashAggregate/ObjectHashAggregate
+  nodes per logical agg, i.e. map-side combine happened),
+- narrow operators (fingerprint, minhash signatures) have NO Exchange.
+
+Run: python tools/explain_audit.py [sf_dir]   (prints a PASS/FAIL table)
+Tests import `audit_all` and assert nothing fails, so plan regressions
+(e.g. a lost broadcast, a filter that stopped pushing) break CI.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _scan_blocks(plan: str) -> list[str]:
+    """The per-scan detail blocks of a formatted plan."""
+    return re.findall(r"\(\d+\) Scan parquet.*?(?=\n\(\d+\)|\Z)", plan, re.S)
+
+
+AUDITS: dict[str, dict] = {
+    # query -> expectations
+    "q6_forecast_revenue": {
+        "pushed_filters": ["l_shipdate", "l_quantity"],
+        "read_schema_max_cols": 4,
+        "forbid": ["CartesianProduct"],
+    },
+    "q1_pricing_summary": {
+        "pushed_filters": ["l_shipdate"],
+        "read_schema_max_cols": 7,
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
+    "q3_top_orders": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q5_local_supplier": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "wordcount": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
+    "doc_fingerprint": {
+        "max_exchanges": 0,  # pure projection
+        "forbid": ["CartesianProduct"],
+    },
+    "minhash_signatures": {
+        "max_exchanges": 0,  # narrow signature computation
+        "forbid": ["CartesianProduct"],
+    },
+    "exact_dedup": {
+        "partial_agg": True,
+        "max_exchanges": 1,  # single hash shuffle on the content hash
+        "forbid": ["CartesianProduct"],
+    },
+    "simhash": {
+        "partial_agg": True,
+        "max_exchanges": 1,  # single shuffle of (doc_id, 48 votes)
+        "forbid": ["CartesianProduct"],
+    },
+    "semi_join_big_spenders": {
+        "require": ["LeftSemi"],
+        "forbid": ["CartesianProduct"],
+    },
+    "anti_join_customers": {
+        "require": ["LeftAnti"],
+        "pushed_filters": ["o_orderdate"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tumbling_window_counts": {
+        "partial_agg": True,
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct"],
+    },
+}
+
+
+def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
+    """Return a list of failure strings (empty = pass)."""
+    plan = plan_str(df)
+    fails: list[str] = []
+    for s in exp.get("require", []):
+        if s not in plan:
+            fails.append(f"missing required node {s!r}")
+    for s in exp.get("forbid", []):
+        if s in plan:
+            fails.append(f"forbidden node {s!r} present")
+    if "pushed_filters" in exp:
+        blocks = _scan_blocks(plan)
+        pushed = " ".join(
+            m for b in blocks for m in re.findall(r"PushedFilters: \[(.*?)\]", b)
+        )
+        for col in exp["pushed_filters"]:
+            if col not in pushed:
+                fails.append(f"filter on {col!r} not pushed to scan (PushedFilters: [{pushed}])")
+    if "read_schema_max_cols" in exp:
+        blocks = _scan_blocks(plan)
+        for b in blocks:
+            m = re.search(r"ReadSchema: struct<(.*?)>", b, re.S)
+            if m:
+                ncols = len([c for c in m.group(1).split(",") if ":" in c])
+                if ncols > exp["read_schema_max_cols"]:
+                    fails.append(
+                        f"scan reads {ncols} cols > {exp['read_schema_max_cols']} (pruning lost)"
+                    )
+    if exp.get("partial_agg"):
+        n_agg = len(re.findall(r"HashAggregate", plan))
+        if n_agg < 2:
+            fails.append(f"expected partial+final HashAggregate, found {n_agg}")
+    if "max_exchanges" in exp:
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        # AQE wraps plans; count physical Exchange nodes only
+        if n_ex > exp["max_exchanges"]:
+            fails.append(f"{n_ex} Exchange nodes > allowed {exp['max_exchanges']}")
+    return fails
+
+
+def audit_all(spark, sf_dir: str) -> dict[str, list[str]]:
+    from gomapreduce_spark.queries import QUERIES
+
+    results: dict[str, list[str]] = {}
+    for name, exp in AUDITS.items():
+        df = QUERIES[name](spark, sf_dir)
+        results[name] = audit_one(name, df, exp)
+    return results
+
+
+def main() -> int:
+    from gomapreduce_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = audit_all(spark, sf_dir)
+    n_fail = 0
+    for name, fails in results.items():
+        if fails:
+            n_fail += 1
+            print(f"FAIL {name}")
+            for f in fails:
+                print(f"     - {f}")
+        else:
+            print(f"PASS {name}")
+    print(f"== {len(results) - n_fail} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
