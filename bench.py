@@ -57,8 +57,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query times measure the plans
+    # warm the JVM + parquet footers + python workers (pandas import per
+    # worker) so per-query times measure the plans, not cold-start
     QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    QUERIES["multimodal_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -97,9 +97,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+MH_MASK = (1 << 60) - 1
+MH_BMASK = (1 << 59) - 1  # b truncated to 59 bits so a + 7b can't overflow int64
+
+
 def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): the k-element MinHash signature as wide
-    columns, h_i = min over shingles of md5-hash(i || '|' || shingle).
+    columns, via the Kirsch-Mitzenmacher construction — ONE md5 per
+    shingle split into two 60-bit halves (a, b), then
+    h_i = (a + i*b) mod 2^60. Same independence guarantees as k true
+    hash functions for MinHash purposes, at 1/k the hashing cost.
 
     Computed as a pure projection over the shingle array — no explode,
     no shuffle; the per-doc signature is narrow work that scales linearly
@@ -107,14 +114,25 @@ def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     shingle set) have no signature and are dropped, matching the oracle.
     """
     arr = shingle_arrays(docs).where(F.size("shingles") > 0)
+    ab = F.transform(
+        F.col("shingles"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("long")
+            .bitwiseAND(F.lit(MH_BMASK))
+            .alias("b"),
+        ),
+    )
+    t = arr.select("doc_id", ab.alias("ab"))
 
     def mh(i: int):
         # NB: single-arg lambda — a second arg would be bound to the
         # array index by transform(), not the Python closure.
-        prefix = f"{i}|"
-        return F.array_min(F.transform(F.col("shingles"), lambda s: h64(F.concat(F.lit(prefix), s))))
+        return F.array_min(
+            F.transform(F.col("ab"), lambda x: (x["a"] + i * x["b"]).bitwiseAND(F.lit(MH_MASK)))
+        )
 
-    return arr.select("doc_id", *[mh(i).alias(f"mh_{i}") for i in range(k)])
+    return t.select("doc_id", *[mh(i).alias(f"mh_{i}") for i in range(k)])
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:

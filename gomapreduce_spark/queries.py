@@ -439,21 +439,31 @@ ORACLES: dict[str, str] = {
     """,
     "minhash_signatures": f"""
         WITH {_SHINGLES},
-        ph AS (
-          SELECT doc_id, i AS hash_idx,
-                 {_H.format(s="i::VARCHAR || '|' || shingle")} AS h
-          FROM sh, unnest(range(0, 8)) AS u(i)
+        ab AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
+                 ('0x' || substr(md5(shingle), 17, 15))::BIGINT & ((1::BIGINT << 59) - 1) AS b
+          FROM sh
         )
-        SELECT doc_id, hash_idx::INT AS hash_idx, min(h) AS minhash FROM ph GROUP BY 1, 2
+        SELECT doc_id, i::INT AS hash_idx,
+               min((a + i * b) & ((1::BIGINT << 60) - 1)) AS minhash
+        FROM ab, unnest(range(0, 8)) AS u(i)
+        GROUP BY 1, 2
     """,
     "minhash_lsh_pairs": f"""
         WITH {_SHINGLES},
-        ph AS (
-          SELECT doc_id, i AS hash_idx,
-                 {_H.format(s="i::VARCHAR || '|' || shingle")} AS h
-          FROM sh, unnest(range(0, 8)) AS u(i)
+        ab AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
+                 ('0x' || substr(md5(shingle), 17, 15))::BIGINT & ((1::BIGINT << 59) - 1) AS b
+          FROM sh
         ),
-        sig AS (SELECT doc_id, hash_idx, min(h) AS minhash FROM ph GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id, i AS hash_idx,
+                 min((a + i * b) & ((1::BIGINT << 60) - 1)) AS minhash
+          FROM ab, unnest(range(0, 8)) AS u(i)
+          GROUP BY 1, 2
+        ),
         banded AS (
           SELECT doc_id, (hash_idx // 2)::INT AS band,
                  {_H.format(s="string_agg(hash_idx || ':' || minhash, ',' ORDER BY hash_idx || ':' || minhash)")} AS band_hash

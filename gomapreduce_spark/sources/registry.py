@@ -33,6 +33,26 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def rebalance_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose file count is far below the
+    session parallelism.
+
+    The testdata tables are ONE parquet file each (single row group), so
+    every scan stage would otherwise run as ONE task — 31 of 32 local
+    cores idle through the whole narrow pipeline. At production scale
+    this is a no-op: a 100 TB table has thousands of splits (the
+    condition is false) and adding a blind repartition there would be a
+    catastrophic full-input shuffle. Catalyst still pushes filters and
+    prunes columns *through* the repartition into the scan (verified by
+    tools/explain_audit.py).
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if len(df.inputFiles()) < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types.
 
@@ -46,6 +66,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "documents":
+        # documents feed scan-bound narrow pipelines (tokenize/shingle/
+        # hash) where the single-file scan is the whole job — rebalance.
+        # Other tables' heavy work happens after a keyed shuffle that
+        # already spreads across cores; an extra exchange only costs.
+        df = rebalance_small_scan(df)
     return df
 
 

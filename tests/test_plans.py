@@ -10,6 +10,9 @@ from tools.explain_audit import audit_all
 
 
 def test_physical_plans(spark, sf_med):
+    # cached relations from earlier tests would change plan shapes
+    # (InMemoryTableScan embeds its own Exchange) — audit clean plans
+    spark.catalog.clearCache()
     results = audit_all(spark, sf_med)
     bad = {k: v for k, v in results.items() if v}
     assert not bad, f"plan regressions: {bad}"
