@@ -172,6 +172,26 @@ def big_spenders_semi_join(customer: DataFrame, orders: DataFrame, min_total: fl
     )
 
 
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17-style: avg yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) weren't filled, for one
+    brand.
+
+    The correlated scalar subquery (per-part avg over *all* lineitems)
+    is decorrelated into an explicit aggregate + broadcast join — the
+    plan Catalyst would rewrite to anyway, stated directly so the
+    fact table is scanned exactly twice (once for thresholds, once for
+    revenue) with both scans column-pruned."""
+    thresholds = lineitem.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    return (
+        lineitem.join(F.broadcast(brand_parts), lineitem.l_partkey == brand_parts.p_partkey)
+        .join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def order_status_pivot(orders: DataFrame) -> DataFrame:
     """Pivot order counts by status per priority — expressed as
     conditional aggregation so the oracle SQL is portable."""

@@ -88,6 +88,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
     "order_status_pivot": lambda s, d: relational.order_status_pivot(load_table(s, d, "orders")),
+    "q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
     # -- event-time --
     "tumbling_window_counts": lambda s, d: events.tumbling_counts(load_table(s, d, "events")),
     "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
@@ -248,6 +251,13 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     "anti_join_customers": """
         SELECT c_mktsegment, count(*) AS n_customers

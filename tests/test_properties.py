@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): randomized inputs against
+invariants, the testing dimension the reference lacks entirely
+(SURVEY §5 — its only e2e check was "job completed").
+
+Each property runs a handful of examples (Spark round-trips are ~100ms
+each); the generators bias toward edge cases: empty strings, single
+tokens, duplicate texts, identical timestamps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gomapreduce_spark.operators import dedup, events, wordcount
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(alphabet=" abcx", min_size=0, max_size=30), min_size=1, max_size=10
+)
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_mr_facade_matches_dataframe_wordcount(spark, docs):
+    """The MapReduce facade (Mapper/Reducer over RDDs, reference
+    semantics) and the DataFrame wordcount must agree on any input."""
+    from gomapreduce_spark.mapreduce import (
+        DataFrameInputer,
+        DemoMapper,
+        DemoReducer,
+        JobConfig,
+        MapReduceEngine,
+        MemoryOutputer,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = MemoryOutputer()
+    eng = MapReduceEngine(spark)
+    job_id = eng.submit(JobConfig(m=2, r=2), DemoMapper(), DemoReducer(), DataFrameInputer(df, "doc_id", "text"), out, sync=True)
+    assert eng.status(job_id)
+    facade = {(k, int(v)) for k, v in out.results.items()}
+    df_counts = {
+        (r["word"], r["cnt"]) for r in wordcount.word_count(df).collect()
+    }
+    assert facade == df_counts
+
+
+@given(
+    ts_offsets=st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=20),
+    n_users=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_sessionize_conservation(spark, ts_offsets, n_users):
+    """Sessionization conserves events: sum(total_events) == |events|;
+    every user present gets >= 1 session; max <= total per user."""
+    base = 1_704_067_200  # 2024-01-01 UTC
+    rows = [(i, i % n_users, base + o, float(o)) for i, o in enumerate(ts_offsets)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, epoch long, value double").withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    )
+    out = events.sessionize(df).collect()
+    assert sum(r["total_events"] for r in out) == len(rows)
+    assert {r["user_id"] for r in out} == {i % n_users for i in range(len(rows))}
+    for r in out:
+        assert 1 <= r["max_session_events"] <= r["total_events"]
+        assert r["n_sessions"] >= 1
+
+
+@given(docs=st.lists(st.sampled_from(["a b c d", "a b c e", "x y z w", ""]), min_size=2, max_size=12))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, docs):
+    """exact_dedup's copy counts must partition the corpus: sum of
+    n_copies == |docs|, one group per distinct text, keep_id is the min
+    doc_id of its group."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = dedup.exact_dedup(df).collect()
+    assert sum(r["n_copies"] for r in out) == len(docs)
+    assert len(out) == len(set(docs))
+    firsts = {}
+    for i, t in enumerate(docs):
+        firsts.setdefault(t, i)
+    assert sorted(r["keep_id"] for r in out) == sorted(firsts.values())
