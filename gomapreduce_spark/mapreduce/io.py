@@ -84,6 +84,31 @@ class MemoryOutputer(Outputer):
         self.results[key] = value
 
 
+class PartitionedSink(Outputer):
+    """Distributed keyed sink — the scale-correct version of the
+    reference's one-S3-object-per-key S3Outputer (outputer.go:29-34).
+
+    ``output()`` buffers driver-side only for facade fidelity;
+    ``write_rdd`` is the real path: a distributed
+    ``partitionBy("key")`` parquet write, one directory per key instead
+    of one object per key (one-object-per-key is pathological at 100 TB:
+    a billion tiny PUTs). Read back with
+    ``spark.read.parquet(path)`` — key is a partition column."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.results: dict[str, Any] = {}
+
+    def output(self, key: str, value: Any) -> None:
+        self.results[key] = value
+
+    def write_rdd(self, spark, pairs_rdd) -> None:
+        df = spark.createDataFrame(
+            pairs_rdd.map(lambda kv: (str(kv[0]), str(kv[1]))), "key string, value string"
+        )
+        df.write.mode("overwrite").partitionBy("key").parquet(self.path)
+
+
 def split_file_into_chunks(filepath: str, out_dir: str, chunk_size: int) -> list[str]:
     """Split ``filepath`` into ~chunk_size byte chunks on line
     boundaries, one file per chunk named ``0, 1, 2, ...`` — the

@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.skew import salted_counts
 from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
 from .sources.registry import load_table
 from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
@@ -105,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     "json_props_stats": lambda s, d: events.json_props_stats(load_table(s, d, "events")),
     "latest_event_per_user": lambda s, d: events.latest_event_per_user(load_table(s, d, "events")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
+    "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
     # -- text analysis --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
     "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
@@ -329,6 +331,9 @@ ORACLES: dict[str, str] = {
         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "salted_user_counts": """
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,

@@ -186,3 +186,35 @@ def test_multimodal_resize_and_frames(spark, sf_small):
 
     with _pytest.raises(Exception):
         multimodal.resize_images(mm, fake=False).collect()
+
+
+def test_salted_agg_equals_plain(spark, sf_med):
+    from gomapreduce_spark.functions.skew import salted_agg, salted_counts
+
+    ev = load_table(spark, sf_med, "events")
+    plain = {
+        (r["user_id"], r["n"], round(r["total"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"], r["n"], round(r["total"], 4))
+        for r in salted_agg(ev, ["user_id"], {"n": ("count", "*"), "total": ("sum", "value")})
+        .withColumn("total", F.round("total", 4))
+        .collect()
+    }
+    assert salted == plain
+    counts = {(r["user_id"], r["cnt"]) for r in salted_counts(ev, "user_id").collect()}
+    assert counts == {(u, n) for u, n, _ in plain}
+
+
+def test_partitioned_sink_roundtrip(spark, tmp_path):
+    from gomapreduce_spark.mapreduce.io import PartitionedSink
+
+    rdd = spark.sparkContext.parallelize([("a", 1), ("b", 2), ("a b", 3)])
+    sink = PartitionedSink(str(tmp_path / "out"))
+    sink.write_rdd(spark, rdd)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["key"], r["value"]) for r in back.collect()}
+    assert got == {("a", "1"), ("b", "2"), ("a b", "3")}
