@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "semi_join_big_spenders",
     "token_stats",
     "quality_score",
+    "training_corpus",
     "doc_fingerprint",
     "exact_dedup",
     "ngram_jaccard_pairs",

@@ -229,6 +229,38 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def value_deciles(events: DataFrame) -> DataFrame:
+    """ntile decile assignment over event values, rolled up per decile —
+    the ranking-window surface (ntile) next to row_number. One global
+    sort-shuffle at test scale; at 100 TB you'd switch to
+    approx_percentile cutpoints + a narrow bucket join."""
+    w = W.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+def value_prop_correlation(events: DataFrame) -> DataFrame:
+    """Statistical aggregates per event type: Pearson correlation and
+    sample covariance between the value column and the JSON prop k —
+    single-pass mergeable moments (partial-aggregation friendly)."""
+    k = F.get_json_object("props", "$.k").cast("int").cast("double")
+    return (
+        events.select("event_type", F.col("value"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 6).alias("covar_vk"),
+        )
+    )
+
+
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     sketch path for cardinality at 100 TB (partial-mergeable, no exact

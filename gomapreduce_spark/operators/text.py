@@ -100,6 +100,36 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def training_corpus(docs: DataFrame, emb: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The composed LLM-corpus pipeline as ONE declarative plan:
+    quality-score filter → exact-dedup (keep the smallest doc_id per
+    content hash) → join embeddings → emit the curated corpus manifest.
+
+    Composability is the point: each stage is the already-tested
+    operator, fused by Catalyst into a single job (the dedup groupBy is
+    the only wide stage; the embedding join broadcasts at test scale and
+    shuffle-joins on doc_id at 100 TB)."""
+    q = quality_score(docs).where(F.col("quality") >= min_quality).select("doc_id", "quality")
+    kept = (
+        docs.join(q, "doc_id")
+        .groupBy(h64(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+    )
+    return (
+        kept.join(q, "doc_id")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .select(
+            "doc_id",
+            "content_hash",
+            "n_dups",
+            "quality",
+            F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias(
+                "embedding_sum"
+            ),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over all
     character k-grams (winnowing's global-min special case). Identical

@@ -107,6 +107,11 @@ QUERIES: dict[str, QueryFn] = {
     "latest_event_per_user": lambda s, d: events.latest_event_per_user(load_table(s, d, "events")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
+    "value_deciles": lambda s, d: events.value_deciles(load_table(s, d, "events")),
+    "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
+    "training_corpus": lambda s, d: text.training_corpus(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
     # -- text analysis --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
     "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
@@ -334,6 +339,50 @@ ORACLES: dict[str, str] = {
     """,
     "salted_user_counts": """
         SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    """,
+    "value_deciles": """
+        SELECT decile, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile FROM events)
+        GROUP BY decile
+    """,
+    "value_prop_correlation": """
+        SELECT event_type,
+               round(corr(value, k), 6) AS corr_vk,
+               round(covar_samp(value, k), 6) AS covar_vk
+        FROM (SELECT event_type, value,
+                     json_extract(props, '$.k')::INT::DOUBLE AS k FROM events)
+        GROUP BY event_type
+    """,
+    "training_corpus": rf"""
+        WITH c AS (
+          SELECT doc_id, text, {_TOKS} AS t FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(t) AS nt, greatest(len(t), 1) AS n,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
+                 len(list_distinct(t)) AS n_uniq,
+                 strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 greatest(strlen(text), 1) AS len_text
+          FROM c
+        ), q AS (
+          SELECT doc_id,
+                 round(0.3 * least(nt::DOUBLE / 100.0, 1.0)
+                       + 0.3 * least(stop_hits::DOUBLE / n * 5, 1.0)
+                       + 0.2 * (n_uniq::DOUBLE / n)
+                       + 0.2 * (n_alpha::DOUBLE / len_text), 6) AS quality
+          FROM m
+        ), kept AS (
+          SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+                 min(d.doc_id) AS doc_id, count(*) AS n_dups
+          FROM documents d JOIN q USING (doc_id)
+          WHERE q.quality >= 0.5
+          GROUP BY 1
+        )
+        SELECT k.doc_id, k.content_hash, k.n_dups, q.quality,
+               round(list_sum(e.embedding::DOUBLE[]), 4) AS embedding_sum
+        FROM kept k
+        JOIN q ON q.doc_id = k.doc_id
+        JOIN embeddings e ON e.vec_id = k.doc_id
     """,
     "order_status_pivot": """
         SELECT o_orderpriority,
