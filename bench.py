@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "tumbling_window_counts",
     "sessionize",
     "asof_join_orders",
+    "range_join_shipments",
     "sliding_window_counts",
     "cube_by_type_hour",
     "latest_event_per_user",

@@ -229,6 +229,46 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def range_join_shipments(orders: DataFrame, lineitem: DataFrame, days: int = 90) -> DataFrame:
+    """Range (point-in-interval) join: per order, how many of the same
+    customer's line items shipped within ``days`` after the order date.
+
+    Naively an inequality join — Spark would plan a broadcast nested
+    loop. The scale formulation buckets time with bucket width = the
+    window length, so each order lands in EXACTLY 2 candidate buckets
+    (its own and the next — any point within [o, o+win] is in one of
+    them), each shipment joins its ONE bucket equi-style on (custkey,
+    bucket), and the exact range predicate filters the ~50% bucket-
+    granularity false positives. Constant fan-out, every wide stage a
+    hash equi-join — no quadratic scan at any data size.
+    """
+    win_us = days * 86_400 * 1_000_000
+    # TIMESTAMP_NTZ → TIMESTAMP is value-preserving under the UTC
+    # session zone; unix_micros then matches DuckDB's epoch_us exactly.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    o = orders.select("o_orderkey", F.col("o_custkey").alias("custkey"), us("o_orderdate").alias("o_us"))
+    b0 = F.floor(F.col("o_us") / win_us)
+    o_b = o.withColumn("bucket", F.explode(F.array(b0, b0 + 1)))
+    ship = (
+        lineitem.select("l_orderkey", us("l_shipdate").alias("s_us"))
+        .join(orders.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("custkey", "s_us")
+        .withColumn("bucket", F.floor(F.col("s_us") / win_us))
+    )
+    matched = (
+        ship.join(o_b, ["custkey", "bucket"])
+        .where((F.col("s_us") >= F.col("o_us")) & (F.col("s_us") <= F.col("o_us") + win_us))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        orders.select("o_orderkey")
+        .join(matched, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n", F.lit(0)).cast("long").alias("n_shipments_90d"))
+    )
+
+
 def value_deciles(events: DataFrame) -> DataFrame:
     """ntile decile assignment over event values, rolled up per decile —
     the ranking-window surface (ntile) next to row_number. One global

@@ -108,6 +108,9 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
     "value_deciles": lambda s, d: events.value_deciles(load_table(s, d, "events")),
+    "range_join_shipments": lambda s, d: events.range_join_shipments(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
     "training_corpus": lambda s, d: text.training_corpus(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
@@ -344,6 +347,18 @@ ORACLES: dict[str, str] = {
         SELECT decile, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
         FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile FROM events)
         GROUP BY decile
+    """,
+    "range_join_shipments": """
+        WITH ship AS (
+          SELECT o2.o_custkey AS custkey, epoch_us(l.l_shipdate) AS s_us
+          FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        )
+        SELECT o.o_orderkey, count(s.s_us) AS n_shipments_90d
+        FROM orders o LEFT JOIN ship s
+          ON s.custkey = o.o_custkey
+         AND s.s_us >= epoch_us(o.o_orderdate)
+         AND s.s_us <= epoch_us(o.o_orderdate) + 7776000000000
+        GROUP BY 1
     """,
     "value_prop_correlation": """
         SELECT event_type,
