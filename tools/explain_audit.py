@@ -97,6 +97,19 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 1,
         "forbid": ["CartesianProduct"],
     },
+    # the two inequality-style joins: the whole point of their union/
+    # bucket formulations is that NO nested-loop join appears
+    "asof_join_orders": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "range_join_shipments": {
+        "require": ["SortMergeJoin"],  # bucket equi-join, shuffled
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q17_small_quantity": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
