@@ -75,6 +75,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+FORMATS = ("parquet", "json", "csv")
+
+
+def write_as(df: DataFrame, path: str, fmt: str) -> None:
+    """Materialize a table in another format (json = JSONL, csv with
+    header). Binary/array columns don't survive csv — callers pick
+    columns; this is the sink half of the format-breadth surface."""
+    assert fmt in FORMATS, fmt
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_as(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read any supported format. For csv/json an explicit schema keeps
+    types exact and skips the inference scan (mandatory at 100 TB — a
+    schema-inference pass over the whole input is a full extra read)."""
+    assert fmt in FORMATS, fmt
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -1,4 +1,5 @@
 from .windows import (
+    streaming_dedup_events,
     streaming_session_windows,
     streaming_sliding_counts,
     streaming_stateful_sessions,
@@ -6,6 +7,7 @@ from .windows import (
 )
 
 __all__ = [
+    "streaming_dedup_events",
     "streaming_session_windows",
     "streaming_sliding_counts",
     "streaming_stateful_sessions",

@@ -170,6 +170,22 @@ def streaming_stateful_sessions(
     return _run_to_memory(result, "append")
 
 
+def streaming_dedup_events(spark: SparkSession, events_path: str, id_col: str = "event_id") -> DataFrame:
+    """Streaming exact-dedup: drop replayed/duplicate events by id while
+    the stream runs, keeping state only within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is GC'd 1 hour past the
+    max seen event time, so it's bounded at 100 TB/day ingest, unlike a
+    naive dropDuplicates whose state grows forever).
+
+    Tests drive this with a deliberately duplicated corpus and assert
+    exact agreement with batch ``dropDuplicates``; the pristine driver
+    tables contain no duplicate ids, which would make a queries() entry
+    a vacuous check (see the range-join lesson).
+    """
+    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    return _run_to_memory(stream.dropDuplicatesWithinWatermark([id_col]), "append")
+
+
 def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (session_window) — the streaming
     counterpart of operators.events.sessionize."""

@@ -218,3 +218,18 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out"))
     got = {(r["key"], r["value"]) for r in back.collect()}
     assert got == {("a", "1"), ("b", "2"), ("a b", "3")}
+
+
+def test_source_format_roundtrip(spark, sf_small, tmp_path):
+    """documents survives a JSONL and CSV round-trip bit-exactly when
+    read back with an explicit schema (no inference scan)."""
+    from gomapreduce_spark.sources.registry import read_as, write_as
+
+    docs = load_table(spark, sf_small, "documents")
+    want = {tuple(r) for r in docs.collect()}
+    for fmt in ("json", "csv"):
+        path = str(tmp_path / f"docs_{fmt}")
+        write_as(docs, path, fmt)
+        back = read_as(spark, path, fmt, schema=docs.schema)
+        got = {tuple(r) for r in back.select(*docs.columns).collect()}
+        assert got == want, fmt

@@ -74,3 +74,22 @@ def test_streaming_session_windows_sane(spark, sf_small):
     assert len(rows) == ev.select("user_id").distinct().count()
     total_sessions = sum(r["n_sessions"] for r in rows)
     assert total_sessions >= len(rows)
+
+
+def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
+    """Duplicate the whole events table (full replay) plus a partial
+    replay of half of it; the streaming dedup must recover exactly the
+    batch dropDuplicates result."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_dedup_events
+
+    raw = spark.read.parquet(f"{sf_small}/events.parquet")
+    dup_dir = str(tmp_path / "dup_events")
+    raw.unionByName(raw).unionByName(raw.where(F.col("event_id") % 2 == 0)).write.mode(
+        "overwrite"
+    ).parquet(dup_dir)
+
+    got = streaming_dedup_events(spark, dup_dir)
+    assert got.count() == raw.count()
+    assert got.select("event_id").distinct().count() == raw.count()
