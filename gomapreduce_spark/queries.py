@@ -9,9 +9,11 @@ identically; timestamps are emitted as formatted UTC strings.
 
 Queries without an oracle entry (approximate / streaming ops) get the
 driver's weaker rows-only check by design:
-  - knn_lsh (approximate; recall measured against knn_bruteforce in tests)
+  - knn_lsh, knn_ivf (approximate; recall vs knn_bruteforce in tests)
   - approx_distinct_users (HLL sketch; error bound asserted in tests)
-  - streaming_tumbling_counts (Structured Streaming; batch-parity in tests)
+  - streaming_tumbling_counts, streaming_sliding_counts,
+    streaming_stateful_sessions, streaming_interval_join (Structured
+    Streaming; exact batch parity asserted in tests)
 """
 
 from __future__ import annotations
@@ -157,9 +159,16 @@ def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_stateful_sessions(spark, f"{sf_dir}/events.parquet")
 
 
+def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_click_purchase_join
+
+    return streaming_click_purchase_join(spark, f"{sf_dir}/events.parquet")
+
+
 QUERIES["streaming_tumbling_counts"] = _streaming_tumbling
 QUERIES["streaming_sliding_counts"] = _streaming_sliding
 QUERIES["streaming_stateful_sessions"] = _streaming_sessions
+QUERIES["streaming_interval_join"] = _streaming_interval_join
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 from .windows import (
+    streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_windows,
     streaming_sliding_counts,
@@ -7,6 +8,7 @@ from .windows import (
 )
 
 __all__ = [
+    "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_session_windows",
     "streaming_sliding_counts",

@@ -186,6 +186,45 @@ def streaming_dedup_events(spark: SparkSession, events_path: str, id_col: str = 
     return _run_to_memory(stream.dropDuplicatesWithinWatermark([id_col]), "append")
 
 
+def streaming_click_purchase_join(
+    spark: SparkSession, events_path: str, within_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``within_minutes`` — the canonical
+    attribution join, with watermarks on BOTH sides so join state is
+    garbage-collected beyond the interval (unbounded-state stream joins
+    don't survive continuous ingest).
+
+    Returns (user_id, click_id, purchase_id) pairs; batch parity against
+    the identical static join is asserted in tests."""
+    stream = _read_events_stream(spark, events_path)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
 def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (session_window) — the streaming
     counterpart of operators.events.sessionize."""

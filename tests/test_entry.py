@@ -24,6 +24,7 @@ def test_queries_oracles_aligned():
         "streaming_tumbling_counts",
         "streaming_sliding_counts",
         "streaming_stateful_sessions",
+        "streaming_interval_join",
     }
 
 

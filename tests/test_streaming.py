@@ -93,3 +93,27 @@ def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
     got = streaming_dedup_events(spark, dup_dir)
     assert got.count() == raw.count()
     assert got.select("event_id").distinct().count() == raw.count()
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_click_purchase_join
+
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    stream = streaming_click_purchase_join(spark, f"{sf_small}/events.parquet")
+    got, want = _as_set(stream), _as_set(batch)
+    assert len(want) > 0, "vacuous: no click->purchase pairs in fixture"
+    assert got == want
