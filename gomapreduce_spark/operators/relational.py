@@ -201,6 +201,43 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str 
     )
 
 
+def q4_late_shipments(orders: DataFrame, lineitem: DataFrame, grace_days: int = 60) -> DataFrame:
+    """TPC-H Q4-flavored: per order priority, how many orders had at
+    least one line item shipped more than ``grace_days`` past the order
+    date (the fixture lacks commit/receipt dates, so lateness is
+    ship-vs-order). EXISTS with a correlated inter-column predicate —
+    expressed as a left-semi join so each order counts once no matter
+    how many late lines it has."""
+    o = orders.select("o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("timestamp").alias("o_ts"))
+    l = lineitem.select("l_orderkey", F.col("l_shipdate").cast("timestamp").alias("s_ts"))
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.unix_micros("s_ts") > F.unix_micros("o_ts") + grace_days * 86_400_000_000),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H Q10-style: top-k customers by revenue lost to returned
+    items ('R' flag). Fact-fact shuffle join + broadcast customer dim +
+    partitioned-window-free global top-k (single ordering, row_number)."""
+    rev = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    joined = rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "rk")
+    )
+
+
 def order_status_pivot(orders: DataFrame) -> DataFrame:
     """Pivot order counts by status per priority — expressed as
     conditional aggregation so the oracle SQL is portable."""

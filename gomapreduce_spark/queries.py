@@ -94,6 +94,12 @@ QUERIES: dict[str, QueryFn] = {
     "q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
+    "q4_late_shipments": lambda s, d: relational.q4_late_shipments(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "q10_returned_items": lambda s, d: relational.q10_returned_items(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
     # -- event-time --
     "tumbling_window_counts": lambda s, d: events.tumbling_counts(load_table(s, d, "events")),
     "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
@@ -284,6 +290,28 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '1998-01-01')
         GROUP BY c_mktsegment
+    """,
+    "q4_late_shipments": """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 5184000000000
+        )
+        GROUP BY o_orderpriority
+    """,
+    "q10_returned_items": """
+        WITH rev AS (
+          SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, c_mktsegment, revenue,
+               (row_number() OVER (ORDER BY revenue DESC, c_custkey ASC))::BIGINT AS rk
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        QUALIFY rk <= 20
     """,
     "semi_join_big_spenders": """
         SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
