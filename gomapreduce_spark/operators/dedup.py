@@ -196,23 +196,27 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     is positive. 48 bits so the fingerprint stays in signed-int64 range
     in both engines."""
     # The bit-b vote is linear in the token weight: summing ±w over
-    # distinct (doc, token) equals summing ±1 over token *occurrences* —
-    # so we skip the (doc, token) pre-aggregation AND the bits-fold
-    # explode entirely. ONE shuffle of (doc_id, 48 longs) with map-side
-    # partial aggregation; rows never multiply by `bits`.
+    # distinct (doc, token) equals summing ±1 over token *occurrences*,
+    # and that equals 2·(count of set bits) − N — so the aggregation is
+    # a branch-free sum of extracted bits plus one row count. ONE
+    # shuffle of (doc_id, 48 longs + count) with map-side partial
+    # aggregation; rows never multiply by `bits`.
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
     hashed = toks.select("doc_id", h64(F.col("tok")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(bits)
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s_{b}") for b in range(bits)
     ]
     fingerprint = sum(
-        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(2 * F.col(f"s_{b}") > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         for b in range(bits)
     )
-    return hashed.groupBy("doc_id").agg(*votes).select("doc_id", fingerprint.alias("simhash"))
+    return (
+        hashed.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), *bit_sums)
+        .select("doc_id", fingerprint.alias("simhash"))
+    )
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:

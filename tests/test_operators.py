@@ -233,3 +233,19 @@ def test_source_format_roundtrip(spark, sf_small, tmp_path):
         back = read_as(spark, path, fmt, schema=docs.schema)
         got = {tuple(r) for r in back.select(*docs.columns).collect()}
         assert got == want, fmt
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    """Identical documents have identical signatures, so they MUST
+    collide in every band and appear as candidates with est_jaccard 1.0
+    — the recall floor of the LSH dedup pipeline."""
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "sphinx of black quartz judge my vow again and again",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [(100 + i, t) for i, t in enumerate(base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in dedup.minhash_lsh_pairs(docs).collect()}
+    for i in range(len(base)):
+        assert pairs.get((i, 100 + i)) == 1.0, f"duplicate pair {i} missed: {pairs}"
