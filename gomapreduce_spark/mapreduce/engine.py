@@ -39,7 +39,17 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+from zlib import adler32
+
 from .api import Inputer, ListEmitter, ListOutputer, Mapper, Outputer, Reducer
+
+
+def adler32_partition(key: str, r: int) -> int:
+    """The reference's exact partitioner: adler32(key) % R (reference
+    emittedStore.go:40). Only the grouping contract ("equal keys meet in
+    one partition") affects results, but this gives bit-for-bit bucket
+    parity for anyone comparing intermediate layouts."""
+    return adler32(str(key).encode("utf-8")) % r
 
 
 @dataclass
@@ -185,7 +195,11 @@ class MapReduceEngine:
                 # an associative reducer outputs exactly the combined value
                 return [v for _, v in out.pairs]
 
-            grouped = kv.mapValues(lambda v: [v]).reduceByKey(combine, numPartitions=r)
+            grouped = kv.mapValues(lambda v: [v]).reduceByKey(
+                combine, numPartitions=r, partitionFunc=lambda k: adler32_partition(k, r)
+            )
         else:
-            grouped = kv.groupByKey(numPartitions=r)
+            grouped = kv.groupByKey(
+                numPartitions=r, partitionFunc=lambda k: adler32_partition(k, r)
+            )
         return grouped.flatMap(do_reduce)

@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = "doc_id long, size_bytes int, fake_width int, fake_height int, header string"
 
 
+def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of opaque media files as multimodal rows via
+    Spark's binaryFile source: (path, modificationTime, length, content)
+    → (doc_id from path hash, payload, meta). The real-ingest
+    counterpart of :func:`with_binary_payload`; Spark enumerates and
+    splits the listing exactly like the reference's S3 prefix scan
+    (reference inputer.go:33-37) but distributed."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.element_at(F.split("path", r"\."), -1).alias("ext"),
+            F.col("length").alias("orig_bytes"),
+            F.col("path").alias("source_path"),
+        ).alias("meta"),
+    )
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Model documents as multimodal rows: payload = utf-8 bytes of the
     text (stands in for image/audio bytes) + typed metadata."""

@@ -119,3 +119,34 @@ def test_failed_job_surfaces_error(spark):
     with pytest.raises(Exception):
         eng.wait(job_id)
     assert not eng.status(job_id)
+
+
+def test_adler32_partitioner_parity(spark):
+    """Intermediate bucket assignment matches the reference's
+    adler32(key) % R exactly (emittedStore.go:40 semantics), and the
+    job result is unchanged by the partitioner choice."""
+    from zlib import adler32
+
+    from gomapreduce_spark.mapreduce.engine import adler32_partition
+
+    for key in ["the", "quick", "brown", "fox", "äöü", ""]:
+        for r in (1, 2, 7, 32):
+            assert adler32_partition(key, r) == adler32(key.encode()) % r
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    eng.submit(JobConfig(m=3, r=4), DemoMapper(), DemoReducer(), MemoryInputer(TEXT), out, sync=True)
+    assert out.results == dict(EXPECTED)
+
+
+def test_read_binary_dir(spark, tmp_path):
+    from gomapreduce_spark.operators.multimodal import extract_features, read_binary_dir
+
+    for i in range(5):
+        (tmp_path / f"img_{i}.bin").write_bytes(bytes([i]) * (100 + i))
+    mm = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = mm.collect()
+    assert len(rows) == 5
+    assert {len(r["payload"]) for r in rows} == {100, 101, 102, 103, 104}
+    assert all(r["meta"]["ext"] == "bin" for r in rows)
+    feats = extract_features(mm).collect()
+    assert {r["size_bytes"] for r in feats} == {100, 101, 102, 103, 104}
