@@ -62,6 +62,7 @@ def get_spark(app_name: str = "gomapreduce_spark", cpus: int | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
