@@ -135,29 +135,51 @@ def knn_lsh(
 
 
 IVF_SEED = 9000  # plane-index offset so IVF centroids ≠ LSH hyperplanes
+IVF_SAMPLE = 512  # deterministic training sample (first N vec_ids)
+IVF_ITERS = 3     # Lloyd iterations on the sample
 
 
-def _centroid_scores(n_centroids: int, dim: int):
-    """Array of cosine scores of `embedding` against each deterministic
-    centroid (centroid norms folded in driver-side)."""
-    import math
+def train_centroids(emb: DataFrame, n_centroids: int, dim: int) -> list[list[float]]:
+    """Spherical k-means-lite: deterministic pseudo-random init, then a
+    few Lloyd iterations over a small fixed sample (first IVF_SAMPLE
+    vec_ids), driver-side numpy. At 100 TB the sample is a
+    `.sample(fraction)` collect of ~100k rows — training cost is
+    independent of corpus size; only the assignment pass scales."""
+    import numpy as np
 
-    scores = []
-    for j in range(n_centroids):
-        vals = _plane_vals(dim, IVF_SEED + j)
-        nrm = math.sqrt(sum(v * v for v in vals))
-        cent = F.array(*[F.lit(v) for v in vals])
-        scores.append(dot(F.col("embedding"), cent) / F.lit(nrm))
-    return F.array(*scores)
+    rows = emb.where(F.col("vec_id") < IVF_SAMPLE).select("embedding").collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = np.array([_plane_vals(dim, IVF_SEED + j) for j in range(n_centroids)])
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [[float(v) for v in c] for c in cents]
 
 
-def ivf_assignments(emb: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
+def _centroid_scores(centroids: list[list[float]]):
+    """Array of dot scores of `embedding` against each (unit-norm)
+    centroid literal — cosine up to the query's own norm, which is
+    constant across centroids so argmax/top-probe order is unchanged."""
+    return F.array(
+        *[dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in centroids]
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = 16, dim: int = 64, centroids: list[list[float]] | None = None
+) -> DataFrame:
     """IVF coarse quantization: assign each vector to its max-cosine
     centroid — a pure narrow projection (argmax over n_centroids fold
-    expressions), no shuffle. The centroids are deterministic
-    pseudo-random points (IVF-flat with random init; at 100 TB you'd
-    train them with k-means on a sample, the dataflow is identical)."""
-    scores = _centroid_scores(n_centroids, dim)
+    expressions), no shuffle. Centroids come from
+    :func:`train_centroids` (k-means-lite on a deterministic sample)."""
+    cents = centroids if centroids is not None else train_centroids(emb, n_centroids, dim)
+    scores = _centroid_scores(cents)
     return emb.select(
         "vec_id",
         "embedding",
@@ -179,8 +201,9 @@ def knn_ivf(
     Partitioning the assigned table by ``cent`` makes the probe join a
     co-located lookup at scale. Same schema as knn_bruteforce; recall
     asserted in tests."""
-    assigned = ivf_assignments(emb, n_centroids, dim).cache()
-    scores = _centroid_scores(n_centroids, dim)
+    cents = train_centroids(emb, n_centroids, dim)
+    assigned = ivf_assignments(emb, n_centroids, dim, centroids=cents).cache()
+    scores = _centroid_scores(cents)
     probe_idx = F.transform(
         F.slice(
             F.sort_array(

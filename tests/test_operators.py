@@ -161,7 +161,7 @@ def test_knn_ivf_recall(spark, sf_med):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert recall >= 0.4, f"IVF recall too low: {recall}"  # trained centroids reach ~0.52
     # every vector lands in exactly one inverted list
     assigned = similarity.ivf_assignments(emb)
     assert assigned.count() == emb.count()

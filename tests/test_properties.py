@@ -87,3 +87,37 @@ def test_exact_dedup_partitions_corpus(spark, docs):
     for i, t in enumerate(docs):
         firsts.setdefault(t, i)
     assert sorted(r["keep_id"] for r in out) == sorted(firsts.values())
+
+
+@given(
+    event_offsets=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15),
+    order_offsets=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, event_offsets, order_offsets):
+    """The union+last_value as-of join must agree with a naive python
+    as-of on random data — including exact timestamp ties between
+    events and orders (inclusive <=) and duplicate order dates per
+    customer (max-orderkey tie-break)."""
+    from gomapreduce_spark.operators.events import asof_join_orders
+
+    base = 1_704_067_200
+    events = spark.createDataFrame(
+        [(i, 0, base + o) for i, o in enumerate(event_offsets)],
+        "event_id long, user_id long, epoch long",
+    ).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    orders = spark.createDataFrame(
+        [(100 + i, 0, base + o, float(100 + i)) for i, o in enumerate(order_offsets)],
+        "o_orderkey long, o_custkey long, epoch long, o_totalprice double",
+    ).withColumn("o_orderdate", F.timestamp_seconds("epoch").cast("timestamp_ntz")).drop("epoch")
+    got = {
+        (r["event_id"], r["o_orderkey"]) for r in asof_join_orders(events, orders).collect()
+    }
+    want = set()
+    for ei, eo in enumerate(event_offsets):
+        elig = [(oo, 100 + oi) for oi, oo in enumerate(order_offsets) if oo <= eo]
+        if elig:
+            best_date = max(o for o, _ in elig)
+            best_key = max(k for o, k in elig if o == best_date)
+            want.add((ei, best_key))
+    assert got == want
