@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash",
     "knn_bruteforce",

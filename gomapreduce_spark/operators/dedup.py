@@ -190,6 +190,60 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     )
 
 
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph → (doc_id, cluster_id = min doc_id in component,
+    cluster_size). The last stage of a production dedup pipeline:
+    cluster near-duplicates, keep one representative per cluster.
+
+    Spark has no native connected components; this is iterative
+    min-label propagation — each round every vertex takes the min of
+    its own and its neighbors' labels; converges in ≤ diameter rounds
+    (the candidate graph is a disjoint union of small near-dup clumps,
+    so diameter is tiny). ``localCheckpoint`` truncates lineage each
+    round, the standard guard against exponential plan growth in
+    iterative DataFrame algorithms. At 100 TB scale the same loop runs
+    with the large-star/small-star optimization (alternating min
+    propagation that contracts paths in O(log n) rounds).
+    """
+    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= threshold)
+    edges = pairs.select("doc_a", "doc_b")
+    # the pair graph is tiny relative to the corpus (near-dups are the
+    # exception) — coalesce before iterating so each round's jobs don't
+    # pay 32 near-empty tasks; at 100 TB pick partitions ~ |edges|/1e6
+    und = (
+        edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .toDF("src", "dst")
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct().withColumn("cluster_id", F.col("doc_id"))
+    ).coalesce(4).localCheckpoint()
+    while True:
+        nbr = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "new_cluster"
+                ),
+                "cluster_id",
+            )
+        ).coalesce(4).localCheckpoint()
+        changed = new.where(F.col("new_cluster") != F.col("cluster_id")).count()
+        labels = new.select("doc_id", F.col("new_cluster").alias("cluster_id"))
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Weighted SimHash fingerprint: token-count-weighted bit votes over
     the md5 hash of each distinct token; bit b set iff the weighted vote

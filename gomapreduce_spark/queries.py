@@ -134,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
     # -- similarity search / multimodal --
     "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
@@ -192,6 +193,38 @@ sh AS (
   FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
   WHERE len(t) >= 3
 )"""
+
+ORACLE_MINHASH_LSH = f"""
+        WITH {_SHINGLES},
+        ab AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
+                 ('0x' || substr(md5(shingle), 17, 15))::BIGINT & ((1::BIGINT << 59) - 1) AS b
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, i AS hash_idx,
+                 min((a + i * b) & ((1::BIGINT << 60) - 1)) AS minhash
+          FROM ab, unnest(range(0, 8)) AS u(i)
+          GROUP BY 1, 2
+        ),
+        banded AS (
+          SELECT doc_id, (hash_idx // 2)::INT AS band,
+                 {_H.format(s="string_agg(hash_idx || ':' || minhash, ',' ORDER BY hash_idx || ':' || minhash)")} AS band_hash
+          FROM sig GROUP BY doc_id, (hash_idx // 2)::INT
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY doc_a, doc_b
+    """
 
 ORACLES: dict[str, str] = {
     "wordcount": r"""
@@ -566,36 +599,21 @@ ORACLES: dict[str, str] = {
         FROM ab, unnest(range(0, 8)) AS u(i)
         GROUP BY 1, 2
     """,
-    "minhash_lsh_pairs": f"""
-        WITH {_SHINGLES},
-        ab AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
-                 ('0x' || substr(md5(shingle), 17, 15))::BIGINT & ((1::BIGINT << 59) - 1) AS b
-          FROM sh
+    "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+        edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
         ),
-        sig AS (
-          SELECT doc_id, i AS hash_idx,
-                 min((a + i * b) & ((1::BIGINT << 60) - 1)) AS minhash
-          FROM ab, unnest(range(0, 8)) AS u(i)
-          GROUP BY 1, 2
-        ),
-        banded AS (
-          SELECT doc_id, (hash_idx // 2)::INT AS band,
-                 {_H.format(s="string_agg(hash_idx || ':' || minhash, ',' ORDER BY hash_idx || ':' || minhash)")} AS band_hash
-          FROM sig GROUP BY doc_id, (hash_idx // 2)::INT
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = doc_a
-        JOIN sig sb ON sb.doc_id = doc_b AND sb.hash_idx = sa.hash_idx
-        GROUP BY doc_a, doc_b
+        labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a)
+        SELECT l.doc_id, l.cluster_id, s.n AS cluster_size
+        FROM labels l
+        JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s USING (cluster_id)
     """,
     "simhash": f"""
         WITH toks AS (

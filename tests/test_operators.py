@@ -249,3 +249,16 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in dedup.minhash_lsh_pairs(docs).collect()}
     for i in range(len(base)):
         assert pairs.get((i, 100 + i)) == 1.0, f"duplicate pair {i} missed: {pairs}"
+
+
+def test_dedup_clusters_on_duplicates(spark):
+    """Exact duplicate groups must come out as single clusters labeled
+    by their min doc_id, with correct sizes."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    rows = [(0, t1), (7, t1), (9, t1), (3, t2), (5, t2), (42, "totally unique text with no twin here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in dedup.dedup_clusters(docs).collect()}
+    assert out[0] == (0, 3) and out[7] == (0, 3) and out[9] == (0, 3)
+    assert out[3] == (3, 2) and out[5] == (3, 2)
+    assert 42 not in out  # unpaired docs are not in the cluster graph
