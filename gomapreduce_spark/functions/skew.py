@@ -15,7 +15,7 @@ aggregation is asserted in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # partial-agg fn, merge-agg fn (applied to the partial column)

@@ -150,6 +150,9 @@ class MapReduceEngine:
             out_pairs = self.run_pairs(job)
             for k, v in out_pairs:
                 job.outputer.output(k, v)
+            flush = getattr(job.outputer, "flush", None)
+            if callable(flush):
+                flush(self.spark)
             self._stats[job.job_id].finished_at = time.time()
             self._status[job.job_id] = "completed"
         except BaseException as e:  # surfaced via wait()

@@ -88,11 +88,14 @@ class PartitionedSink(Outputer):
     """Distributed keyed sink — the scale-correct version of the
     reference's one-S3-object-per-key S3Outputer (outputer.go:29-34).
 
-    ``output()`` buffers driver-side only for facade fidelity;
-    ``write_rdd`` is the real path: a distributed
-    ``partitionBy("key")`` parquet write, one directory per key instead
-    of one object per key (one-object-per-key is pathological at 100 TB:
-    a billion tiny PUTs). Read back with
+    ``output()`` buffers driver-side for facade fidelity and the engine
+    flushes the buffer to disk when the job finishes (``flush`` is
+    called by MapReduceEngine._run for any outputer that defines it) —
+    so ``submit(..., PartitionedSink(path))`` produces files without
+    the caller knowing about ``write_rdd``. ``write_rdd`` remains the
+    fully distributed path: a ``partitionBy("key")`` parquet write, one
+    directory per key instead of one object per key (one-object-per-key
+    is pathological at 100 TB: a billion tiny PUTs). Read back with
     ``spark.read.parquet(path)`` — key is a partition column."""
 
     def __init__(self, path: str):
@@ -101,6 +104,14 @@ class PartitionedSink(Outputer):
 
     def output(self, key: str, value: Any) -> None:
         self.results[key] = value
+
+    def flush(self, spark) -> None:
+        if not self.results:
+            return
+        df = spark.createDataFrame(
+            [(str(k), str(v)) for k, v in self.results.items()], "key string, value string"
+        )
+        df.write.mode("overwrite").partitionBy("key").parquet(self.path)
 
     def write_rdd(self, spark, pairs_rdd) -> None:
         df = spark.createDataFrame(

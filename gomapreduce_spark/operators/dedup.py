@@ -113,6 +113,9 @@ def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     with total shingle bytes at 100 TB. Docs with <n tokens (empty
     shingle set) have no signature and are dropped, matching the oracle.
     """
+    # MH_BMASK sizes b so a + i*b stays inside int64 only for i <= 13;
+    # larger k needs a narrower b mask (DuckDB hard-errors on overflow)
+    assert k <= 14, f"k={k} would overflow int64 in (a + i*b); max supported is 14"
     arr = shingle_arrays(docs).where(F.size("shingles") > 0)
     ab = F.transform(
         F.col("shingles"),
@@ -136,9 +139,11 @@ def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, hash_idx, minhash): k independent min-hashes per doc,
-    h_i(s) = md5-hash(i || s). Long-format view of :func:`minhash_wide`
-    (stack is a narrow generator — still zero shuffles)."""
+    """(doc_id, hash_idx, minhash): k min-hashes per doc via the
+    Kirsch-Mitzenmacher family h_i(s) = (a(s) + i*b(s)) mod 2^60 with
+    (a, b) the two 60-bit halves of one md5 (see :func:`minhash_wide`).
+    Long-format view of the wide signature (stack is a narrow
+    generator — still zero shuffles)."""
     stack = "stack({}, {}) as (hash_idx, minhash)".format(
         k, ", ".join(f"{i}, mh_{i}" for i in range(k))
     )
@@ -190,7 +195,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     )
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: int = 4) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph → (doc_id, cluster_id = min doc_id in component,
     cluster_size). The last stage of a production dedup pipeline:
@@ -202,7 +207,9 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (the candidate graph is a disjoint union of small near-dup clumps,
     so diameter is tiny). ``localCheckpoint`` truncates lineage each
     round, the standard guard against exponential plan growth in
-    iterative DataFrame algorithms. At 100 TB scale the same loop runs
+    iterative DataFrame algorithms. ``graph_partitions`` sizes the
+    iteration stages (default 4 suits the near-dup-is-rare regime;
+    scale it with |edges|). At 100 TB scale the same loop runs
     with the large-star/small-star optimization (alternating min
     propagation that contracts paths in O(log n) rounds).
     """
@@ -214,12 +221,12 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     und = (
         edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .toDF("src", "dst")
-        .coalesce(4)
+        .coalesce(graph_partitions)
         .localCheckpoint()
     )
     labels = (
         und.select(F.col("src").alias("doc_id")).distinct().withColumn("cluster_id", F.col("doc_id"))
-    ).coalesce(4).localCheckpoint()
+    ).coalesce(graph_partitions).localCheckpoint()
     while True:
         nbr = (
             und.join(labels, und.dst == labels.doc_id)
@@ -235,7 +242,7 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 ),
                 "cluster_id",
             )
-        ).coalesce(4).localCheckpoint()
+        ).coalesce(graph_partitions).localCheckpoint()
         changed = new.where(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = new.select("doc_id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:

@@ -36,13 +36,13 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is idle
-    longer than ``gap_minutes``. Classic lag+cumsum formulation — one
-    shuffle on user_id, then per-user intra-partition sort."""
+def _tag_sessions(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Shared session tagging: classic lag+cumsum — a new session starts
+    when the user was idle longer than ``gap_minutes``. One shuffle on
+    user_id, per-user intra-partition sort; adds ``session_id``."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sessions = (
+    return (
         events.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
         .withColumn(
             "new_session",
@@ -52,7 +52,13 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
         )
         .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
     )
-    per_session = sessions.groupBy("user_id", "session_id").agg(
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-user session rollup over :func:`_tag_sessions` (avg duration
+    aggregates the RAW per-session seconds; rounding happens once at the
+    end so the oracle compare is exact)."""
+    per_session = _tag_sessions(events, gap_minutes).groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000).alias("dur_s"),
     )
@@ -66,22 +72,10 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
 
 def session_rows(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     """Per-session rows (user_id, session_start, n_events, dur_s) — the
-    batch reference for the stateful-streaming sessionizer. Same
-    lag+cumsum plan as :func:`sessionize`, materialized per session
-    instead of rolled up per user."""
-    gap_us = gap_minutes * 60 * 1_000_000
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sessions = (
-        events.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_us").isNull() | (F.unix_micros("ts") - F.col("prev_us") > gap_us), 1
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
+    batch reference for the stateful-streaming sessionizer; same tagging
+    as :func:`sessionize`, materialized per session instead of rolled
+    up per user (dur_s rounded per session to match the stream's emit)."""
+    return _tag_sessions(events, gap_minutes).groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count("*").alias("n_events"),
         F.round((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000, 4).alias("dur_s"),

@@ -147,7 +147,12 @@ def train_centroids(emb: DataFrame, n_centroids: int, dim: int) -> list[list[flo
     independent of corpus size; only the assignment pass scales."""
     import numpy as np
 
-    rows = emb.where(F.col("vec_id") < IVF_SAMPLE).select("embedding").collect()
+    # deterministic for ANY id layout (orderBy+limit = TakeOrdered) —
+    # a `vec_id < N` predicate would silently bake in 0-based fixture
+    # ids and crash on an empty sample
+    rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+    if not rows:
+        return [_plane_vals(dim, IVF_SEED + j) for j in range(n_centroids)]
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = np.array([_plane_vals(dim, IVF_SEED + j) for j in range(n_centroids)])

@@ -150,3 +150,16 @@ def test_read_binary_dir(spark, tmp_path):
     assert all(r["meta"]["ext"] == "bin" for r in rows)
     feats = extract_features(mm).collect()
     assert {r["size_bytes"] for r in feats} == {100, 101, 102, 103, 104}
+
+
+def test_partitioned_sink_via_engine(spark, tmp_path):
+    """submit() with a PartitionedSink must materialize files on job
+    completion — output() buffering alone used to leave the path empty."""
+    from gomapreduce_spark.mapreduce.io import PartitionedSink
+
+    sink = PartitionedSink(str(tmp_path / "wc_out"))
+    eng = MapReduceEngine(spark)
+    eng.submit(JobConfig(m=2, r=2), DemoMapper(), DemoReducer(), MemoryInputer(TEXT), sink, sync=True)
+    back = spark.read.parquet(str(tmp_path / "wc_out"))
+    got = {(r["key"], int(r["value"])) for r in back.collect()}
+    assert got == set(EXPECTED.items())
