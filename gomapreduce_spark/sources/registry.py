@@ -75,6 +75,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_text_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """(key, value) rows from a directory of text files — one row per
+    FILE (wholetext), key = file path: the DataFrame-level equivalent of
+    the reference's ListKeys+GetValue contract (inputer.go:33-43),
+    with Spark doing the listing and distributed reads. For line-level
+    processing drop ``wholetext`` and Spark splits large files too."""
+    reader = spark.read.format("text").option("wholetext", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).select(
+        F.input_file_name().alias("key"), F.col("value").alias("value")
+    )
+
+
 FORMATS = ("parquet", "json", "csv")
 
 

@@ -262,3 +262,19 @@ def test_dedup_clusters_on_duplicates(spark):
     assert out[0] == (0, 3) and out[7] == (0, 3) and out[9] == (0, 3)
     assert out[3] == (3, 2) and out[5] == (3, 2)
     assert 42 not in out  # unpaired docs are not in the cluster graph
+
+
+def test_read_text_dir_matches_inputer(spark, tmp_path):
+    """The DataFrame text-dir source and the facade's DirectoryInputer
+    see the same (key, value) contract over the same chunk directory."""
+    from gomapreduce_spark.mapreduce.io import DirectoryInputer, split_file_into_chunks
+    from gomapreduce_spark.sources.registry import read_text_dir
+
+    src = tmp_path / "corpus.txt"
+    src.write_text("alpha beta\n" * 30 + "gamma\n" * 5)
+    split_file_into_chunks(str(src), str(tmp_path / "chunks"), chunk_size=100)
+    df = read_text_dir(spark, str(tmp_path / "chunks"))
+    by_name = {r["key"].rsplit("/", 1)[-1]: r["value"] for r in df.collect()}
+    inp = DirectoryInputer(str(tmp_path / "chunks"))
+    # wholetext keeps the trailing newline; the file-read inputer too
+    assert by_name == {k: inp.get_value(k) for k in inp.list_keys()}
