@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,25 +55,13 @@ def main() -> None:
 
     from gomapreduce_spark.queries import QUERIES
     from gomapreduce_spark.session import get_spark
+    from tools.timing import time_query, warm
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers + python workers (pandas import per
-    # worker) so per-query times measure the plans, not cold-start
-    QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    QUERIES["multimodal_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # best-of-2: single samples on this box occasionally absorb a
-        # multi-second GC/scheduler transient unrelated to the plan
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+    warm(QUERIES, spark, sf_dir)
+    times: dict[str, float] = {name: time_query(QUERIES, name, spark, sf_dir) for name in BENCH_QUERIES}
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -38,10 +38,14 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     reader = spark.readStream.schema(EVENT_SCHEMA)
-    if events_path.endswith(".parquet"):  # file source wants a directory
+    if os.path.isfile(events_path):  # single file: glob it within its dir
         d, base = os.path.split(events_path)
         reader = reader.option("pathGlobFilter", base)
         events_path = d
+    elif not os.path.isdir(events_path):
+        # fail loudly: a missing path (or a misnamed dataset) would
+        # otherwise stream 0 files and "complete" with an empty result
+        raise FileNotFoundError(f"events path is neither file nor directory: {events_path}")
     return reader.parquet(events_path).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -60,14 +64,19 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     return agg.sparkSession.table(name)
 
 
-def streaming_tumbling_counts(spark: SparkSession, events_path: str) -> DataFrame:
-    """Hourly tumbling counts per event type as an incremental streaming
-    aggregation with a 1-hour watermark (late rows beyond it dropped)."""
-    stream = (
-        _read_events_stream(spark, events_path)
-        .withWatermark("ts", "1 hour")
-    )
-    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+def _windowed_counts(spark: SparkSession, events_path: str, slide: str | None) -> DataFrame:
+    """Shared tumbling/sliding windowed aggregation.
+
+    NB on the watermark: in COMPLETE output mode the watermark does NOT
+    drop late rows — complete mode keeps full aggregation state, which
+    is exactly why the batch-parity tests hold on a finite replay. The
+    withWatermark call is kept because it is required the moment this
+    plan runs in append/update mode against a live sink (where state
+    older than the watermark IS dropped); the declared delay documents
+    that production contract."""
+    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    window = F.window("ts", "1 hour", slide) if slide else F.window("ts", "1 hour")
+    agg = stream.groupBy(window, "event_type").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
     )
     # complete mode: a finite (availableNow) source never advances the
@@ -82,22 +91,18 @@ def streaming_tumbling_counts(spark: SparkSession, events_path: str) -> DataFram
     )
 
 
+def streaming_tumbling_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Hourly tumbling counts per event type as an incremental streaming
+    aggregation (see :func:`_windowed_counts` for watermark semantics)."""
+    return _windowed_counts(spark, events_path, slide=None)
+
+
 def streaming_sliding_counts(spark: SparkSession, events_path: str) -> DataFrame:
     """Sliding windows: 1-hour windows advancing every 15 minutes (each
-    event lands in 4 windows). Incremental streaming aggregation; the
-    batch-parity check uses the identical window() expression on a
-    static read."""
-    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
-    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
-    )
-    out = _run_to_memory(agg, "complete")
-    return out.select(
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
+    event lands in 4 windows); the batch-parity check uses the identical
+    window() expression on a static read (see :func:`_windowed_counts`
+    for watermark semantics)."""
+    return _windowed_counts(spark, events_path, slide="15 minutes")
 
 
 SESSION_OUT_SCHEMA = "user_id long, session_start string, n_events long, dur_s double"

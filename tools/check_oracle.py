@@ -27,6 +27,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 and 0.0 — engines may differ on zero sign
         return f"{v:.9g}"
     return str(v)
 
@@ -42,7 +44,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from gomapreduce_spark.session import get_spark
 
-    spark = get_spark("check_oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark = get_spark("check_oracle")  # cpus resolved by session.default_cpus
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -142,9 +142,12 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
                         f"scan reads {ncols} cols > {exp['read_schema_max_cols']} (pruning lost)"
                     )
     if exp.get("partial_agg"):
-        n_agg = len(re.findall(r"HashAggregate", plan))
+        # count numbered DETAIL nodes only — formatted explain renders
+        # every node twice (tree + detail), so a bare substring count
+        # can never distinguish final-only from partial+final
+        n_agg = len(re.findall(r"\(\d+\) \w*HashAggregate", plan))
         if n_agg < 2:
-            fails.append(f"expected partial+final HashAggregate, found {n_agg}")
+            fails.append(f"expected partial+final HashAggregate, found {n_agg} aggregate nodes")
     if "max_exchanges" in exp:
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
         # AQE wraps plans; count physical Exchange nodes only

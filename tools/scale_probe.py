@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,26 +36,15 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 def main() -> None:
     from gomapreduce_spark.queries import QUERIES
     from gomapreduce_spark.session import get_spark
+    from tools.timing import time_query, warm
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm JVM + python workers
-    QUERIES["q6_forecast_revenue"](spark, SFS[0]).write.format("noop").mode("overwrite").save()
-    QUERIES["multimodal_features"](spark, SFS[0]).write.format("noop").mode("overwrite").save()
+    warm(QUERIES, spark, SFS[0])
 
-    results: dict[str, list[float]] = {}
-    for name in PROBE_QUERIES:
-        times = []
-        for sf in SFS:
-            # best-of-2: single samples occasionally catch a multi-second
-            # GC/JIT pause that says nothing about the plan's scaling
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            times.append(round(best, 3))
-        results[name] = times
+    results: dict[str, list[float]] = {
+        name: [time_query(QUERIES, name, spark, sf) for sf in SFS] for name in PROBE_QUERIES
+    }
 
     print(f"{'query':28s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} {'x(10x)':>7s} {'x(100x)':>8s}")
     for name, (a, b, c) in results.items():
