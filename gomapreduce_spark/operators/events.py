@@ -295,6 +295,36 @@ def value_prop_correlation(events: DataFrame) -> DataFrame:
     )
 
 
+def trimmed_mean_by_type(events: DataFrame, trim: float = 0.1) -> DataFrame:
+    """Custom grouped aggregation via ``applyInPandas`` — the DataFrame-
+    native mapping of the reference's Reducer contract (the full value
+    list per key, reducer.go:13-15): a count-based trimmed mean that no
+    built-in aggregate expresses. Each group arrives as one pandas
+    frame (Arrow-batched); rows are sorted by (value, event_id) so the
+    trim is deterministic under ties. One shuffle on the group key —
+    same dataflow as groupBy().agg, with Python only per group."""
+    import pandas as pd
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["value", "event_id"])["value"]
+        n = len(s)
+        k = int(n * trim)
+        kept = s.iloc[k : n - k] if n - 2 * k > 0 else s
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "trimmed_mean": [round(float(kept.mean()), 6)],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    return (
+        events.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(agg, "event_type string, trimmed_mean double, n_kept long")
+    )
+
+
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     sketch path for cardinality at 100 TB (partial-mergeable, no exact

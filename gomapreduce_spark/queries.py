@@ -120,6 +120,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
     ),
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
+    "trimmed_mean_by_type": lambda s, d: events.trimmed_mean_by_type(load_table(s, d, "events")),
     "training_corpus": lambda s, d: text.training_corpus(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
@@ -429,6 +430,18 @@ ORACLES: dict[str, str] = {
          AND s.s_us >= epoch_us(o.o_orderdate)
          AND s.s_us <= epoch_us(o.o_orderdate) + 7776000000000
         GROUP BY 1
+    """,
+    "trimmed_mean_by_type": """
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, round(avg(value), 6) AS trimmed_mean, count(*) AS n_kept
+        FROM r
+        WHERE rn > floor(n * 0.1)::BIGINT AND rn <= n - floor(n * 0.1)::BIGINT
+        GROUP BY event_type
     """,
     "value_prop_correlation": """
         SELECT event_type,
