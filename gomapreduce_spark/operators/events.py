@@ -295,6 +295,30 @@ def value_prop_correlation(events: DataFrame) -> DataFrame:
     )
 
 
+def window_rank_showcase(events: DataFrame, sample_every: int = 500) -> DataFrame:
+    """The remaining ranking/offset window functions in one pass —
+    rank, dense_rank, percent_rank, cume_dist, lag, lead — over
+    (event_type, value) ordering, output sampled by row number so the
+    result stays small while every function's value is exercised. One
+    shuffle on event_type, intra-partition sort."""
+    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        events.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.lead("value", 1).over(w).alias("next_value"),
+        )
+        .where(F.col("rn") % sample_every == 0)
+        .drop("rn")
+    )
+
+
 def trimmed_mean_by_type(events: DataFrame, trim: float = 0.1) -> DataFrame:
     """Custom grouped aggregation via ``applyInPandas`` — the DataFrame-
     native mapping of the reference's Reducer contract (the full value

@@ -121,6 +121,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
     "trimmed_mean_by_type": lambda s, d: events.trimmed_mean_by_type(load_table(s, d, "events")),
+    "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
     "training_corpus": lambda s, d: text.training_corpus(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
@@ -430,6 +431,22 @@ ORACLES: dict[str, str] = {
          AND s.s_us >= epoch_us(o.o_orderdate)
          AND s.s_us <= epoch_us(o.o_orderdate) + 7776000000000
         GROUP BY 1
+    """,
+    "window_rank_showcase": """
+        WITH r AS (
+          SELECT event_type, event_id,
+                 row_number() OVER w AS rn,
+                 rank() OVER w AS rnk,
+                 dense_rank() OVER w AS drnk,
+                 round(percent_rank() OVER w, 6) AS prnk,
+                 round(cume_dist() OVER w, 6) AS cdist,
+                 lag(value, 1) OVER w AS prev_value,
+                 lead(value, 1) OVER w AS next_value
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        )
+        SELECT event_type, event_id, rnk, drnk, prnk, cdist, prev_value, next_value
+        FROM r WHERE rn % 500 = 0
     """,
     "trimmed_mean_by_type": """
         WITH r AS (
