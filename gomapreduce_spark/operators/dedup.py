@@ -17,6 +17,12 @@ Scale design:
   pipeline. Candidate pairs then get exact signature-agreement scoring.
 - SimHash: 48-bit weighted bit-vote fingerprint; Hamming-adjacent
   fingerprints are near-dups. Linear scan + tiny output.
+
+NB: ngram_jaccard_pairs and minhash_lsh_pairs cache() intermediates
+for the duration of the session (caller-owned; the cached plans are a
+few MB at test scale). Long-lived services invoking them repeatedly
+should spark.catalog.clearCache() periodically or wrap calls with
+explicit unpersist after materialization.
 """
 
 from __future__ import annotations
@@ -54,11 +60,6 @@ def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)])
     )
     return t.select("doc_id", F.array_distinct(shingle_at).alias("shingles"))
-
-
-def word_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    return shingle_arrays(docs, n).select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -300,6 +301,8 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     import pandas as pd
 
     rows = emb.select("vec_id", "embedding").collect()
+    if not rows:  # empty corpus: no pairs (np.array([]) has no dim axis)
+        return emb.sparkSession.createDataFrame([], "vec_a long, vec_b long, sim double")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)  # float32 → float64 exact
     norms = np.zeros(len(ids))

@@ -40,7 +40,10 @@ def read_binary_dir(spark, path: str, glob: str | None = None) -> DataFrame:
         F.abs(F.xxhash64("path")).alias("doc_id"),
         F.col("content").alias("payload"),
         F.struct(
-            F.element_at(F.split("path", r"\."), -1).alias("ext"),
+            # extension from the BASENAME only — splitting the whole
+            # path on '.' returns garbage for dots in directory names
+            # or extension-less files; this yields '' for no extension
+            F.regexp_extract("path", r"\.([^/.]+)$", 1).alias("ext"),
             F.col("length").alias("orig_bytes"),
             F.col("path").alias("source_path"),
         ).alias("meta"),

@@ -84,19 +84,20 @@ def lang_id(docs: DataFrame) -> DataFrame:
     toks = tokenize("text")
     scores = [
         F.struct(
-            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            (-F.size(F.filter(toks, lambda t: t.isin(*markers)))).alias("neg_hits"),
             F.lit(lang).alias("lang"),
         )
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    # array_max on struct(hits, lang): max by hits, then lang — we want
-    # lexicographically *smallest* lang on tie, so compare on (hits, reversed-lang)
-    # instead: sort_array desc of (hits, negated-lang) is awkward; use filter+sort.
-    best = F.sort_array(F.array(*scores), asc=False)[0]
+    # ascending sort on (negated hits, lang): max hits first, and on
+    # tied hit counts the lexicographically SMALLEST language wins —
+    # the documented tie-break.
+    best = F.sort_array(F.array(*scores))[0]
+    hits = -best["neg_hits"]
     return docs.select(
         "doc_id",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].cast("long").alias("marker_hits"),
+        F.when(hits > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        hits.cast("long").alias("marker_hits"),
     )
 
 
@@ -109,11 +110,13 @@ def training_corpus(docs: DataFrame, emb: DataFrame, min_quality: float = 0.5) -
     operator, fused by Catalyst into a single job (the dedup groupBy is
     the only wide stage; the embedding join broadcasts at test scale and
     shuffle-joins on doc_id at 100 TB)."""
+    from .dedup import exact_dedup
+
     q = quality_score(docs).where(F.col("quality") >= min_quality).select("doc_id", "quality")
-    kept = (
-        docs.join(q, "doc_id")
-        .groupBy(h64(F.col("text")).alias("content_hash"))
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+    # the dedup stage IS dedup.exact_dedup (single definition of the
+    # content-hash scheme), applied to the quality-passing subset
+    kept = exact_dedup(docs.join(q, "doc_id")).select(
+        "content_hash", F.col("keep_id").alias("doc_id"), F.col("n_copies").alias("n_dups")
     )
     return (
         kept.join(q, "doc_id")

@@ -19,10 +19,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Go unicode.IsSpace = ASCII whitespace + NEL (U+0085) + the Z
+# categories (Zs space separators, Zl U+2028, Zp U+2029). Java's and
+# RE2's bare \s are ASCII-only, so both engines get this explicit
+# class; \p{Zs} and the literal chars parse identically in both.
+WS_RE = "[\\s\u0085\u2028\u2029\\p{Zs}]+"
+
+
 def tokenize(text: Column | str) -> Column:
-    """``strings.Fields`` semantics: non-empty whitespace-separated tokens."""
+    """``strings.Fields`` semantics: non-empty whitespace-separated
+    tokens, Unicode-whitespace aware (see WS_RE)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+    return F.filter(F.split(c, WS_RE), lambda t: F.length(t) > 0)
 
 
 def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:

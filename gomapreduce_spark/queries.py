@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.skew import salted_counts
 from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
+from .operators.wordcount import WS_RE
 from .sources.registry import load_table
 from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
 
@@ -186,7 +187,7 @@ QUERIES["streaming_interval_join"] = _streaming_interval_join
 
 _H = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
 
-_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> strlen(x) > 0)"
+_TOKS = f"list_filter(regexp_split_to_array(text, '{WS_RE}'), x -> strlen(x) > 0)"
 
 _SHINGLES = rf"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -231,19 +232,19 @@ ORACLE_MINHASH_LSH = f"""
 ORACLES: dict[str, str] = {
     "wordcount": r"""
         SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents)
         WHERE strlen(word) > 0
         GROUP BY word
     """,
     "mr_wordcount": r"""
         SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents)
         WHERE strlen(word) > 0
         GROUP BY word
     """,
     "distinct_words": r"""
         SELECT DISTINCT word
-        FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents)
         WHERE strlen(word) > 0
     """,
     "group_collect": """
@@ -583,10 +584,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
                CASE WHEN mx = 0 THEN 'und'
-                    WHEN h_fr = mx THEN 'fr'
-                    WHEN h_es = mx THEN 'es'
+                    WHEN h_de = mx THEN 'de'
                     WHEN h_en = mx THEN 'en'
-                    ELSE 'de' END AS lang_pred,
+                    WHEN h_es = mx THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
                mx AS marker_hits
         FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS mx FROM s)
     """,

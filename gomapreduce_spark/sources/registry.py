@@ -84,9 +84,11 @@ def read_text_dir(spark: SparkSession, path: str, glob: str | None = None) -> Da
     reader = spark.read.format("text").option("wholetext", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return reader.load(path).select(
-        F.input_file_name().alias("key"), F.col("value").alias("value")
-    )
+    # input_file_name() is a percent-encoded file: URI — decode and
+    # strip the scheme so the key is the plain filesystem path the
+    # ListKeys contract promises (breaks on 'my doc.txt' otherwise)
+    key = F.regexp_replace(F.url_decode(F.input_file_name()), "^file:", "")
+    return reader.load(path).select(key.alias("key"), F.col("value").alias("value"))
 
 
 FORMATS = ("parquet", "json", "csv")
