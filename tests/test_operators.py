@@ -278,3 +278,35 @@ def test_read_text_dir_matches_inputer(spark, tmp_path):
     inp = DirectoryInputer(str(tmp_path / "chunks"))
     # wholetext keeps the trailing newline; the file-read inputer too
     assert by_name == {k: inp.get_value(k) for k in inp.list_keys()}
+
+
+def test_tokenize_unicode_whitespace(spark):
+    """Go strings.Fields fidelity: NBSP, line/para separators, NEL, and
+    ideographic space all separate tokens (bare \\s would miss them)."""
+    text = "a" + chr(0xA0) + "b" + chr(0x2028) + "c" + chr(0x85) + "d" + chr(0x3000) + "e"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    toks = df.select(wordcount.tokenize("text").alias("t")).collect()[0]["t"]
+    assert toks == ["a", "b", "c", "d", "e"], toks
+
+
+def test_lang_id_tie_break_smallest_lang(spark):
+    """On tied marker hits the lexicographically smallest language wins
+    (the documented contract; previously inverted)."""
+    df = spark.createDataFrame(
+        [(0, "the la"), (1, "el le"), (2, "xyz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert out[0] == "en"   # en vs fr tie -> en
+    assert out[1] == "es"   # es vs fr tie -> es
+    assert out[2] == "und"  # no markers
+
+
+def test_embedding_near_dup_empty_input(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert dedup.embedding_near_dup(empty).count() == 0
