@@ -238,6 +238,35 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
     )
 
 
+def date_funcs_showcase(orders: DataFrame) -> DataFrame:
+    """The date/time scalar surface (absent in the reference, SURVEY
+    §2.2) rolled up per (year, quarter): extraction (year/quarter/
+    month/day), arithmetic (+30 days), boundary snapping (month
+    start/end) — aggregated so the oracle result is small and every
+    function's value feeds a checked column."""
+    d = F.col("o_orderdate").cast("timestamp")
+    return (
+        orders.select(
+            F.year(d).cast("long").alias("o_year"),
+            F.quarter(d).cast("long").alias("o_quarter"),
+            F.month(d).cast("long").alias("o_month"),
+            F.dayofmonth(d).cast("long").alias("o_day"),
+            F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.trunc(d.cast("date"), "month"), "yyyy-MM-dd").alias("month_start"),
+        )
+        .groupBy("o_year", "o_quarter")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_month").alias("min_month"),
+            F.max("o_day").alias("max_day"),
+            F.max("due_date").alias("max_due"),
+            F.max("month_end").alias("max_month_end"),
+            F.min("month_start").alias("min_month_start"),
+        )
+    )
+
+
 def order_status_pivot(orders: DataFrame) -> DataFrame:
     """Pivot order counts by status per priority — expressed as
     conditional aggregation so the oracle SQL is portable."""

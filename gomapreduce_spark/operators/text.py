@@ -101,6 +101,25 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def string_funcs_showcase(docs: DataFrame, sample_every: int = 50) -> DataFrame:
+    """The scalar string-function surface (absent in the reference,
+    SURVEY §2.2) in one narrow pass: case mapping, substring, replace,
+    padding, trim, reverse, concat, length, instr — sampled by doc_id so
+    the oracle result stays small."""
+    return docs.where(F.col("doc_id") % sample_every == 0).select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("upper_prefix"),
+        F.lower(F.substring("text", 1, 12)).alias("lower_prefix"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.substring("text", 1, 5), 8, ".").alias("padded"),
+        F.reverse(F.substring("text", 1, 10)).alias("reversed_prefix"),
+        F.concat_ws("|", F.substring("text", 1, 3), F.substring("text", 4, 3)).alias("pieces"),
+        F.length("text").cast("long").alias("len"),
+        F.instr("text", "the").cast("long").alias("first_the"),
+        F.trim(F.substring(F.concat(F.lit("  "), "text"), 1, 8)).alias("trimmed"),
+    )
+
+
 def training_corpus(docs: DataFrame, emb: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The composed LLM-corpus pipeline as ONE declarative plan:
     quality-score filter → exact-dedup (keep the smallest doc_id per

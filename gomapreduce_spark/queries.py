@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
     "order_status_pivot": lambda s, d: relational.order_status_pivot(load_table(s, d, "orders")),
+    "date_funcs_showcase": lambda s, d: relational.date_funcs_showcase(load_table(s, d, "orders")),
     "q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
@@ -128,6 +129,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # -- text analysis --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
+    "string_funcs_showcase": lambda s, d: text.string_funcs_showcase(load_table(s, d, "documents")),
     "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: text.lang_id(load_table(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
@@ -506,6 +508,36 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
                count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         FROM orders GROUP BY o_orderpriority
+    """,
+    "date_funcs_showcase": """
+        WITH x AS (
+          SELECT year(o_orderdate)::BIGINT AS o_year,
+                 quarter(o_orderdate)::BIGINT AS o_quarter,
+                 month(o_orderdate)::BIGINT AS o_month,
+                 day(o_orderdate)::BIGINT AS o_day,
+                 strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+                 strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+                 strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+          FROM orders
+        )
+        SELECT o_year, o_quarter, count(*) AS n_orders,
+               min(o_month) AS min_month, max(o_day) AS max_day,
+               max(due_date) AS max_due, max(month_end) AS max_month_end,
+               min(month_start) AS min_month_start
+        FROM x GROUP BY 1, 2
+    """,
+    "string_funcs_showcase": """
+        SELECT doc_id,
+               upper(substr(text, 1, 12)) AS upper_prefix,
+               lower(substr(text, 1, 12)) AS lower_prefix,
+               regexp_replace(substr(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+               lpad(substr(text, 1, 5), 8, '.') AS padded,
+               reverse(substr(text, 1, 10)) AS reversed_prefix,
+               substr(text, 1, 3) || '|' || substr(text, 4, 3) AS pieces,
+               strlen(text)::BIGINT AS len,
+               instr(text, 'the')::BIGINT AS first_the,
+               trim(substr('  ' || text, 1, 8)) AS trimmed
+        FROM documents WHERE doc_id % 50 = 0
     """,
     "tumbling_window_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
