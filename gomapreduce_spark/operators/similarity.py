@@ -247,6 +247,27 @@ def knn_ivf(
     )
 
 
+def array_funcs_showcase(emb: DataFrame, sample_every: int = 100) -> DataFrame:
+    """The higher-order array-function surface in one narrow pass over
+    the embedding vectors: transform, filter, exists, forall, aggregate
+    (fold), zip_with, slice, sort, distinct-size — the API family every
+    dedup/similarity operator builds on, shown explicitly and
+    oracle-checked against DuckDB's list functions."""
+    v = F.col("embedding")
+    return emb.where(F.col("vec_id") % sample_every == 0).select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")), 6).alias("sum_fold"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.exists(v, lambda x: x > 0.49).alias("has_large"),
+        F.forall(v, lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.round(F.aggregate(F.zip_with(v, v, lambda a, b: a.cast("double") * b.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 6).alias("self_dot"),
+        F.round(F.element_at(F.array_sort(F.transform(v, lambda x: F.round(x.cast("double"), 6))), -1), 6).alias("max_val"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x.cast("double")), 6).alias("head8_sum"),
+    )
+
+
 def embedding_doc_join(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """Multimodal join: documents ⋈ embeddings by id, per-label doc
     stats. The embedding side is keyed by vec_id == doc_id."""

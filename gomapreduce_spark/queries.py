@@ -143,6 +143,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
     # -- similarity search / multimodal --
     "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
+    "array_funcs_showcase": lambda s, d: similarity.array_funcs_showcase(load_table(s, d, "embeddings")),
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "embedding_doc_join": lambda s, d: similarity.embedding_doc_join(
@@ -702,6 +703,19 @@ ORACLES: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+    "array_funcs_showcase": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0)
+        SELECT vec_id,
+               len(v)::BIGINT AS dim,
+               round(list_sum(v), 6) AS sum_fold,
+               len(list_filter(v, x -> x > 0))::BIGINT AS n_positive,
+               len(list_filter(v, x -> x > 0.49)) > 0 AS has_large,
+               len(list_filter(v, x -> x <= -1.0)) = 0 AS all_gt_neg1,
+               round(list_dot_product(v, v), 6) AS self_dot,
+               round(list_max(list_transform(v, x -> round(x, 6))), 6) AS max_val,
+               round(list_sum(v[1:8]), 6) AS head8_sum
+        FROM e
     """,
     "knn_bruteforce": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
