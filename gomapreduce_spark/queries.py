@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions.skew import salted_counts
 from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
 from .operators.wordcount import WS_RE
-from .sources.registry import load_table
+from .sources.registry import load_table, profile_table
 from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -124,6 +124,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
     "trimmed_mean_by_type": lambda s, d: events.trimmed_mean_by_type(load_table(s, d, "events")),
     "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
+    "profile_events": lambda s, d: profile_table(load_table(s, d, "events")),
     "training_corpus": lambda s, d: text.training_corpus(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
@@ -451,6 +452,29 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_type, event_id, rnk, drnk, prnk, cdist, prev_value, next_value
         FROM r WHERE rn % 500 = 0
+    """,
+    "profile_events": """
+        SELECT 'event_id' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               count(DISTINCT event_id) AS n_distinct,
+               min(event_id)::VARCHAR AS min_value, max(event_id)::VARCHAR AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'ts', count(*), sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT ts), strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT user_id), min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT event_type), min(event_type), max(event_type) FROM events
+        UNION ALL
+        SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT value), min(value)::VARCHAR, max(value)::VARCHAR FROM events
+        UNION ALL
+        SELECT 'props', count(*), sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT props), min(props), max(props) FROM events
     """,
     "trimmed_mean_by_type": """
         WITH r AS (

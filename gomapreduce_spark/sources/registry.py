@@ -75,6 +75,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregation pass: row
+    count, null count, distinct count, min/max (stringified; timestamps
+    formatted to whole seconds for cross-engine stability). The standard
+    pre-ingest sanity check for a pipeline: Spark evaluates all columns'
+    aggregates in a single multi-distinct aggregation (Expand + one
+    shuffle), so profiling cost is one scan regardless of column count.
+    """
+    aggs = [F.count("*").alias("__n")]
+    names = []
+    for c, t in df.dtypes:
+        col = F.col(c)
+        # min/max over the NATIVE type (stringifying first would order
+        # numerics lexicographically); stringify the result afterward
+        if t.startswith("timestamp"):
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"null__{c}"),
+            F.countDistinct(col).alias(f"dist__{c}"),
+            mn.alias(f"min__{c}"),
+            mx.alias(f"max__{c}"),
+        ]
+        names.append(c)
+    wide = df.agg(*aggs)
+    stack = "stack({}, {}) as (col_name, n_null, n_distinct, min_value, max_value)".format(
+        len(names),
+        ", ".join(f"'{c}', null__{c}, dist__{c}, min__{c}, max__{c}" for c in names),
+    )
+    return wide.select(F.col("__n").alias("n_rows"), F.expr(stack)).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    )
+
+
 def read_text_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """(key, value) rows from a directory of text files — one row per
     FILE (wholetext), key = file path: the DataFrame-level equivalent of
