@@ -25,6 +25,7 @@ def test_queries_oracles_aligned():
         "streaming_sliding_counts",
         "streaming_stateful_sessions",
         "streaming_interval_join",
+        "streaming_session_windows",
     }
 
 

@@ -67,13 +67,25 @@ def test_streaming_stateful_sessions_match_batch(spark, sf_small):
     assert got == want
 
 
-def test_streaming_session_windows_sane(spark, sf_small):
+def test_streaming_session_windows_matches_batch(spark, sf_small):
+    """Native session_window streaming == the same session_window
+    aggregation on a static read == the hand-rolled lag+cumsum
+    sessionizer (three independent formulations of one semantics)."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators.events import sessionize
+
     ev = load_table(spark, sf_small, "events")
-    out = streaming_session_windows(spark, f"{sf_small}/events.parquet")
-    rows = out.collect()
-    assert len(rows) == ev.select("user_id").distinct().count()
-    total_sessions = sum(r["n_sessions"] for r in rows)
-    assert total_sessions >= len(rows)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+    )
+    stream = streaming_session_windows(spark, f"{sf_small}/events.parquet")
+    assert _as_set(stream.select(*batch.columns)) == _as_set(batch)
+    lagged = sessionize(ev).select("user_id", "n_sessions", "max_session_events")
+    assert _as_set(stream.select(*lagged.columns)) == _as_set(lagged)
 
 
 def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
