@@ -60,11 +60,13 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
     """TPC-H Q3-style shipping priority: broadcast the filtered customer
     dim into orders, shuffle-join lineitem on orderkey, top-k by revenue.
 
-    Top-k is row_number over a single ordering — deterministic
-    tie-break (revenue desc, orderkey asc) so the result set is stable
-    across engines. At scale this is one fact-fact shuffle plus a
-    broadcast; the final top-k needs no global sort (AQE keeps the
-    window input small because the aggregate output is |orders|)."""
+    Top-k is ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
+    the distributed partial top-k (every partition keeps its local k,
+    the driver merges k·partitions rows), so NO stage ever moves the
+    full aggregate through one task. The rank column is derived AFTER
+    the limit, where the window input is exactly k rows. Deterministic
+    total ordering (revenue desc, orderkey asc) makes limit and
+    row_number agree under ties across engines."""
     cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     # Pre-aggregate lineitem revenue per orderkey BEFORE the join: the
     # fact shuffle then carries |orders| aggregated rows instead of
@@ -82,10 +84,11 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
         .join(rev, F.col("o_orderkey") == rev.l_orderkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    order = [F.col("revenue").desc(), F.col("o_orderkey").asc()]
     return (
-        revenue.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
+        revenue.orderBy(*order)
+        .limit(k)  # TakeOrderedAndProject: distributed partial top-k
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -222,7 +225,10 @@ def q4_late_shipments(orders: DataFrame, lineitem: DataFrame, grace_days: int = 
 def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20) -> DataFrame:
     """TPC-H Q10-style: top-k customers by revenue lost to returned
     items ('R' flag). Fact-fact shuffle join + broadcast customer dim +
-    partitioned-window-free global top-k (single ordering, row_number)."""
+    distributed top-k: ``orderBy().limit(k)`` plans
+    TakeOrderedAndProject (per-partition partial top-k, driver merge of
+    k·partitions rows — never the full customer set through one task);
+    rk is derived post-limit over exactly k rows."""
     rev = (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -230,10 +236,11 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
     joined = rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
     return (
-        joined.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
+        joined.orderBy(*order)
+        .limit(k)  # TakeOrderedAndProject: distributed partial top-k
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
         .select("c_custkey", "c_name", "c_mktsegment", "revenue", "rk")
     )
 

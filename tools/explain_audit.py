@@ -50,8 +50,14 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
     },
     "q3_top_orders": {
-        "require": ["BroadcastHashJoin"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # top-k must be the distributed partial top-k, never a global
+        # single-partition sort/window over the full aggregate
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition"],
+    },
+    "q10_returned_items": {
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition"],
     },
     "q5_local_supplier": {
         "require": ["BroadcastHashJoin"],
