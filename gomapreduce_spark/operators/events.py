@@ -263,11 +263,39 @@ def range_join_shipments(orders: DataFrame, lineitem: DataFrame, days: int = 90)
     )
 
 
+def value_deciles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Scale-safe decile rollup: approx_percentile cutpoints + a narrow
+    bucket assignment — the 100 TB form of :func:`value_deciles`.
+
+    Two passes, both distributed: (1) one partial-mergeable sketch
+    aggregation produces the 9 interior cutpoints (a single tiny row);
+    (2) the cutpoints broadcast into a narrow projection that buckets
+    each event by counting cutpoints below its value, then a standard
+    partial+final rollup per decile. No global sort, no single-partition
+    window — the ntile version's partition-less sort-shuffle is exactly
+    what dies first at 100×. Boundary semantics differ from exact ntile
+    only by the sketch's rank error (≤ n/accuracy) and tie placement;
+    the error-bound test asserts per-decile counts within that bound."""
+    cuts = events.agg(
+        F.percentile_approx("value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]), accuracy).alias("cuts")
+    )
+    bucketed = events.join(F.broadcast(cuts)).select(  # 1-row broadcast, constant fan-out
+        (1 + F.size(F.filter("cuts", lambda c: c < F.col("value")))).cast("long").alias("decile"),
+        "value",
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
 def value_deciles(events: DataFrame) -> DataFrame:
     """ntile decile assignment over event values, rolled up per decile —
     the ranking-window surface (ntile) next to row_number. One global
-    sort-shuffle at test scale; at 100 TB you'd switch to
-    approx_percentile cutpoints + a narrow bucket join."""
+    sort-shuffle; exact, oracle-checkable — kept as the verification
+    form. The scale path is :func:`value_deciles_approx` (sketch
+    cutpoints + narrow bucketing, no global sort)."""
     w = W.orderBy(F.col("value").asc(), F.col("event_id").asc())
     return (
         events.withColumn("decile", F.ntile(10).over(w).cast("long"))

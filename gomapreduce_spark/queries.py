@@ -164,6 +164,9 @@ QUERIES: dict[str, QueryFn] = {
     "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
     "profile_events": lambda s, d: profile_table(load_table(s, d, "events")),
+    # approximate (sketch-cutpoint) scale path of value_deciles; error
+    # bound vs the exact form asserted in tests — rows-only by design
+    "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
 }
 
 

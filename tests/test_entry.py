@@ -26,6 +26,7 @@ def test_queries_oracles_aligned():
         "streaming_stateful_sessions",
         "streaming_interval_join",
         "streaming_session_windows",
+        "value_deciles_approx",
     }
 
 

@@ -356,3 +356,19 @@ def test_embedding_near_dup_no_driver_collect(spark, sf_small):
         for n, f in saved.items():
             setattr(DataFrame, n, f)
     assert df.columns == ["vec_a", "vec_b", "sim"]
+
+
+def test_value_deciles_approx_error_bound(spark, sf_med):
+    """The sketch-cutpoint decile rollup must partition all rows into
+    ordered buckets with per-decile counts within the approx_percentile
+    rank-error bound (n/accuracy) plus tie slack vs the exact n/10."""
+    ev = load_table(spark, sf_med, "events")
+    n = ev.count()
+    approx = {int(r["decile"]): r for r in events.value_deciles_approx(ev).collect()}
+    assert set(approx) <= set(range(1, 11))
+    assert sum(r["n"] for r in approx.values()) == n
+    bound = n // 10_000 + max(2, n // 100)
+    for d in range(1, 11):
+        assert abs(approx[d]["n"] - n / 10) <= bound, (d, approx[d]["n"])
+    for d in range(1, 10):  # ordered, non-overlapping value ranges
+        assert approx[d]["hi"] <= approx[d + 1]["lo"]

@@ -116,6 +116,14 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # the sketch-decile scale path must never fall back to the exact
+    # form's global sort: no window, no full-data sort anywhere (the
+    # only single-partition exchange is the one-sketch-row-per-partition
+    # percentile merge, which is O(partitions), not O(rows))
+    "value_deciles_approx": {
+        "partial_agg": True,
+        "forbid": ["Window", ") Sort"],  # substring match: any Sort detail node
+    },
 }
 
 
