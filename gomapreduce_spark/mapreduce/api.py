@@ -45,7 +45,13 @@ class Mapper(ABC):
 class Reducer(ABC):
     """Per-key fold over the complete value list (reference
     reducer.go:13-15). Set ``associative = True`` if ``reduce`` can be
-    applied to partial value lists — enables map-side combining."""
+    applied to partial value lists — enables map-side combining.
+
+    Associative contract: during combining the engine calls
+    ``reduce`` with an EMPTY key (partial merges are key-agnostic), so
+    an associative reducer must ignore its key argument and must emit
+    exactly one pair per call (the engine asserts this). A reducer
+    whose output depends on its key must stay non-associative."""
 
     associative: bool = False
 

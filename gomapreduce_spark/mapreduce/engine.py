@@ -128,9 +128,14 @@ class MapReduceEngine:
         return self._status.get(job_id) == "completed"
 
     def wait(self, job_id: str, timeout: float = 300.0) -> None:
+        """Block until the job finishes; raise its error if it failed,
+        TimeoutError if it is still running when the timeout elapses
+        (silently returning would let callers read partial state)."""
         t = self._threads.get(job_id)
         if t is not None:
             t.join(timeout)
+            if t.is_alive():
+                raise TimeoutError(f"job {job_id} still running after {timeout}s")
         if job_id in self._errors:
             raise self._errors[job_id]
 
@@ -144,15 +149,32 @@ class MapReduceEngine:
 
     # -- execution -----------------------------------------------------
 
+    # per-key driver Output loops above this stop being "results" and
+    # start being "data" — divert to a distributed writer instead
+    MAX_DRIVER_RESULT_PAIRS = 100_000
+
     def _run(self, job: Job) -> None:
         try:
             self._status[job.job_id] = "working"
-            out_pairs = self.run_pairs(job)
-            for k, v in out_pairs:
-                job.outputer.output(k, v)
-            flush = getattr(job.outputer, "flush", None)
-            if callable(flush):
-                flush(self.spark)
+            rdd = self.run_rdd(job)
+            peek = rdd.take(self.MAX_DRIVER_RESULT_PAIRS + 1)
+            if len(peek) > self.MAX_DRIVER_RESULT_PAIRS:
+                # result too large for the per-key driver loop: divert to
+                # the outputer's distributed writer or fail loudly
+                write_rdd = getattr(job.outputer, "write_rdd", None)
+                if not callable(write_rdd):
+                    raise RuntimeError(
+                        f"job result exceeds {self.MAX_DRIVER_RESULT_PAIRS} pairs; "
+                        "use an outputer with a distributed write_rdd path "
+                        "(e.g. PartitionedSink)"
+                    )
+                write_rdd(self.spark, rdd)
+            else:
+                for k, v in peek:
+                    job.outputer.output(k, v)
+                flush = getattr(job.outputer, "flush", None)
+                if callable(flush):
+                    flush(self.spark)
             self._stats[job.job_id].finished_at = time.time()
             self._status[job.job_id] = "completed"
         except BaseException as e:  # surfaced via wait()
@@ -160,42 +182,64 @@ class MapReduceEngine:
             self._status[job.job_id] = "failed"
 
     def run_pairs(self, job: Job) -> list[tuple[str, Any]]:
-        """Execute the lineage and return the output pairs.
-
-        The driver-side ``outputer`` loop above preserves the reference's
-        per-key Output contract (outputer.go:29-34); large results should
-        use ``run_rdd`` + a distributed writer instead.
-        """
-        return self.run_rdd(job).collect()
+        """Execute the lineage and return the output pairs, refusing to
+        materialize more than MAX_DRIVER_RESULT_PAIRS on the driver
+        (outputs above the cap belong on a distributed sink —
+        ``run_rdd`` + ``PartitionedSink.write_rdd``)."""
+        pairs = self.run_rdd(job).take(self.MAX_DRIVER_RESULT_PAIRS + 1)
+        if len(pairs) > self.MAX_DRIVER_RESULT_PAIRS:
+            raise RuntimeError(
+                f"job result exceeds {self.MAX_DRIVER_RESULT_PAIRS} pairs; "
+                "use run_rdd() with a distributed writer"
+            )
+        return pairs
 
     def run_rdd(self, job: Job):
         sc = self.spark.sparkContext
         mapper, reducer, inputer = job.mapper, job.reducer, job.inputer
         r = max(1, job.config.r)
 
-        keys = inputer.list_keys()
-        m = max(1, min(job.config.m, len(keys)) if keys else 1)
-        self._stats[job.job_id].map_tasks = len(keys)
-        self._stats[job.job_id].reduce_tasks = r
-
-        def do_map(key: str):
+        def do_map_pair(kv_pair):
+            key, value = kv_pair
             emitter = ListEmitter()
-            mapper.map(key, inputer.get_value(key), emitter)
+            mapper.map(key, value, emitter)
             return emitter.pairs
 
-        def do_reduce(kv):
-            key, values = kv
+        as_rdd = getattr(inputer, "as_rdd", None)
+        if callable(as_rdd):
+            # distributed source: (key, value) pairs stay on executors;
+            # map parallelism comes from the source's own splits (the
+            # 100 TB-correct reading of the reference's M = "#input
+            # objects" — Spark derives it from bytes, SCALE.md)
+            src = as_rdd(sc)
+            self._stats[job.job_id].map_tasks = src.getNumPartitions()
+            kv = src.flatMap(do_map_pair)
+        else:
+            keys = inputer.list_keys()
+            m = max(1, min(job.config.m, len(keys)) if keys else 1)
+            self._stats[job.job_id].map_tasks = len(keys)
+            kv = sc.parallelize(keys, m).flatMap(
+                lambda key: do_map_pair((key, inputer.get_value(key)))
+            )
+        self._stats[job.job_id].reduce_tasks = r
+
+        def do_reduce(kv_pair):
+            key, values = kv_pair
             out = ListOutputer()
             reducer.reduce(key, list(values), out)
             return out.pairs
 
-        kv = sc.parallelize(keys, m).flatMap(do_map)
         if reducer.associative:
             # combiner fast path: reduce partial lists per partition first
             def combine(vals_a, vals_b):
                 out = ListOutputer()
                 reducer.reduce("", list(vals_a) + list(vals_b), out)
-                # an associative reducer outputs exactly the combined value
+                # the associative contract (api.Reducer): exactly one
+                # combined pair, key ignored during combining
+                assert len(out.pairs) == 1, (
+                    "associative reducer must emit exactly one pair when combining; "
+                    f"got {len(out.pairs)}"
+                )
                 return [v for _, v in out.pairs]
 
             grouped = kv.mapValues(lambda v: [v]).reduceByKey(

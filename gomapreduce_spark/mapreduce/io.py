@@ -60,20 +60,35 @@ class DirectoryInputer(Inputer):
 
 
 class DataFrameInputer(Inputer):
-    """Adapts a (key, value) DataFrame. Enumeration collects only the
-    keys; values are fetched per key — faithful to the reference's
-    list-then-get contract. For bulk analytics, skip the facade and use
-    the DataFrame directly."""
+    """Adapts a (key, value) DataFrame without ever materializing the
+    values on the driver.
+
+    The engine detects ``as_rdd`` and maps the DataFrame's own
+    distributed partitions straight into the map phase — data never
+    moves driver-ward (the round-1 version collected the whole frame
+    into every task's closure). The ``list_keys``/``get_value`` pair
+    stays for API fidelity: enumeration collects ONLY the key column
+    (the reference's ListKeys is exactly that, inputer.go:33-37) and
+    ``get_value`` is a filtered point lookup — fine for a debugger,
+    quadratic if an engine loops over it, which ours no longer does."""
 
     def __init__(self, df: DataFrame, key_col: str, value_col: str):
-        rows = df.select(key_col, value_col).collect()
-        self._data = {str(r[0]): r[1] for r in rows}
+        self._kv = df.select(
+            df[key_col].cast("string").alias("key"), df[value_col].alias("value")
+        )
+
+    def as_rdd(self, sc) -> Any:  # noqa: ARG002 - sc kept for hook symmetry
+        """Distributed (key, value) pairs — the engine's preferred path."""
+        return self._kv.rdd.map(lambda r: (r[0], r[1]))
 
     def list_keys(self) -> list[str]:
-        return sorted(self._data)
+        return sorted(r[0] for r in self._kv.select("key").collect())
 
     def get_value(self, key: str) -> Any:
-        return self._data[key]
+        rows = self._kv.where(self._kv.key == key).take(1)
+        if not rows:
+            raise KeyError(key)
+        return rows[0][1]
 
 
 class MemoryOutputer(Outputer):

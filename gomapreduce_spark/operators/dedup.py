@@ -21,11 +21,10 @@ Scale design:
   distributed (no driver collect); exact on the fixtures (verified
   against the all-pairs oracle at every SF).
 
-NB: ngram_jaccard_pairs and minhash_lsh_pairs cache() intermediates
-for the duration of the session (caller-owned; the cached plans are a
-few MB at test scale). Long-lived services invoking them repeatedly
-should spark.catalog.clearCache() periodically or wrap calls with
-explicit unpersist after materialization.
+No operator here caches or persists anything: every intermediate is
+consumed exactly once (sizes and signatures ride through the joins
+instead of being re-joined), so repeated invocations in a long-lived
+session leave no storage behind.
 """
 
 from __future__ import annotations
@@ -71,28 +70,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     The shingle equi-join only materializes pairs with nonzero
     intersection, and it joins on a 60-bit hash of the shingle, not the
     string — the shuffle ships 8 bytes per shingle instead of the text.
-    |shingles(doc)| comes straight from the shingle array (no counting
-    shuffle) and is broadcast. At 100 TB this runs *after* LSH candidate
-    generation; standalone it is correct but quadratic in the worst case
+    |shingles(doc)| rides along each exploded shingle row (8 more
+    bytes) and is recovered per pair with a min() aggregate, so the
+    shingle table is consumed exactly ONCE — no cache, no size-lookup
+    re-join. At 100 TB this runs *after* LSH candidate generation;
+    standalone it is correct but quadratic in the worst case
     (documented trade-off).
     """
-    arr = shingle_arrays(docs).cache()
-    sizes = arr.select("doc_id", F.size("shingles").alias("n_sh")).where(F.col("n_sh") > 0)
-    sh = arr.select("doc_id", F.explode("shingles").alias("shingle")).select(
-        "doc_id", h64(F.col("shingle")).alias("sh_h")
+    sh = (
+        shingle_arrays(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+        .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("a.n_sh").alias("size_a"),  # constant per doc; min = that constant
+            F.min("b.n_sh").alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
         )
@@ -159,13 +161,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
 
     Bands of r=k/bands signature rows are hashed to buckets; docs
     colliding in any band become candidates (equi-join on (band,
-    band_hash) — never a cross join). Band hashes are computed narrowly
-    from the wide signature (no collect_list shuffle); the only wide
-    stages are the candidate self-join and its distinct. Scoring joins
-    candidates back to the wide signature, so est_jaccard = matching
-    positions / k is one expression, not a k-row aggregation.
+    band_hash) — never a cross join). The full k-element signature
+    rides along each banded row (k×8 bytes), so est_jaccard = matching
+    positions / k is computed directly on the join output with one
+    zip_with — the signature table is consumed exactly ONCE (no cache,
+    no scoring re-joins), and the dedup happens on the already-scored
+    pairs (identical across bands) instead of a pre-scoring distinct.
     """
-    wide = minhash_wide(docs, k).cache()
+    wide = minhash_wide(docs, k)
     r = k // bands
 
     def band_hash(b: int):
@@ -174,28 +177,28 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
 
     banded = wide.select(
         "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"),
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash")) for b in range(bands)])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_hash")
+    ).select("doc_id", "sig", "bb.band", "bb.band_hash")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    matches = F.size(
+        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    wa = wide.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)])
-    wb = wide.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)])
-    matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(k))
-    return (
-        cand.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", F.round(matches.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(matches.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -163,3 +163,114 @@ def test_partitioned_sink_via_engine(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "wc_out"))
     got = {(r["key"], int(r["value"])) for r in back.collect()}
     assert got == set(EXPECTED.items())
+
+
+def test_dataframe_inputer_never_materializes_values(spark):
+    """The DataFrame-backed facade path must ship data executor-to-
+    executor only: constructing the inputer and running the job may not
+    collect the frame (round 1 collected it into every task's closure).
+    Key-column-only enumeration via list_keys() remains allowed."""
+    from pyspark.sql import DataFrame
+
+    from gomapreduce_spark.mapreduce.io import DataFrameInputer
+
+    df = spark.createDataFrame(
+        [(i, text) for i, text in enumerate(TEXT.values())], "doc_id long, text string"
+    )
+    calls = {"collect": 0, "toPandas": 0, "toLocalIterator": 0}
+    saved = {n: getattr(DataFrame, n) for n in calls}
+
+    def patched(name):
+        def f(self, *a, **kw):
+            calls[name] += 1
+            return saved[name](self, *a, **kw)
+        return f
+
+    try:
+        for n in calls:
+            setattr(DataFrame, n, patched(n))
+        inp = DataFrameInputer(df, "doc_id", "text")
+        eng = MapReduceEngine(spark)
+        out = MemoryOutputer()
+        eng.submit(JobConfig(m=4, r=2), DemoMapper(), DemoReducer(), inp, out, sync=True)
+    finally:
+        for n, f in saved.items():
+            setattr(DataFrame, n, f)
+    assert out.results == dict(EXPECTED)
+    assert calls == {"collect": 0, "toPandas": 0, "toLocalIterator": 0}
+
+
+def test_run_pairs_caps_driver_results(spark):
+    """Above MAX_DRIVER_RESULT_PAIRS the engine refuses the per-key
+    driver loop for cap-less outputers and auto-diverts to a
+    distributed writer when one exists."""
+    import pytest as _pytest
+
+    class FanOut(DemoMapper):
+        def map(self, key, value, emitter):
+            for i in range(120):
+                emitter.emit(f"{key}:{i}", 1)
+
+    eng = MapReduceEngine(spark)
+    eng.MAX_DRIVER_RESULT_PAIRS = 100  # keep the test fast
+    data = {f"k{i}": "x" for i in range(3)}  # 360 pairs > 100
+    job_id = eng.submit(JobConfig(m=2, r=2), FanOut(), DemoReducer(),
+                        MemoryInputer(data), MemoryOutputer(), sync=True)
+    assert not eng.status(job_id)
+    with _pytest.raises(RuntimeError, match="exceeds"):
+        eng.wait(job_id)
+
+
+def test_oversized_results_divert_to_partitioned_sink(spark, tmp_path):
+    from gomapreduce_spark.mapreduce.io import PartitionedSink
+
+    class FanOut(DemoMapper):
+        def map(self, key, value, emitter):
+            for i in range(60):
+                emitter.emit(f"{key}_{i}", 1)
+
+    eng = MapReduceEngine(spark)
+    eng.MAX_DRIVER_RESULT_PAIRS = 100
+    sink = PartitionedSink(str(tmp_path / "big_out"))
+    data = {f"k{i}": "x" for i in range(3)}  # 180 pairs > 100
+    job_id = eng.submit(JobConfig(m=2, r=2), FanOut(), DemoReducer(), MemoryInputer(data), sink, sync=True)
+    assert eng.status(job_id)
+    assert sink.results == {}  # never buffered driver-side
+    back = spark.read.parquet(str(tmp_path / "big_out"))
+    assert back.count() == 180
+
+
+def test_wait_raises_on_timeout(spark):
+    import time as _time
+
+    import pytest as _pytest
+
+    class Slow(DemoMapper):
+        def map(self, key, value, emitter):
+            _time.sleep(5)
+            emitter.emit("k", 1)
+
+    eng = MapReduceEngine(spark)
+    job_id = eng.submit(JobConfig(m=1, r=1), Slow(), DemoReducer(),
+                        MemoryInputer({"k": "v"}), MemoryOutputer())
+    with _pytest.raises(TimeoutError):
+        eng.wait(job_id, timeout=0.2)
+    eng.wait(job_id)  # then let it finish cleanly
+
+
+def test_demo_mapper_whitespace_matches_engine_tokenizer(spark):
+    """DemoMapper, wordcount.tokenize and the oracle share ONE
+    whitespace definition: U+001C-001F are NOT separators (str.split
+    would split on them), Zs spaces ARE."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.mapreduce.api import ListEmitter
+    from gomapreduce_spark.operators.wordcount import tokenize
+
+    text = "a\x1cb c d e 　 f\tg"
+    em = ListEmitter()
+    DemoMapper().map("k", text, em)
+    facade_tokens = sorted(k for k, _ in em.pairs)
+    df = spark.createDataFrame([(text,)], "text string")
+    spark_tokens = sorted(df.select(F.explode(tokenize("text")).alias("t")).toPandas()["t"])
+    assert facade_tokens == spark_tokens == sorted(["a\x1cb", "c", "d", "e", "f", "g"])
