@@ -202,31 +202,26 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     )
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: int = 4) -> DataFrame:
-    """Near-dup clustering: connected components over the MinHash-LSH
-    pair graph → (doc_id, cluster_id = min doc_id in component,
-    cluster_size). The last stage of a production dedup pipeline:
-    cluster near-duplicates, keep one representative per cluster.
+def connected_components(edges: DataFrame, graph_partitions: int = 4) -> tuple[DataFrame, int]:
+    """Connected components over an (a, b) edge list → ((vertex,
+    cluster_id = min vertex id in component), rounds).
 
-    Spark has no native connected components; this is iterative
-    min-label propagation — each round every vertex takes the min of
-    its own and its neighbors' labels; converges in ≤ diameter rounds
-    (the candidate graph is a disjoint union of small near-dup clumps,
-    so diameter is tiny). ``localCheckpoint`` truncates lineage each
-    round, the standard guard against exponential plan growth in
-    iterative DataFrame algorithms. ``graph_partitions`` sizes the
-    iteration stages (default 4 suits the near-dup-is-rare regime;
-    scale it with |edges|). At 100 TB scale the same loop runs
-    with the large-star/small-star optimization (alternating min
-    propagation that contracts paths in O(log n) rounds).
+    Spark has no native connected components; this is min-label
+    propagation accelerated with POINTER DOUBLING: each round first
+    takes the min over neighbor labels (one hop), then rewrites every
+    label through its label's label (label(x) ← label(label(x))) — the
+    path-halving step that turns diameter-bound convergence into
+    O(log diameter) rounds (the same contraction idea as the
+    large-star/small-star CC formulation). ``localCheckpoint``
+    truncates lineage each round, the standard guard against
+    exponential plan growth in iterative DataFrame algorithms.
+    ``graph_partitions`` sizes the iteration stages (default 4 suits
+    the near-dup-is-rare regime; at 100 TB pick ~ |edges|/1e6 — each
+    round is two hash joins, shuffling only (vertex, label) pairs).
     """
-    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= threshold)
-    edges = pairs.select("doc_a", "doc_b")
-    # the pair graph is tiny relative to the corpus (near-dups are the
-    # exception) — coalesce before iterating so each round's jobs don't
-    # pay 32 near-empty tasks; at 100 TB pick partitions ~ |edges|/1e6
     und = (
-        edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        edges.toDF("doc_a", "doc_b")
+        .union(edges.toDF("doc_b", "doc_a").select("doc_a", "doc_b"))
         .toDF("src", "dst")
         .coalesce(graph_partitions)
         .localCheckpoint()
@@ -234,26 +229,49 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: in
     labels = (
         und.select(F.col("src").alias("doc_id")).distinct().withColumn("cluster_id", F.col("doc_id"))
     ).coalesce(graph_partitions).localCheckpoint()
+    rounds = 0
     while True:
+        rounds += 1
         nbr = (
             und.join(labels, und.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        hop = labels.join(nbr, labels.doc_id == nbr.src, "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("l1"),
+            "cluster_id",
+        )
+        # pointer doubling: follow the new label one more step — labels
+        # always point at real vertices, so the self-join resolves
+        x, y = hop.alias("x"), hop.alias("y")
         new = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            x.join(y, F.col("x.l1") == F.col("y.doc_id"), "left")
             .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
-                    "new_cluster"
-                ),
-                "cluster_id",
+                F.col("x.doc_id").alias("doc_id"),
+                F.least(F.col("x.l1"), F.coalesce(F.col("y.l1"), F.col("x.l1"))).alias("new_cluster"),
+                F.col("x.cluster_id").alias("cluster_id"),
             )
         ).coalesce(graph_partitions).localCheckpoint()
         changed = new.where(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = new.select("doc_id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
             break
+    return labels, rounds
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: int = 4) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph → (doc_id, cluster_id = min doc_id in component,
+    cluster_size). The last stage of a production dedup pipeline:
+    cluster near-duplicates, keep one representative per cluster.
+    Component search is :func:`connected_components` (min-label
+    propagation + pointer doubling, O(log diameter) rounds)."""
+    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= threshold)
+    # the pair graph is tiny relative to the corpus (near-dups are the
+    # exception) — coalesced inside connected_components so each
+    # round's jobs don't pay 32 near-empty tasks
+    labels, _ = connected_components(pairs.select("doc_a", "doc_b"), graph_partitions)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 

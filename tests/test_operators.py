@@ -372,3 +372,25 @@ def test_value_deciles_approx_error_bound(spark, sf_med):
         assert abs(approx[d]["n"] - n / 10) <= bound, (d, approx[d]["n"])
     for d in range(1, 10):  # ordered, non-overlapping value ranges
         assert approx[d]["hi"] <= approx[d + 1]["lo"]
+
+
+def test_connected_components_pointer_doubling_rounds(spark):
+    """A 16-node path graph must converge in O(log n) rounds (plain
+    min-label propagation needs ~15), with the correct min labels."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.connected_components(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(16)}
+    assert rounds <= 7, f"pointer doubling should converge in O(log n) rounds, took {rounds}"
+
+
+def test_connected_components_multiple_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    labels, _ = dedup.connected_components(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
