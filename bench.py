@@ -16,33 +16,66 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # reference core / facade
     "wordcount",
+    "mr_wordcount",
+    "group_collect",
+    "sum_reduce",
+    # relational
     "q1_pricing_summary",
     "q3_top_orders",
+    "q4_late_shipments",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q17_small_quantity",
     "topk_per_group",
+    "rollup_revenue",
+    "anti_join_customers",
+    "semi_join_big_spenders",
+    "order_status_pivot",
+    # event-time / windows / stats
     "tumbling_window_counts",
     "sessionize",
+    "running_totals",
     "asof_join_orders",
     "range_join_shipments",
     "sliding_window_counts",
     "cube_by_type_hour",
     "latest_event_per_user",
     "json_props_stats",
-    "semi_join_big_spenders",
+    "percentile_stats",
+    "funnel_set_ops",
+    "value_prop_correlation",
+    "trimmed_mean_by_type",
+    "value_deciles",
+    "value_deciles_approx",
+    "approx_distinct_users",
+    "salted_user_counts",
+    "window_rank_showcase",
+    "profile_events",
+    # text / training pipeline
     "token_stats",
     "quality_score",
+    "lang_id",
     "training_corpus",
     "doc_fingerprint",
+    # dedup family
     "exact_dedup",
     "ngram_jaccard_pairs",
-    "dedup_clusters",
+    "minhash_signatures",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash",
-    "knn_bruteforce",
     "embedding_near_dup",
+    # similarity / multimodal
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "array_funcs_showcase",
+    "embedding_doc_join",
     "multimodal_features",
+    "frame_stats",
 ]
 
 

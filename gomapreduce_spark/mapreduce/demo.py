@@ -12,26 +12,20 @@ partial sums is the combiner fast path.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from typing import Any
 
+from ..operators.wordcount import py_tokenize
 from .api import Emitter, Mapper, Outputer, Reducer
-
-# the SAME whitespace class as wordcount.WS_RE / the DuckDB oracle:
-# the regex \s core plus NEL/LS/PS plus the Unicode Zs category
-# (Python re lacks \p{Zs}, so Zs is enumerated explicitly).
-# str.split() would differ: its str-mode whitespace set also contains
-# U+001C-001F, letting the facade and oracle diverge on control chars.
-_WS_SPLIT = re.compile(
-    "[\\t\\n\\x0b\\f\\r \\x85\\u2028\\u2029"
-    "\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]+"
-)
 
 
 class DemoMapper(Mapper):
+    # tokenizes with wordcount.py_tokenize — the ONE whitespace
+    # definition shared by the engine tokenizer, the Arrow shingle
+    # stages, and the DuckDB oracle (str.split would also split on
+    # U+001C-001F and silently diverge)
     def map(self, key: str, value: Any, emitter: Emitter) -> None:
-        counts = Counter(t for t in _WS_SPLIT.split(str(value)) if t)
+        counts = Counter(py_tokenize(str(value)))
         for word, n in counts.items():
             emitter.emit(word, n)
 

