@@ -340,43 +340,11 @@ NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
 
 
 def _lsh_signatures_np(emb: DataFrame, n_planes: int, n_tables: int, dim: int = 64) -> DataFrame:
-    """(vec_id, embedding, table, bucket): sign-bit LSH signatures for
-    all tables in ONE narrow Arrow pass — per batch, a single
-    (rows × dim) @ (dim × tables·planes) matmul replaces
-    tables·planes interpreted fold expressions. Identical bucket values
-    to :func:`similarity.lsh_signatures` (same deterministic md5-derived
-    hyperplanes; the smallest |projection| in the fixtures is ~7e-6,
-    orders of magnitude above any fp-accumulation-order wiggle, so the
-    sign bits are stable across matmul vs fold). Zero shuffle."""
-    import numpy as np
-    import pandas as pd
+    """Shared sign-bit LSH signer — :func:`similarity.lsh_signatures`
+    (one narrow Arrow matmul pass, zero shuffle)."""
+    from .similarity import lsh_signatures
 
-    from .similarity import _plane_vals
-
-    planes = np.stack(
-        [_plane_vals(dim, t * 1009 + i) for t in range(n_tables) for i in range(n_planes)]
-    )  # (tables·planes) × dim
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
-
-    def sign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (mat @ planes.T >= 0).reshape(len(pdf), n_tables, n_planes)
-            buckets = (bits * weights).sum(axis=2)  # rows × tables
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_tables),
-                    "embedding": [v for v in pdf["embedding"] for _ in range(n_tables)],
-                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        sign, "vec_id long, embedding array<float>, table int, bucket long"
-    )
+    return lsh_signatures(emb, n_planes, n_tables, dim)
 
 
 def embedding_near_dup(

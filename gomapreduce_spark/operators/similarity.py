@@ -62,10 +62,6 @@ def _plane_vals(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def _hyperplane(dim: int, plane_idx: int):
-    return F.array(*[F.lit(v) for v in _plane_vals(dim, plane_idx)])
-
-
 def lsh_signatures(emb: DataFrame, n_planes: int = 6, n_tables: int = 6, dim: int = 64) -> DataFrame:
     """Multi-table sign-bit LSH: ``n_tables`` independent signatures of
     ``n_planes`` bits each → (vec_id, embedding, table, bucket) rows.
@@ -73,22 +69,41 @@ def lsh_signatures(emb: DataFrame, n_planes: int = 6, n_tables: int = 6, dim: in
     multiple tables are what make random-hyperplane LSH usable for
     mid-similarity neighbors.
 
-    Here the projections are Catalyst fold expressions (keeps the whole
-    op JVM-side at test scale); on a real 100 TB run the signature step
-    is one matrix multiply per Arrow batch in a pandas UDF — same
-    dataflow, cheaper projection."""
-    tables = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for i in range(n_planes):
-            bit = (dot(F.col("embedding"), _hyperplane(dim, t * 1009 + i)) >= 0).cast("long")
-            sig = sig + F.shiftleft(bit, i)
-        tables.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-    return emb.select("vec_id", "embedding", F.explode(F.array(*tables)).alias("tb")).select(
-        "vec_id",
-        "embedding",
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+    One narrow Arrow pass, zero shuffle: per batch, a single
+    (rows × dim) @ (dim × tables·planes) numpy matmul replaces
+    tables·planes interpreted Catalyst fold expressions (folds are
+    evaluated per element per plane — ~36 × dim interpreted ops per
+    row; the matmul is the same dataflow at BLAS speed). Hyperplanes
+    are deterministic md5-derived constants, so buckets are stable
+    run-to-run; the smallest |projection| in the fixtures is ~7e-6,
+    orders of magnitude above fp-accumulation-order wiggle, so the
+    sign bits match the fold form bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.stack(
+        [_plane_vals(dim, t * 1009 + i) for t in range(n_tables) for i in range(n_planes)]
+    )  # (tables·planes) × dim
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def sign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (mat @ planes.T >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # rows × tables
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_tables),
+                    "embedding": [v for v in pdf["embedding"] for _ in range(n_tables)],
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sign, "vec_id long, embedding array<float>, table int, bucket long"
     )
 
 
@@ -103,18 +118,25 @@ def knn_lsh(
     """Approximate top-k: candidates are vectors sharing a bucket with
     the query in ANY table, plus Hamming-distance-1 probe buckets
     (multi-probe). Same output schema as knn_bruteforce; recall vs the
-    exact result is asserted in tests."""
-    sigs = lsh_signatures(emb, n_planes, n_tables, dim).cache()
+    exact result is asserted in tests.
+
+    No cache: the query side signs only the ``vec_id < n_queries``
+    slice (the filter reaches the parquet scan before the Arrow stage),
+    so the corpus is signed exactly once — caching it would pin
+    |corpus|·tables rows in executor memory for no reuse and leak the
+    cached plan into long-lived sessions."""
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     )
-    q = sigs.where(F.col("vec_id") < n_queries).select(
+    q = lsh_signatures(emb.where(F.col("vec_id") < n_queries), n_planes, n_tables, dim).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("table").alias("q_table"),
         F.explode(probes).alias("probe_bucket"),
     )
-    c = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "table", "bucket")
+    c = lsh_signatures(emb, n_planes, n_tables, dim).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "table", "bucket"
+    )
     scored = (
         c.join(
             F.broadcast(q),
@@ -180,15 +202,29 @@ def ivf_assignments(
     emb: DataFrame, n_centroids: int = 16, dim: int = 64, centroids: list[list[float]] | None = None
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its max-cosine
-    centroid — a pure narrow projection (argmax over n_centroids fold
-    expressions), no shuffle. Centroids come from
-    :func:`train_centroids` (k-means-lite on a deterministic sample)."""
+    centroid — one narrow Arrow pass (per batch, (rows × dim) @
+    (dim × n_centroids) matmul + argmax; ties break to the first
+    centroid, same as array_position-of-max), no shuffle. Centroids
+    come from :func:`train_centroids` (k-means-lite on a deterministic
+    sample)."""
+    import numpy as np
+    import pandas as pd
+
     cents = centroids if centroids is not None else train_centroids(emb, n_centroids, dim)
-    scores = _centroid_scores(cents)
-    return emb.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cent"),
+    cmat = np.array(cents, dtype=np.float64)  # n_centroids × dim
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cent = np.argmax(mat @ cmat.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "cent": cent}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cent int"
     )
 
 
@@ -207,7 +243,9 @@ def knn_ivf(
     co-located lookup at scale. Same schema as knn_bruteforce; recall
     asserted in tests."""
     cents = train_centroids(emb, n_centroids, dim)
-    assigned = ivf_assignments(emb, n_centroids, dim, centroids=cents).cache()
+    # no cache: assigned feeds exactly one join — caching would pin the
+    # corpus in memory for zero reuse and leak into long-lived sessions
+    assigned = ivf_assignments(emb, n_centroids, dim, centroids=cents)
     scores = _centroid_scores(cents)
     probe_idx = F.transform(
         F.slice(
