@@ -31,17 +31,45 @@ fidelity.
 
 from __future__ import annotations
 
+import os
+import socket
 import threading
 import time
 import uuid
+from collections import Counter
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, NamedTuple
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import SparkSession
 
 from zlib import adler32
 
 from .api import Inputer, ListEmitter, ListOutputer, Mapper, Outputer, Reducer
+
+
+class TaskStat(NamedTuple):
+    """One task's timing record (reference statsManager.go:102-152:
+    per-task wall-clock + the worker that ran it)."""
+
+    stage: str       # "map" | "reduce"
+    partition: int   # Spark partition id == task index within the stage
+    worker: str      # host:pid of the Python worker (local mode: pid)
+    wall_sec: float
+    rows_out: int
+
+
+class _TaskStatAccum(AccumulatorParam):
+    """List-append accumulator: each task contributes its TaskStat;
+    Spark merges per-task lists driver-side (no shuffle, no contention
+    — the canonical metrics side-channel for executor-side facts)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 def adler32_partition(key: str, r: int) -> int:
@@ -78,16 +106,41 @@ class Job:
 
 @dataclass
 class JobStats:
-    """Job/task wall-clock timing (reference statsManager.go:89-115)."""
+    """Job/task wall-clock timing (reference statsManager.go:89-152:
+    job time, per-task times, tasks-per-worker histogram)."""
 
     started_at: float = 0.0
     finished_at: float = 0.0
     map_tasks: int = 0
     reduce_tasks: int = 0
+    _accum: Any = None  # executor-side TaskStat accumulator
 
     @property
     def job_time(self) -> float:
         return (self.finished_at or time.time()) - self.started_at
+
+    @property
+    def task_stats(self) -> list[TaskStat]:
+        """Per-task records, populated once the job's action has run.
+        Tasks cut short by an early-terminating action (``take`` hitting
+        its limit mid-partition) may not report — same blind spot as the
+        reference's stats on interrupted tasks."""
+        return list(self._accum.value) if self._accum is not None else []
+
+    @property
+    def task_times(self) -> dict[str, list[float]]:
+        """stage → sorted per-task wall-clock seconds (reference
+        statsManager.go:102-126)."""
+        out: dict[str, list[float]] = {}
+        for s in self.task_stats:
+            out.setdefault(s.stage, []).append(s.wall_sec)
+        return {k: sorted(v) for k, v in out.items()}
+
+    @property
+    def tasks_per_worker(self) -> dict[str, int]:
+        """worker → #tasks it ran (reference statsManager.go:128-152's
+        histogram; local mode distinguishes Python workers by pid)."""
+        return dict(Counter(s.worker for s in self.task_stats))
 
 
 class MapReduceEngine:
@@ -198,6 +251,33 @@ class MapReduceEngine:
         sc = self.spark.sparkContext
         mapper, reducer, inputer = job.mapper, job.reducer, job.inputer
         r = max(1, job.config.r)
+        acc = sc.accumulator([], _TaskStatAccum())
+        self._stats[job.job_id]._accum = acc
+
+        def timed(stage, per_pair):
+            """Partition wrapper: run per_pair over every input, then
+            report ONE TaskStat (wall-clock, worker, rows emitted) via
+            the accumulator — per-task fidelity at zero shuffle cost."""
+
+            def run(it):
+                from pyspark import TaskContext
+
+                t0 = time.time()
+                n = 0
+                for pair in it:
+                    for out in per_pair(pair):
+                        n += 1
+                        yield out
+                tc = TaskContext.get()
+                acc.add([TaskStat(
+                    stage,
+                    tc.partitionId() if tc is not None else -1,
+                    f"{socket.gethostname()}:{os.getpid()}",
+                    time.time() - t0,
+                    n,
+                )])
+
+            return run
 
         def do_map_pair(kv_pair):
             key, value = kv_pair
@@ -213,13 +293,13 @@ class MapReduceEngine:
             # objects" — Spark derives it from bytes, SCALE.md)
             src = as_rdd(sc)
             self._stats[job.job_id].map_tasks = src.getNumPartitions()
-            kv = src.flatMap(do_map_pair)
+            kv = src.mapPartitions(timed("map", do_map_pair))
         else:
             keys = inputer.list_keys()
             m = max(1, min(job.config.m, len(keys)) if keys else 1)
             self._stats[job.job_id].map_tasks = len(keys)
-            kv = sc.parallelize(keys, m).flatMap(
-                lambda key: do_map_pair((key, inputer.get_value(key)))
+            kv = sc.parallelize(keys, m).mapPartitions(
+                timed("map", lambda key: do_map_pair((key, inputer.get_value(key))))
             )
         self._stats[job.job_id].reduce_tasks = r
 
@@ -249,4 +329,4 @@ class MapReduceEngine:
             grouped = kv.groupByKey(
                 numPartitions=r, partitionFunc=lambda k: adler32_partition(k, r)
             )
-        return grouped.flatMap(do_reduce)
+        return grouped.mapPartitions(timed("reduce", do_reduce))

@@ -274,3 +274,28 @@ def test_demo_mapper_whitespace_matches_engine_tokenizer(spark):
     df = spark.createDataFrame([(text,)], "text string")
     spark_tokens = sorted(df.select(F.explode(tokenize("text")).alias("t")).toPandas()["t"])
     assert facade_tokens == spark_tokens == sorted(["a\x1cb", "c", "d", "e", "f", "g"])
+
+
+def test_per_task_stats(spark):
+    """O24 fidelity (reference statsManager.go:102-152): per-task
+    wall-clock records and a tasks-per-worker histogram, reported from
+    inside the tasks via accumulator."""
+    eng = MapReduceEngine(spark)
+    out = MemoryOutputer()
+    job_id = eng.submit(JobConfig(m=3, r=2), DemoMapper(), DemoReducer(),
+                        MemoryInputer(TEXT), out, sync=True)
+    st = eng.stats(job_id)
+    stats = st.task_stats
+    assert stats, "no TaskStat records reported"
+    stages = {s.stage for s in stats}
+    assert stages == {"map", "reduce"}
+    assert all(s.wall_sec >= 0 for s in stats)
+    # DemoReducer is associative -> map-side combine; reduce-stage rows
+    # out must equal the vocabulary size
+    assert sum(s.rows_out for s in stats if s.stage == "reduce") == len(EXPECTED)
+    hist = st.tasks_per_worker
+    assert sum(hist.values()) == len(stats)
+    assert all(":" in w for w in hist)
+    times = st.task_times
+    assert set(times) == {"map", "reduce"}
+    assert len(times["reduce"]) == 2  # r=2 reduce partitions
