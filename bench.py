@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "lang_id",
     "training_corpus",
     "doc_fingerprint",
+    "heavy_hitters",
+    "bigram_stats",
+    "stratified_sample",
+    "corpus_mixture",
     # dedup family
     "exact_dedup",
     "ngram_jaccard_pairs",

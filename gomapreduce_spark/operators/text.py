@@ -152,6 +152,130 @@ def training_corpus(docs: DataFrame, emb: DataFrame, min_quality: float = 0.5) -
     )
 
 
+def heavy_hitters(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k most frequent tokens — the corpus vocabulary head
+    every tokenizer-training / stopword-mining pipeline starts from.
+
+    Plan shape at 100 TB: tokenize+explode is narrow; the count is
+    partial+final HashAggregate (shuffle = |vocabulary|, not |tokens|);
+    the global top-k is ``orderBy().limit(k)`` which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-k, never a
+    single-partition global sort. Rank is derived AFTER the limit, so
+    the window only ever sees k rows. Ties break on token asc."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def bigram_stats(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k adjacent-token bigrams per language — distributed n-gram
+    LM statistics (the count table behind KenLM-style estimation).
+
+    Bigrams come from zipping the token array against itself shifted by
+    one (two slices of one tokenize, no per-element lambda indexing —
+    the O(tokens²) CollapseProject trap shingle_arrays documents);
+    explode→count is partial+final agg keyed by (lang, bigram), and the
+    per-language top-k window partitions by ``lang`` — bounded fan-in,
+    no global sort anywhere. Ties break on bigram asc."""
+    from pyspark.sql import Window as W
+
+    t = docs.select("lang", tokenize("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        t.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("lang", "bigram", "cnt", "rk")
+    )
+
+
+def stratified_sample(docs: DataFrame, target_per_stratum: int = 50) -> DataFrame:
+    """Deterministic stratified sampling: every (lang, source) stratum
+    is downsampled toward ``target_per_stratum`` docs by a per-stratum
+    rate, membership decided by a content-independent 60-bit hash of
+    doc_id — reproducible across engines and runs, no RNG state.
+
+    The canonical corpus-balancing step. Dataflow: one tiny stratum-size
+    aggregate (|strata| rows, broadcast back), then a narrow filter over
+    the corpus — the full pass never shuffles. Output is the per-stratum
+    sample accounting (the sampled doc set itself is the filtered
+    DataFrame; aggregating keeps the oracle result small)."""
+    sizes = docs.groupBy("lang", "source").agg(F.count("*").alias("n_total"))
+    rates = sizes.withColumn(
+        "rate", F.round(F.least(F.lit(1.0), F.lit(target_per_stratum) / F.col("n_total")), 6)
+    )
+    # h64 % 10000 is uniform over [0, 10000); keep iff below rate*10000.
+    # Seeded so sampling is independent of any other doc_id hash use.
+    keep = (h64(F.col("doc_id").cast("string"), seed="strat|") % 10000) < F.col("rate") * 10000
+    sampled = (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .where(keep)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "rate",
+        )
+    )
+
+
+def corpus_mixture(docs: DataFrame, budget_tokens: int = 1_000_000, alpha: float = 0.5) -> DataFrame:
+    """Temperature-smoothed training-mixture allocation: per-language
+    token counts → share of corpus → sampling weight ∝ share^alpha
+    (alpha<1 upweights low-resource languages, the standard multilingual
+    LM recipe) → token allocation under a budget.
+
+    Token counting is the only corpus-sized stage (narrow scan +
+    partial/final agg to |langs| rows); the normalizations are two
+    single-row aggregates broadcast-joined back — no global window, no
+    driver round-trip."""
+    toks = (
+        docs.select("lang", F.size(tokenize("text")).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    total = toks.agg(F.sum("n_tokens").alias("tot"))
+    shared = toks.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_tokens") / F.col("tot")
+    )
+    denom = shared.agg(F.sum(F.pow("share", F.lit(alpha))).alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round(F.pow("share", F.lit(alpha)) / F.col("z"), 6).alias("weight"),
+            F.round(F.pow("share", F.lit(alpha)) / F.col("z") * budget_tokens, 0)
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min 60-bit hash over all
     character k-grams (winnowing's global-min special case). Identical

@@ -90,6 +90,11 @@ QUERIES: dict[str, QueryFn] = {
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
+    # -- training-pipeline corpus ops (round 2) --
+    "heavy_hitters": lambda s, d: text.heavy_hitters(load_table(s, d, "documents")),
+    "bigram_stats": lambda s, d: text.bigram_stats(load_table(s, d, "documents")),
+    "stratified_sample": lambda s, d: text.stratified_sample(load_table(s, d, "documents")),
+    "corpus_mixture": lambda s, d: text.corpus_mixture(load_table(s, d, "documents")),
     # -- relational analytics --
     "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
     "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
@@ -676,6 +681,58 @@ ORACLES: dict[str, str] = {
           FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
         )
         SELECT doc_id, min({_H.format(s='gram')}) AS fingerprint FROM grams GROUP BY doc_id
+    """,
+    "heavy_hitters": f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+        SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM counts ORDER BY cnt DESC, token LIMIT 25
+    """,
+    "bigram_stats": f"""
+        WITH t AS (SELECT lang, {_TOKS} AS t FROM documents),
+        bg AS (
+          SELECT lang, t[i] || ' ' || t[i+1] AS bigram
+          FROM t, unnest(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        counts AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+        SELECT lang, bigram, cnt, rk FROM (
+          SELECT lang, bigram, cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rk
+          FROM counts)
+        WHERE rk <= 5
+    """,
+    "stratified_sample": f"""
+        WITH rates AS (
+          SELECT lang, source, count(*) AS n_total,
+                 round(least(1.0, 50 / count(*)), 6) AS rate
+          FROM documents GROUP BY lang, source
+        ),
+        samp AS (
+          SELECT d.lang, d.source, count(*) AS n_sampled
+          FROM documents d JOIN rates r USING (lang, source)
+          WHERE ({_H.format(s="'strat|' || d.doc_id::VARCHAR")} % 10000) < r.rate * 10000
+          GROUP BY d.lang, d.source
+        )
+        SELECT r.lang, r.source, r.n_total,
+               coalesce(s.n_sampled, 0) AS n_sampled, r.rate
+        FROM rates r LEFT JOIN samp s USING (lang, source)
+    """,
+    "corpus_mixture": f"""
+        WITH toks AS (
+          SELECT lang, count(*) AS n_docs, sum(len({_TOKS})) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_tokens) AS tot FROM toks),
+        shared AS (
+          SELECT lang, n_docs, n_tokens, n_tokens / tot AS share FROM toks, tot
+        ),
+        z AS (SELECT sum(pow(share, 0.5)) AS z FROM shared)
+        SELECT lang, n_docs, n_tokens,
+               round(share, 6) AS share,
+               round(pow(share, 0.5) / z, 6) AS weight,
+               round(pow(share, 0.5) / z * 1000000, 0)::BIGINT AS alloc_tokens
+        FROM shared, z
     """,
     "exact_dedup": f"""
         SELECT {_H.format(s='text')} AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -394,3 +394,62 @@ def test_connected_components_multiple_components(spark):
     labels, _ = dedup.connected_components(edges)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_heavy_hitters_is_true_topk(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = text.heavy_hitters(docs, k=10).collect()
+    assert len(out) == 10
+    # ranks are 1..k in (cnt desc, token asc) order
+    assert [r["rk"] for r in out] != []
+    by_rk = sorted(out, key=lambda r: r["rk"])
+    for a, b in zip(by_rk, by_rk[1:]):
+        assert (a["cnt"], b["token"]) > (b["cnt"], a["token"]) or (
+            a["cnt"] > b["cnt"] or (a["cnt"] == b["cnt"] and a["token"] < b["token"])
+        )
+    # the top-1 really is the global max count
+    full = wordcount.word_count(docs).collect()
+    assert by_rk[0]["cnt"] == max(r["cnt"] for r in full)
+
+
+def test_bigram_stats_counts_match_python(spark):
+    rows = [(1, "a b a b c", "en"), (2, "a b x", "en"), (3, "y z y z", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang"], r["bigram"]): (r["cnt"], r["rk"]) for r in text.bigram_stats(docs, k=3).collect()}
+    # 'a b' occurs twice in doc1 + once in doc2
+    assert out[("en", "a b")] == (3, 1)
+    assert out[("de", "y z")] == (2, 1)
+    assert out[("de", "z y")] == (1, 2)
+    # single-token or empty docs contribute nothing
+    one = spark.createDataFrame([(9, "solo", "en")], "doc_id long, text string, lang string")
+    assert text.bigram_stats(one).count() == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_med):
+    docs = load_table(spark, sf_med, "documents")
+    out = text.stratified_sample(docs, target_per_stratum=20).collect()
+    totals = {(r["lang"], r["source"]): r["n_total"] for r in
+              docs.groupBy("lang", "source").count().withColumnRenamed("count", "n_total").collect()}
+    assert {(r["lang"], r["source"]): r["n_total"] for r in out} == totals
+    for r in out:
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        if r["n_total"] <= 20:
+            # rate 1.0 -> the whole stratum is kept
+            assert r["n_sampled"] == r["n_total"] and r["rate"] == 1.0
+    # deterministic: re-running yields identical counts (hash, not RNG)
+    again = {(r["lang"], r["source"]): r["n_sampled"]
+             for r in text.stratified_sample(docs, target_per_stratum=20).collect()}
+    assert again == {(r["lang"], r["source"]): r["n_sampled"] for r in out}
+
+
+def test_corpus_mixture_invariants(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = text.corpus_mixture(docs, budget_tokens=1_000_000, alpha=0.5).collect()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["alloc_tokens"] for r in out) - 1_000_000) < len(out)
+    # alpha < 1 compresses the mixture: the weight spread is strictly
+    # narrower than the share spread
+    shares = sorted(r["share"] for r in out)
+    weights = sorted(r["weight"] for r in out)
+    assert weights[-1] - weights[0] < shares[-1] - shares[0] + 1e-9

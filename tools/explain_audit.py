@@ -124,6 +124,35 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["Window", ") Sort"],  # substring match: any Sort detail node
     },
+    # global top-k tokens: vocabulary count must combine map-side and
+    # the top-k must be the distributed partial form (the Window that
+    # derives rk only ever sees the k post-limit rows)
+    "heavy_hitters": {
+        "partial_agg": True,
+        "require": ["TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct"],
+    },
+    # per-language top-k: the window partitions by lang — a global
+    # single-partition exchange would mean the partitionBy was lost
+    "bigram_stats": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    # stratified sampling: stratum rates must broadcast back onto the
+    # corpus scan; a shuffle join here would move the corpus to move a
+    # |strata|-row table
+    "stratified_sample": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # mixture allocation: the single-row normalizers must broadcast —
+    # nested-loop on a 1-row build side is the intended plan; what must
+    # never appear is a shuffle join or a window over the corpus
+    "corpus_mixture": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+    },
 }
 
 
