@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "funnel_set_ops",
     "value_prop_correlation",
     "trimmed_mean_by_type",
+    "trimmed_mean_distributed",
     "value_deciles",
     "value_deciles_approx",
     "approx_distinct_users",

@@ -377,6 +377,33 @@ def trimmed_mean_by_type(events: DataFrame, trim: float = 0.1) -> DataFrame:
     )
 
 
+def trimmed_mean_distributed(events: DataFrame, trim: float = 0.1) -> DataFrame:
+    """The 100 TB form of :func:`trimmed_mean_by_type`: rank-filter
+    instead of whole-group materialization. ``applyInPandas`` hands each
+    group to Python as ONE frame — a hot group OOMs an executor; here
+    rows stream through two window functions over one hash exchange
+    (count over the partition, row_number over (value, event_id)), the
+    trim is a filter, and the final per-type average reuses the window's
+    partitioning (no second exchange). Windows sort-and-spill, so a
+    billion-row group degrades to disk instead of failing. Identical
+    output to the pandas form (same int-truncated k, same tie order) —
+    parity asserted in tests; same oracle SQL."""
+    wp = W.partitionBy("event_type")
+    wo = wp.orderBy("value", "event_id")
+    k = F.floor(F.col("n") * trim)  # == the pandas form's int(n * trim) for n >= 0
+    return (
+        events.select("event_type", "event_id", "value")
+        .withColumn("n", F.count("*").over(wp))
+        .withColumn("rk", F.row_number().over(wo))
+        .where((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("trimmed_mean"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     sketch path for cardinality at 100 TB (partial-mergeable, no exact

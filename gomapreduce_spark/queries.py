@@ -142,6 +142,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
     "trimmed_mean_by_type": lambda s, d: events.trimmed_mean_by_type(load_table(s, d, "events")),
+    "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "training_corpus": lambda s, d: text.training_corpus(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
@@ -504,6 +505,20 @@ ORACLES: dict[str, str] = {
                count(DISTINCT props), min(props), max(props) FROM events
     """,
     "trimmed_mean_by_type": """
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, round(avg(value), 6) AS trimmed_mean, count(*) AS n_kept
+        FROM r
+        WHERE rn > floor(n * 0.1)::BIGINT AND rn <= n - floor(n * 0.1)::BIGINT
+        GROUP BY event_type
+    """,
+    # the distributed rank-filter form computes the same result as the
+    # applyInPandas form — one oracle, two physical strategies
+    "trimmed_mean_distributed": """
         WITH r AS (
           SELECT event_type, value,
                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

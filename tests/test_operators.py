@@ -453,3 +453,12 @@ def test_corpus_mixture_invariants(spark, sf_small):
     shares = sorted(r["share"] for r in out)
     weights = sorted(r["weight"] for r in out)
     assert weights[-1] - weights[0] < shares[-1] - shares[0] + 1e-9
+
+
+def test_trimmed_mean_distributed_matches_pandas_form(spark, sf_med):
+    ev = load_table(spark, sf_med, "events")
+    pandas_form = {r["event_type"]: (r["trimmed_mean"], r["n_kept"])
+                   for r in events.trimmed_mean_by_type(ev).collect()}
+    dist_form = {r["event_type"]: (r["trimmed_mean"], r["n_kept"])
+                 for r in events.trimmed_mean_distributed(ev).collect()}
+    assert dist_form == pandas_form
