@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "simhash",
+    "simhash_pairs",
     "embedding_near_dup",
     # similarity / multimodal
     "knn_bruteforce",

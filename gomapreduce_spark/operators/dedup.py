@@ -335,6 +335,61 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    — Manku/Jain/Sarma's web-dedup formulation, candidate-generated by
+    pigeonhole banding, never all-pairs.
+
+    Pigeonhole: a pair differing in ≤3 of 48 bits agrees EXACTLY on at
+    least one of 4 12-bit bands (3 flips can't touch 4 bands), so the
+    band equi-join is a lossless candidate filter — this operator is
+    exact, not probabilistic, unlike the MinHash/sign-LSH family. Plan:
+    fingerprints (one shuffle) → explode 4 band rows/doc → equi-join on
+    (band, band_value) → distinct → one bit_count(xor) per candidate.
+    Shuffle volume is 4·|docs| rows; scored pairs are Σ_buckets |b|²
+    over 12-bit band buckets, not |docs|²."""
+    assert bits % n_bands == 0 and max_hamming < n_bands
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(docs, bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 NEAR_DUP_PLANES = 6   # sign-LSH planes per table (bucket space 2^6)
 NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
 

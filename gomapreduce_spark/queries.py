@@ -157,6 +157,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
+    "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
     # -- similarity search --
@@ -260,6 +261,23 @@ ORACLE_MINHASH_LSH = f"""
         JOIN sig sb ON sb.doc_id = doc_b AND sb.hash_idx = sa.hash_idx
         GROUP BY doc_a, doc_b
     """
+
+_SIMHASH_SQL = f"""toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        w AS (
+          SELECT doc_id, tok, count(*) AS w, {_H.format(s='tok')} AS h
+          FROM toks GROUP BY doc_id, tok
+        ),
+        votes AS (
+          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
+          FROM w, unnest(range(0, 48)) AS u(b)
+          GROUP BY doc_id, b
+        ),
+        sim AS (
+          SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc_id
+        )"""
 
 ORACLES: dict[str, str] = {
     "wordcount": r"""
@@ -798,20 +816,17 @@ ORACLES: dict[str, str] = {
         JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s USING (cluster_id)
     """,
     "simhash": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-        ),
-        w AS (
-          SELECT doc_id, tok, count(*) AS w, {_H.format(s='tok')} AS h
-          FROM toks GROUP BY doc_id, tok
-        ),
-        votes AS (
-          SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS v
-          FROM w, unnest(range(0, 48)) AS u(b)
-          GROUP BY doc_id, b
-        )
-        SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        FROM votes GROUP BY doc_id
+        WITH {_SIMHASH_SQL}
+        SELECT doc_id, simhash FROM sim
+    """,
+    # banding is a lossless candidate filter for d<=3 over 4 bands
+    # (pigeonhole), so the all-pairs oracle is value-identical
+    "simhash_pairs": f"""
+        WITH {_SIMHASH_SQL}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "embedding_near_dup": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

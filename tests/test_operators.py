@@ -462,3 +462,20 @@ def test_trimmed_mean_distributed_matches_pandas_form(spark, sf_med):
     dist_form = {r["event_type"]: (r["trimmed_mean"], r["n_kept"])
                  for r in events.trimmed_mean_distributed(ev).collect()}
     assert dist_form == pandas_form
+
+
+def test_simhash_pairs_banding_is_lossless(spark, sf_small):
+    """Pigeonhole guarantee: the banded candidate join must recover
+    EXACTLY the pairs a brute-force Hamming scan finds at d <= 3."""
+    docs = load_table(spark, sf_small, "documents")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(docs).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
