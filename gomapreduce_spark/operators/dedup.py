@@ -92,12 +92,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     standalone it is correct but quadratic in the worst case
     (documented trade-off).
     """
+    # materialized ONCE (24 B/row compact form): a self-join computes
+    # each side's subtree independently — without this the Arrow
+    # shingle pass runs twice. localCheckpoint, not cache: anonymous
+    # blocks the ContextCleaner reclaims when the plan is GC'd, so
+    # repeated calls in a long session don't accumulate pinned memory.
     sh = (
         shingle_arrays(docs)
         .where(F.size("shingles") > 0)
         .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
         .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
-    )
+    ).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -198,7 +203,10 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     no scoring re-joins), and the dedup happens on the already-scored
     pairs (identical across bands) instead of a pre-scoring distinct.
     """
-    wide = minhash_wide(docs, k)
+    # one row of k longs per doc — materialized once so the band
+    # self-join doesn't run the signature Arrow pass per side (see
+    # ngram_jaccard_pairs for the localCheckpoint-vs-cache rationale)
+    wide = minhash_wide(docs, k).localCheckpoint()
     r = k // bands
 
     def band_hash(b: int):
@@ -353,7 +361,10 @@ def simhash_pairs(
     assert bits % n_bands == 0 and max_hamming < n_bands
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash(docs, bits)
+    # 16 B/doc fingerprint table, materialized once: the band self-join
+    # would otherwise run the corpus-wide tokenize+vote pipeline twice
+    # (AQE's exchange reuse does not dedup these sibling subtrees)
+    sh = simhash(docs, bits).localCheckpoint()
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -440,7 +451,9 @@ def embedding_near_dup(
     import numpy as np
     import pandas as pd
 
-    sigs = _lsh_signatures_np(emb, n_planes, n_tables)
+    # signatures feed TWO consumers (exact members + probe visitors);
+    # materialize once instead of running the matmul pass per branch
+    sigs = _lsh_signatures_np(emb, n_planes, n_tables).localCheckpoint()
     exact = sigs.withColumn("is_probe", F.lit(0))
     # a probe visitor flips exactly one signature bit, so each (cell,
     # visitor) combination is unique — no within-cell double counting
