@@ -207,11 +207,18 @@ def _streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_windows(spark, f"{sf_dir}/events.parquet")
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_dedup_events
+
+    return streaming_dedup_events(spark, f"{sf_dir}/events.parquet")
+
+
 QUERIES["streaming_tumbling_counts"] = _streaming_tumbling
 QUERIES["streaming_sliding_counts"] = _streaming_sliding
 QUERIES["streaming_stateful_sessions"] = _streaming_sessions
 QUERIES["streaming_interval_join"] = _streaming_interval_join
 QUERIES["streaming_session_windows"] = _streaming_session_windows
+QUERIES["streaming_dedup_events"] = _streaming_dedup
 
 
 # ---------------------------------------------------------------------------

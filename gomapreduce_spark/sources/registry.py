@@ -155,6 +155,29 @@ def read_as(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
     return r.load(path)
 
 
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int, order_col: str = "doc_id"
+) -> None:
+    """Materialize a corpus as ``n_shards`` range-partitioned,
+    internally-sorted parquet shards — the layout a training data
+    loader wants: deterministic shard membership (shard i holds a
+    contiguous ``order_col`` range), sorted rows within each shard
+    (sequential reads, no loader-side shuffle buffer), and tight
+    min/max footer stats so readers prune whole shards.
+
+    Scale shape: ``repartitionByRange`` builds balanced range bounds
+    from a bounded reservoir sample (not a full scan) then shuffles
+    once; ``sortWithinPartitions`` sorts each shard independently and
+    spills — there is no global sort anywhere. At 100 TB pick
+    n_shards ≈ input_bytes / 1 GB."""
+    (
+        df.repartitionByRange(n_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

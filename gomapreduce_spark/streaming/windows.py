@@ -183,9 +183,10 @@ def streaming_dedup_events(spark: SparkSession, events_path: str, id_col: str = 
     naive dropDuplicates whose state grows forever).
 
     Tests drive this with a deliberately duplicated corpus and assert
-    exact agreement with batch ``dropDuplicates``; the pristine driver
-    tables contain no duplicate ids, which would make a queries() entry
-    a vacuous check (see the range-join lesson).
+    exact agreement with batch ``dropDuplicates`` — that parity test is
+    the real check. The queries() entry (rows-only) exists for surface
+    completeness; the pristine driver tables have no duplicate ids, so
+    its row count alone proves only that the pipeline runs.
     """
     stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
     return _run_to_memory(stream.dropDuplicatesWithinWatermark([id_col]), "append")
