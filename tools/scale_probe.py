@@ -28,6 +28,13 @@ PROBE_QUERIES = [
     "asof_join_orders",
     "range_join_shipments",
     "training_corpus",
+    "heavy_hitters",
+    "bigram_stats",
+    "stratified_sample",
+    "simhash_pairs",
+    "embedding_near_dup",
+    "trimmed_mean_distributed",
+    "knn_lsh",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
