@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "embedding_doc_join",
     "multimodal_features",
     "frame_stats",
+    "audio_chunk_stats",
 ]
 
 

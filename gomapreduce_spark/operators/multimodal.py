@@ -163,6 +163,63 @@ def sample_frames(mm: DataFrame, frame_size: int = 256, every_n: int = 4) -> Dat
     return mm.mapInPandas(batches, FRAME_SCHEMA)
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> bytes:
+    """STUB: real audio decode (PCM from mp3/flac/ogg) needs ffmpeg/
+    soundfile — not in this container. ``fake=True`` treats the payload
+    bytes themselves as 8-bit samples, keeping the chunking and feature
+    plumbing testable end-to-end."""
+    if not fake:
+        raise NotImplementedError("audio codecs unavailable in this environment; use fake=True")
+    return payload
+
+
+AUDIO_CHUNK_SCHEMA = "doc_id long, chunk_idx int, start_byte int, n_bytes int, mean_amp double"
+
+
+def chunk_audio(mm: DataFrame, chunk_bytes: int = 64, fake: bool = True) -> DataFrame:
+    """Fixed-window chunking of "audio" payloads + per-chunk amplitude —
+    the featurization front-end (frame → window → feature) every audio
+    pipeline starts with, as a 1→N mapInPandas. Empty payloads yield one
+    empty chunk (a doc never vanishes). ``mean_amp`` is the mean sample
+    value of the fake 8-bit decode — deterministic, asserted against a
+    plain-Python reference in tests; the chunk ACCOUNTING (counts,
+    offsets, byte totals) is SQL-oracle-checked via
+    :func:`audio_chunk_stats`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, sizes, amps = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = decode_audio(payload, fake=fake)
+                n_chunks = max(1, (len(samples) + chunk_bytes - 1) // chunk_bytes)
+                for c in range(n_chunks):
+                    chunk = samples[c * chunk_bytes : (c + 1) * chunk_bytes]
+                    ids.append(doc_id)
+                    idxs.append(c)
+                    starts.append(c * chunk_bytes)
+                    sizes.append(len(chunk))
+                    amps.append(float(sum(chunk)) / len(chunk) if chunk else 0.0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "start_byte": starts,
+                 "n_bytes": sizes, "mean_amp": amps}
+            ).astype({"chunk_idx": "int32", "start_byte": "int32", "n_bytes": "int32"})
+
+    return mm.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
+def audio_chunk_stats(docs: DataFrame) -> DataFrame:
+    """Queryable rollup of the audio chunker: chunk count, byte total,
+    and last-chunk accounting per doc — pure arithmetic in the payload
+    length, so a SQL oracle replicates it exactly."""
+    chunks = chunk_audio(with_binary_payload(docs))
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("start_byte").cast("long").alias("last_start"),
+        F.max_by("n_bytes", "chunk_idx").cast("long").alias("last_bytes"),
+    )
+
+
 def frame_stats(docs: DataFrame) -> DataFrame:
     """Queryable rollup of the frame sampler: frames kept + bytes per
     doc — deterministic from text length, so SQL-oracle-checkable."""

@@ -83,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- unchecked-in-round-1 entries, now ahead of the budget line --
     "multimodal_features": lambda s, d: multimodal.multimodal_features(load_table(s, d, "documents")),
     "frame_stats": lambda s, d: multimodal.frame_stats(load_table(s, d, "documents")),
+    "audio_chunk_stats": lambda s, d: multimodal.audio_chunk_stats(load_table(s, d, "documents")),
     "array_funcs_showcase": lambda s, d: similarity.array_funcs_showcase(load_table(s, d, "embeddings")),
     "embedding_doc_join": lambda s, d: similarity.embedding_doc_join(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
@@ -891,6 +892,19 @@ ORACLES: dict[str, str] = {
                0::BIGINT AS first_frame,
                last_f::BIGINT AS last_frame
         FROM d
+    """,
+    "audio_chunk_stats": """
+        WITH c AS (
+          SELECT doc_id, octet_length(encode(text)) AS nb,
+                 greatest((octet_length(encode(text)) + 63) // 64, 1) AS n_chunks
+          FROM documents
+        )
+        SELECT doc_id,
+               n_chunks::BIGINT AS n_chunks,
+               nb::BIGINT AS total_bytes,
+               ((n_chunks - 1) * 64)::BIGINT AS last_start,
+               (nb - (n_chunks - 1) * 64)::BIGINT AS last_bytes
+        FROM c
     """,
     "multimodal_features": """
         SELECT doc_id,

@@ -479,3 +479,26 @@ def test_simhash_pairs_banding_is_lossless(spark, sf_small):
             if d <= 3:
                 want[(a, b)] = d
     assert got == want
+
+
+def test_chunk_audio_matches_python(spark):
+    from gomapreduce_spark.operators import multimodal
+    import pytest as _pytest
+
+    rows = [(1, "x" * 150), (2, ""), (3, "abc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    mm = multimodal.with_binary_payload(docs)
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in multimodal.chunk_audio(mm, chunk_bytes=64).collect()}
+    # doc 1: 150 bytes -> chunks of 64, 64, 22
+    assert [out[(1, i)]["n_bytes"] for i in range(3)] == [64, 64, 22]
+    assert out[(1, 2)]["start_byte"] == 128
+    # fake amplitude == mean byte value ('x' == 120)
+    assert out[(1, 0)]["mean_amp"] == 120.0
+    # empty payload yields exactly one empty chunk
+    assert out[(2, 0)]["n_bytes"] == 0 and out[(2, 0)]["mean_amp"] == 0.0
+    assert out[(3, 0)]["n_bytes"] == 3
+    # the real decode path is an explicit stub
+    with _pytest.raises(Exception):
+        multimodal.chunk_audio(mm, fake=False).collect()
