@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     # -- training-pipeline corpus ops (round 2) --
+    "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
     "heavy_hitters": lambda s, d: text.heavy_hitters(load_table(s, d, "documents")),
     "bigram_stats": lambda s, d: text.bigram_stats(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: text.stratified_sample(load_table(s, d, "documents")),
@@ -158,7 +159,6 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
-    "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
     # -- similarity search --
