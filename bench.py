@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "training_corpus",
     "doc_fingerprint",
     "heavy_hitters",
+    "heavy_hitters_approx",
     "bigram_stats",
     "stratified_sample",
     "corpus_mixture",

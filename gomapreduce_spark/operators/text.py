@@ -174,6 +174,45 @@ def heavy_hitters(docs: DataFrame, k: int = 25) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
+def heavy_hitters_approx(docs: DataFrame, k: int = 25, local_m: int = 512) -> DataFrame:
+    """Bounded-memory approximate top-k tokens: each partition keeps
+    only its ``local_m`` most frequent tokens (one Python Counter per
+    partition, accumulated across Arrow batches), the survivors are
+    re-aggregated globally, and the top-k is TakeOrdered — the
+    SpaceSaving-flavored scale path for vocabularies too large for a
+    hash aggregate (URLs, n-grams, user agents).
+
+    Exactness: a token can only be missed if it falls outside the local
+    top-m in EVERY partition it appears in, so with local_m >> k the
+    head is exact in practice — tests assert exact agreement with
+    :func:`heavy_hitters` on the fixtures; counts of reported tokens
+    are exact only when the token survived in every partition, hence
+    rows-only verification (no SQL oracle). Shuffle volume is
+    ≤ partitions × local_m rows, independent of vocabulary size."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from .wordcount import py_tokenize
+
+    def local_counts(batches):
+        c: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                c.update(py_tokenize(text))
+        if c:
+            top = c.most_common(local_m)
+            yield pd.DataFrame({"token": [t for t, _ in top], "cnt": [n for _, n in top]})
+
+    locals_ = docs.select("text").mapInPandas(local_counts, "token string, cnt long")
+    counts = locals_.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
 def bigram_stats(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k adjacent-token bigrams per language — distributed n-gram
     LM statistics (the count table behind KenLM-style estimation).

@@ -175,6 +175,9 @@ QUERIES: dict[str, QueryFn] = {
     # approximate (sketch-cutpoint) scale path of value_deciles; error
     # bound vs the exact form asserted in tests — rows-only by design
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
+    # bounded-memory scale path of heavy_hitters; exact-agreement test
+    # vs the exact form — rows-only by design
+    "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
 }
 
 

@@ -502,3 +502,11 @@ def test_chunk_audio_matches_python(spark):
     # the real decode path is an explicit stub
     with _pytest.raises(Exception):
         multimodal.chunk_audio(mm, fake=False).collect()
+
+
+def test_heavy_hitters_approx_matches_exact_head(spark, sf_med):
+    docs = load_table(spark, sf_med, "documents")
+    exact = [(r["token"], r["cnt"], r["rk"]) for r in text.heavy_hitters(docs, k=15).collect()]
+    approx = [(r["token"], r["cnt"], r["rk"]) for r in text.heavy_hitters_approx(docs, k=15).collect()]
+    # with local_m >> k on this corpus the bounded-memory path is exact
+    assert approx == exact
