@@ -5,6 +5,7 @@ from .windows import (
     streaming_sliding_counts,
     streaming_stateful_sessions,
     streaming_tumbling_counts,
+    streaming_upsert_counts,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_sliding_counts",
     "streaming_stateful_sessions",
     "streaming_tumbling_counts",
+    "streaming_upsert_counts",
 ]

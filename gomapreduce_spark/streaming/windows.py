@@ -245,3 +245,46 @@ def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes
     return out.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events")
     )
+
+
+def streaming_upsert_counts(
+    spark: SparkSession, events_path: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming sink via ``foreachBatch``: hourly per-type counts
+    upserted into a date-partitioned parquet table — the keyed-sink
+    shape (reference outputer.go:11-13 / PartitionedSink) on a live
+    stream, with end-to-end effectively-once semantics: offsets are
+    tracked in the checkpoint, and each micro-batch OVERWRITES exactly
+    the partitions it touches (dynamic partitionOverwriteMode), so a
+    replayed batch rewrites the same files instead of duplicating rows.
+    Update output mode ships only windows the batch changed; state
+    carries cumulative counts, so the last write per partition is the
+    correct total. At 100 TB this is the standard streaming→lakehouse
+    compaction pattern (swap parquet-overwrite for a MERGE sink where
+    ACID tables are available)."""
+    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias("hour"),
+                "event_type",
+                "n_events",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

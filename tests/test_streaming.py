@@ -129,3 +129,34 @@ def test_streaming_interval_join_matches_batch(spark, sf_small):
     got, want = _as_set(stream), _as_set(batch)
     assert len(want) > 0, "vacuous: no click->purchase pairs in fixture"
     assert got == want
+
+
+def test_streaming_upsert_sink_matches_batch_and_is_idempotent(spark, sf_small, tmp_path):
+    """foreachBatch partition-overwrite sink: the parquet table equals
+    the batch aggregation, and re-running the stream over the same
+    input (fresh checkpoint, same output dir) leaves it unchanged —
+    replay rewrites partitions instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_upsert_counts
+
+    ev = load_table(spark, sf_small, "events")
+    batch = {
+        (r["hour"], r["event_type"], r["n_events"])
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd-HH").alias("hour"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    out = str(tmp_path / "counts")
+    streaming_upsert_counts(spark, f"{sf_small}/events.parquet", out, str(tmp_path / "ckpt1"))
+    got1 = {tuple(r) for r in spark.read.parquet(out).select("hour", "event_type", "n_events").collect()}
+    assert got1 == batch
+    # replay with a fresh checkpoint: same totals, no duplication
+    streaming_upsert_counts(spark, f"{sf_small}/events.parquet", out, str(tmp_path / "ckpt2"))
+    got2 = {tuple(r) for r in spark.read.parquet(out).select("hour", "event_type", "n_events").collect()}
+    assert got2 == batch
