@@ -26,7 +26,9 @@ def test_queries_oracles_aligned():
         "streaming_stateful_sessions",
         "streaming_interval_join",
         "streaming_session_windows",
+        "streaming_dedup_events",
         "value_deciles_approx",
+        "heavy_hitters_approx",
     }
 
 
