@@ -195,13 +195,16 @@ def heavy_hitters_approx(docs: DataFrame, k: int = 25, local_m: int = 512) -> Da
 
     from pyspark.sql import Window as W
 
-    from .wordcount import py_tokenize
+    from .wordcount import PY_WS_RE
 
     def local_counts(batches):
         c: Counter = Counter()
         for pdf in batches:
-            for text in pdf["text"]:
-                c.update(py_tokenize(text))
+            # one C-level regex split over the whole batch ('\n' is
+            # itself a separator, so joining cannot merge tokens), then
+            # one Counter.update — no per-row Python loop
+            c.update(PY_WS_RE.split("\n".join(pdf["text"].fillna(""))))
+        c.pop("", None)
         if c:
             top = c.most_common(local_m)
             yield pd.DataFrame({"token": [t for t, _ in top], "cnt": [n for _, n in top]})
