@@ -513,3 +513,45 @@ def embedding_near_dup(
     # a pair colliding in several (table, cell) combinations scores
     # identically each time — dedup the tiny thresholded output
     return scored.dropDuplicates(["vec_a", "vec_b"])
+
+
+def benchmark_overlap(docs: DataFrame, bench_mod: int = 43, min_hits: int = 2) -> DataFrame:
+    """Decontamination: flag training documents whose word-shingle sets
+    overlap a benchmark/eval set — the pre-training hygiene step that
+    keeps held-out test data out of the corpus (no analog in the
+    reference, which has no notion of eval data).
+
+    The benchmark side here is the deterministic ``doc_id % bench_mod
+    == 0`` slice of the corpus standing in for an external eval table;
+    production swaps in any (bench_id, shingle) DataFrame unchanged.
+
+    Scale design: eval sets are tiny relative to a 100 TB corpus
+    (MMLU-scale ≈ 1e6 shingles), so the benchmark shingle hashes
+    BROADCAST and the corpus side stays a narrow shingle scan +
+    broadcast hash join; the only shuffle is the final per-doc
+    aggregate (partial+final, keyed by doc_id). Output is the
+    contamination manifest: per flagged doc, how many distinct shingles
+    hit and how many benchmark docs they touch.
+    """
+    sh = (
+        shingle_arrays(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", h64(F.col("shingle")).alias("sh_h"))
+        # consumed by both branches below; localCheckpoint (anonymous,
+        # ContextCleaner-reclaimed) so the Arrow shingle pass runs once
+        .localCheckpoint()
+    )
+    bench = sh.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh_h"
+    )
+    train = sh.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh_h").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .where(F.col("n_hit_shingles") >= min_hits)
+    )

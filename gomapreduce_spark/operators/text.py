@@ -330,3 +330,84 @@ def doc_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     # array_min over the per-row gram hashes: a pure projection — no
     # explode, no shuffle; at 100 TB this is a single codegen'd scan.
     return docs.select("doc_id", F.array_min(gram_hashes).alias("fingerprint"))
+
+
+# Gopher rule thresholds (Rae et al. 2021, appendix A1.1 — public paper)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: hard bounds on word
+    count, mean word length, symbol-to-word ratio ('#' and '...'),
+    alphabetic-word ratio, and distinct-stopword presence; ``keep`` is
+    the conjunction. The standard first-pass corpus filter (C4/Gopher
+    lineage), distinct from :func:`quality_score`'s soft composite.
+
+    All built-in functions over one narrow scan — no shuffle, no UDF;
+    at 100 TB this is an embarrassingly parallel filter whose selectivity
+    reaches the parquet scan via the usual pushdown when composed."""
+    toks = tokenize("text")
+    n = F.size(toks)
+    nn = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / nn
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / nn
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellipsis = (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nn
+    stop_distinct = sum(
+        F.when(F.array_contains(toks, s), 1).otherwise(0) for s in STOPWORDS
+    )
+    keep = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio > GOPHER_MIN_ALPHA_RATIO)
+        & (stop_distinct >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_distinct.cast("long").alias("n_stop_distinct"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition rules):
+    fraction of bigram occurrences consumed by the single most frequent
+    bigram, and the duplicate-bigram fraction — the signals that catch
+    boilerplate/spam pages whose token distributions look fine.
+
+    Bigrams are two slices of one tokenize zipped together (no
+    per-element lambda indexing — the O(tokens²) CollapseProject trap
+    shingle_arrays documents); explode → (doc, bigram) partial+final
+    count → per-doc aggregate. Both shuffles are keyed by doc_id, so at
+    100 TB the plan is two bounded-fan-in hash aggregations; no window,
+    no global sort."""
+    t = docs.select("doc_id", tokenize("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_bigram = (
+        t.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_bigram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+        F.round(F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt"), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )

@@ -97,6 +97,9 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_stats": lambda s, d: text.bigram_stats(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: text.stratified_sample(load_table(s, d, "documents")),
     "corpus_mixture": lambda s, d: text.corpus_mixture(load_table(s, d, "documents")),
+    "benchmark_overlap": lambda s, d: dedup.benchmark_overlap(load_table(s, d, "documents")),
+    "gopher_rules": lambda s, d: text.gopher_rules(load_table(s, d, "documents")),
+    "repetition_stats": lambda s, d: text.repetition_stats(load_table(s, d, "documents")),
     # -- relational analytics --
     "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
     "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
@@ -777,6 +780,67 @@ ORACLES: dict[str, str] = {
                round(pow(share, 0.5) / z, 6) AS weight,
                round(pow(share, 0.5) / z * 1000000, 0)::BIGINT AS alloc_tokens
         FROM shared, z
+    """,
+    "benchmark_overlap": f"""
+        WITH {_SHINGLES},
+        hsh AS (SELECT doc_id, {_H.format(s='shingle')} AS sh_h FROM sh),
+        bench AS (SELECT doc_id AS bench_id, sh_h FROM hsh WHERE doc_id % 43 = 0),
+        train AS (SELECT doc_id, sh_h FROM hsh WHERE doc_id % 43 <> 0)
+        SELECT t.doc_id,
+               count(DISTINCT t.sh_h) AS n_hit_shingles,
+               count(DISTINCT b.bench_id) AS n_bench_docs
+        FROM train t JOIN bench b ON t.sh_h = b.sh_h
+        GROUP BY t.doc_id
+        HAVING count(DISTINCT t.sh_h) >= 2
+    """,
+    "gopher_rules": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+                   / greatest(len(t), 1) AS mean_len,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / greatest(len(t), 1) AS alpha_ratio,
+                 (strlen(text) - strlen(replace(text, '#', ''))
+                    + (strlen(text) - strlen(replace(text, '...', ''))) / 3)::DOUBLE
+                   / greatest(len(t), 1) AS symbol_ratio,
+                 ((CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(t, 'in') THEN 1 ELSE 0 END)) AS n_stop
+          FROM t
+        )
+        SELECT doc_id,
+               n_words::BIGINT AS n_words,
+               round(mean_len, 6) AS mean_word_len,
+               round(symbol_ratio, 6) AS symbol_ratio,
+               round(alpha_ratio, 6) AS alpha_word_ratio,
+               n_stop::BIGINT AS n_stop_distinct,
+               (CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_len >= 3 AND mean_len <= 10
+                      AND symbol_ratio < 0.1
+                      AND alpha_ratio > 0.8
+                      AND n_stop >= 2 THEN 1 ELSE 0 END)::INT AS keep
+        FROM m
+    """,
+    "repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+          FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        per AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(cnt)::BIGINT AS n_bigrams,
+               count(*)::BIGINT AS n_distinct_bigrams,
+               round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_bigram_frac,
+               round(1.0 - count(*)::DOUBLE / sum(cnt), 6) AS dup_bigram_frac
+        FROM per GROUP BY doc_id
     """,
     "exact_dedup": f"""
         SELECT {_H.format(s='text')} AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

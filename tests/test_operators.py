@@ -510,3 +510,44 @@ def test_heavy_hitters_approx_matches_exact_head(spark, sf_med):
     approx = [(r["token"], r["cnt"], r["rk"]) for r in text.heavy_hitters_approx(docs, k=15).collect()]
     # with local_m >> k on this corpus the bounded-memory path is exact
     assert approx == exact
+
+
+def test_benchmark_overlap_flags_planted_contamination(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    # doc 43 is the benchmark slice (43 % 43 == 0); doc 1 copies a span
+    # of it (shared shingles), doc 2 shares nothing
+    docs = spark.createDataFrame(
+        [(43, bench_text), (1, "xx " + bench_text + " yy"), (2, clean)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.benchmark_overlap(docs).collect()}
+    assert 1 in out and out[1]["n_bench_docs"] == 1 and out[1]["n_hit_shingles"] >= 2
+    assert 2 not in out
+    assert 43 not in out  # the benchmark slice itself is never flagged
+
+
+def test_gopher_rules_keep_logic(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    good = "the cat sat of the mat and then the dog is gone " * 6  # 72 words, stopwords
+    short = "the tiny one is here"  # < 50 words
+    symbols = ("# " * 30) + "the of and is a word list here now ok " * 4
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text_ops.gopher_rules(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_words"] < 50
+    assert out[3]["keep"] == 0 and out[3]["symbol_ratio"] > 0.1
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    loop = "buy now " * 20            # one bigram dominates
+    varied = "a b c d e f g h i j k l m n o p q r s t"
+    docs = spark.createDataFrame([(1, loop), (2, varied)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.repetition_stats(docs).collect()}
+    assert out[1]["top_bigram_frac"] > 0.4 and out[1]["dup_bigram_frac"] > 0.9
+    assert out[2]["top_bigram_frac"] < 0.1 and out[2]["dup_bigram_frac"] == 0.0
