@@ -153,6 +153,27 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
     },
+    # Gopher rule filter: a pure narrow projection — built-ins only, no
+    # shuffle beyond the small-file rebalance, no window, no join
+    "gopher_rules": {
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Window", "Join"],
+    },
+    # per-doc repetition metrics: two doc-keyed partial+final aggs; a
+    # window or single-partition exchange would mean the per-doc keying
+    # was lost
+    "repetition_stats": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Window", "Exchange SinglePartition"],
+    },
+    # decontamination: the benchmark shingle side must BROADCAST onto
+    # the corpus scan — a shuffle join would move the 100 TB corpus to
+    # meet an MMLU-sized eval set
+    "benchmark_overlap": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
