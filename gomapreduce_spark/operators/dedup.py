@@ -555,3 +555,24 @@ def benchmark_overlap(docs: DataFrame, bench_mod: int = 43, min_hits: int = 2) -
         )
         .where(F.col("n_hit_shingles") >= min_hits)
     )
+
+
+def embedding_dedup_clusters(
+    emb: DataFrame, threshold: float = 0.4, graph_partitions: int = 4
+) -> DataFrame:
+    """Semantic dedup (SemDeDup-style): connected components over the
+    embedding-cosine near-dup graph → (vec_id, cluster_id = min vec_id
+    in component, cluster_size). The embedding-space analog of
+    :func:`dedup_clusters`: candidate pairs come from the fully
+    distributed sign-LSH scorer (:func:`embedding_near_dup`, exact on
+    the ≥threshold graph), component search is the same pointer-doubling
+    :func:`connected_components` — the pair graph is tiny relative to
+    the corpus, so the iterative stage never touches embeddings."""
+    pairs = embedding_near_dup(emb, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = connected_components(pairs, graph_partitions)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )

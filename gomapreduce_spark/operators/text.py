@@ -411,3 +411,39 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Full winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): hash every character k-gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's minimum; the distinct
+    selected hashes are the document's fingerprint set. Guarantees any
+    shared substring of length ≥ k+w-1 contributes a shared fingerprint
+    — the matching-coverage property the global-min special case
+    (:func:`doc_fingerprint`) trades away.
+
+    Plan shape: gram hashes are one array projection per doc (computed
+    once, then posexploded — never re-derived per element), the window
+    min PARTITIONS by doc_id (bounded fan-in, no global sort), and the
+    distinct is keyed by (doc_id, fingerprint). Output is ~2n/w rows
+    per doc. Docs shorter than k+w-1 chars still emit one fingerprint
+    (the min over their truncated first window), matching the paper's
+    at-least-one guarantee."""
+    from pyspark.sql import Window as W
+
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: h64(F.col("text").substr(i, F.lit(k))),
+    )
+    g = docs.select(
+        "doc_id", F.size(gram_hashes).alias("n_grams"), F.posexplode(gram_hashes).alias("pos", "h")
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    return (
+        g.withColumn("fp", F.min("h").over(wspec))
+        # complete windows only (0-based start positions 0 .. n-w); a
+        # short doc keeps its single truncated window at pos 0
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )

@@ -100,6 +100,10 @@ QUERIES: dict[str, QueryFn] = {
     "benchmark_overlap": lambda s, d: dedup.benchmark_overlap(load_table(s, d, "documents")),
     "gopher_rules": lambda s, d: text.gopher_rules(load_table(s, d, "documents")),
     "repetition_stats": lambda s, d: text.repetition_stats(load_table(s, d, "documents")),
+    "winnow_fingerprints": lambda s, d: text.winnow_fingerprints(load_table(s, d, "documents")),
+    "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
+        load_table(s, d, "embeddings")
+    ),
     # -- relational analytics --
     "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
     "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
@@ -728,6 +732,42 @@ ORACLES: dict[str, str] = {
           FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
         )
         SELECT doc_id, min({_H.format(s='gram')}) AS fingerprint FROM grams GROUP BY doc_id
+    """,
+    "winnow_fingerprints": f"""
+        WITH g AS (
+          SELECT doc_id, i AS pos, {_H.format(s='substr(text, i, 8)')} AS h,
+                 greatest(strlen(text) - 7, 1) AS n_grams
+          FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
+        ),
+        wm AS (
+          SELECT doc_id, pos, n_grams,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM g
+        )
+        SELECT DISTINCT doc_id, fp AS fingerprint
+        FROM wm WHERE pos <= greatest(n_grams - 4, 0) + 1
+    """,
+    "embedding_dedup_clusters": """
+        WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        edges AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                >= 0.4
+        ),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        labels AS (SELECT a AS vec_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a)
+        SELECT l.vec_id, l.cluster_id, s.n AS cluster_size
+        FROM labels l
+        JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s USING (cluster_id)
     """,
     "heavy_hitters": f"""
         WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),

@@ -551,3 +551,49 @@ def test_repetition_stats_detects_boilerplate(spark):
     out = {r["doc_id"]: r for r in text_ops.repetition_stats(docs).collect()}
     assert out[1]["top_bigram_frac"] > 0.4 and out[1]["dup_bigram_frac"] > 0.9
     assert out[2]["top_bigram_frac"] < 0.1 and out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_winnow_fingerprints_shared_substring_coverage(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    # winnowing guarantee: a shared substring of length >= k+w-1 (= 11)
+    # produces at least one shared fingerprint
+    shared = "ABCDEFGHIJKLMNOPQR"  # 18 chars, well over k+w-1
+    docs = spark.createDataFrame(
+        [(1, "xxxx " + shared + " yyyy"), (2, "zz " + shared + " qqqq"), (3, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "docs sharing an 18-char substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_fingerprints_short_doc_emits_one(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")  # < k chars
+    fps = text_ops.winnow_fingerprints(docs).collect()
+    assert len(fps) == 1 and fps[0]["doc_id"] == 1
+
+
+def test_embedding_dedup_clusters_on_planted_groups(spark):
+    # two tight groups + one loner: clusters must be {1,2,3} and {10,11}
+    base_a = [1.0] + [0.0] * 63
+    base_b = [0.0, 1.0] + [0.0] * 62
+    lone = [0.0, 0.0, 1.0] + [0.0] * 61
+    jitter = lambda v, i: [x + (0.001 * i if j == 5 else 0.0) for j, x in enumerate(v)]
+    rows = [
+        (1, base_a), (2, jitter(base_a, 1)), (3, jitter(base_a, 2)),
+        (10, base_b), (11, jitter(base_b, 1)),
+        (20, lone),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_dedup_clusters(emb, threshold=0.9).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+        assert r["cluster_size"] == {1: 3, 10: 2}[r["cluster_id"]]
+    assert clusters == {1: {1, 2, 3}, 10: {10, 11}}
