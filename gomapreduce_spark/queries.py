@@ -67,20 +67,22 @@ def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-# Ordering is priority-ordering: the round-1 driver recorded CORRECTNESS
-# rows for only the FIRST 50 entries, so entries are arranged so that
-# every operator family's primary check (and every entry that had no row
-# in round 1) sits inside the first 50. The tail entries past 50 are
-# redundant-showcase queries whose families are verified by earlier
-# entries + pytest, and the streaming ops (rows-only by design,
-# batch-parity asserted in tests/test_streaming.py).
+# Ordering is priority-ordering: the driver records CORRECTNESS rows
+# for only the FIRST ~50 entries, so the first 50 are (a) the reference
+# core dataflow, (b) every entry that is NEW or whose implementation
+# CHANGED this round (their previous green rows no longer vouch for the
+# current code), and (c) entries with no row in round 1. The tail past
+# 50 is exactly the queries that are UNCHANGED since their green
+# round-1 hash-match and re-verified every run by pytest +
+# tools/check_oracle.py, plus the streaming ops (rows-only by design,
+# batch parity asserted in tests/test_streaming.py).
 QUERIES: dict[str, QueryFn] = {
     # -- reference core dataflow (SURVEY §2.1) --
     "wordcount": lambda s, d: wordcount.word_count(load_table(s, d, "documents")),
     "mr_wordcount": _mr_wordcount,
     "group_collect": lambda s, d: wordcount.group_collect(load_table(s, d, "documents")),
     "sum_reduce": lambda s, d: wordcount.sum_reduce(load_table(s, d, "events")),
-    # -- unchecked-in-round-1 entries, now ahead of the budget line --
+    # -- no round-1 driver row --
     "multimodal_features": lambda s, d: multimodal.multimodal_features(load_table(s, d, "documents")),
     "frame_stats": lambda s, d: multimodal.frame_stats(load_table(s, d, "documents")),
     "audio_chunk_stats": lambda s, d: multimodal.audio_chunk_stats(load_table(s, d, "documents")),
@@ -91,7 +93,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
-    # -- training-pipeline corpus ops (round 2) --
+    # -- NEW this round --
     "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
     "heavy_hitters": lambda s, d: text.heavy_hitters(load_table(s, d, "documents")),
     "bigram_stats": lambda s, d: text.bigram_stats(load_table(s, d, "documents")),
@@ -104,16 +106,56 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
         load_table(s, d, "embeddings")
     ),
-    # -- relational analytics --
-    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
-    "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
+    "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
+    "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
+    "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
+    # -- implementation CHANGED this round (re-verify) --
+    "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
+    "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
+    "lang_id": lambda s, d: text.lang_id(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
+    "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
+    "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(load_table(s, d, "documents")),
+    "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
+    "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
+    "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
+    "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
+    "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
+    "training_corpus": lambda s, d: text.training_corpus(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
+    "profile_events": lambda s, d: profile_table(load_table(s, d, "events")),
     "q3_top_orders": lambda s, d: relational.q3_top_orders(
         load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
     ),
+    "q10_returned_items": lambda s, d: relational.q10_returned_items(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    # -- unchanged relational/event spot-checks filling the budget --
+    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
+    "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
     "q5_local_supplier": lambda s, d: relational.q5_local_supplier_volume(
         load_table(s, d, "region"), load_table(s, d, "nation"), load_table(s, d, "customer"),
         load_table(s, d, "supplier"), load_table(s, d, "orders"), load_table(s, d, "lineitem"),
     ),
+    "q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "q4_late_shipments": lambda s, d: relational.q4_late_shipments(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "asof_join_orders": lambda s, d: events.asof_join_orders(
+        load_table(s, d, "events"), load_table(s, d, "orders")
+    ),
+    "range_join_shipments": lambda s, d: events.range_join_shipments(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
+    "percentile_stats": lambda s, d: events.percentile_stats(load_table(s, d, "events")),
+    # ---- budget line: entries below are UNCHANGED since their green ----
+    # ---- round-1 rows (re-verified by pytest + check_oracle.py) and ----
+    # ---- cede driver-check priority.                                ----
     "topk_per_group": lambda s, d: relational.topk_per_group(load_table(s, d, "lineitem")),
     "rollup_revenue": lambda s, d: relational.rollup_revenue(load_table(s, d, "lineitem")),
     "anti_join_customers": lambda s, d: relational.customers_without_orders(
@@ -123,68 +165,21 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
     "order_status_pivot": lambda s, d: relational.order_status_pivot(load_table(s, d, "orders")),
-    "q17_small_quantity": lambda s, d: relational.q17_small_quantity_revenue(
-        load_table(s, d, "lineitem"), load_table(s, d, "part")
-    ),
-    "q4_late_shipments": lambda s, d: relational.q4_late_shipments(
-        load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    ),
-    "q10_returned_items": lambda s, d: relational.q10_returned_items(
-        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    ),
-    # -- event-time --
     "tumbling_window_counts": lambda s, d: events.tumbling_counts(load_table(s, d, "events")),
-    "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
     "running_totals": lambda s, d: events.running_user_totals(load_table(s, d, "events")),
-    "asof_join_orders": lambda s, d: events.asof_join_orders(
-        load_table(s, d, "events"), load_table(s, d, "orders")
-    ),
     "sliding_window_counts": lambda s, d: events.sliding_window_counts(load_table(s, d, "events")),
     "cube_by_type_hour": lambda s, d: events.cube_by_type_hour(load_table(s, d, "events")),
-    "percentile_stats": lambda s, d: events.percentile_stats(load_table(s, d, "events")),
     "funnel_set_ops": lambda s, d: events.funnel_set_ops(load_table(s, d, "events")),
     "json_props_stats": lambda s, d: events.json_props_stats(load_table(s, d, "events")),
     "latest_event_per_user": lambda s, d: events.latest_event_per_user(load_table(s, d, "events")),
     "value_deciles": lambda s, d: events.value_deciles(load_table(s, d, "events")),
-    "range_join_shipments": lambda s, d: events.range_join_shipments(
-        load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    ),
     "value_prop_correlation": lambda s, d: events.value_prop_correlation(load_table(s, d, "events")),
     "trimmed_mean_by_type": lambda s, d: events.trimmed_mean_by_type(load_table(s, d, "events")),
-    "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
-    "training_corpus": lambda s, d: text.training_corpus(
-        load_table(s, d, "documents"), load_table(s, d, "embeddings")
-    ),
-    # -- text analysis --
-    "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
-    "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
-    "lang_id": lambda s, d: text.lang_id(load_table(s, d, "documents")),
-    "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
-    # -- dedup family --
-    "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
-    "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(load_table(s, d, "documents")),
-    "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
-    "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
-    "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
-    "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
-    "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(load_table(s, d, "embeddings")),
-    # -- similarity search --
-    "knn_bruteforce": lambda s, d: similarity.knn_bruteforce(load_table(s, d, "embeddings")),
-    # ---- budget line: entries below had green round-1 rows (or are ----
-    # ---- rows-only) and their families are re-verified by pytest + ----
-    # ---- tools/check_oracle.py; they cede driver-check priority.   ----
     "distinct_words": lambda s, d: wordcount.distinct_words(load_table(s, d, "documents")),
     "string_funcs_showcase": lambda s, d: text.string_funcs_showcase(load_table(s, d, "documents")),
     "date_funcs_showcase": lambda s, d: relational.date_funcs_showcase(load_table(s, d, "orders")),
     "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
-    "profile_events": lambda s, d: profile_table(load_table(s, d, "events")),
-    # approximate (sketch-cutpoint) scale path of value_deciles; error
-    # bound vs the exact form asserted in tests — rows-only by design
-    "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
-    # bounded-memory scale path of heavy_hitters; exact-agreement test
-    # vs the exact form — rows-only by design
-    "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
 }
 
 
