@@ -35,6 +35,11 @@ PROBE_QUERIES = [
     "embedding_near_dup",
     "trimmed_mean_distributed",
     "knn_lsh",
+    "benchmark_overlap",
+    "gopher_rules",
+    "repetition_stats",
+    "winnow_fingerprints",
+    "profile_events",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
