@@ -15,76 +15,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    # reference core / facade
-    "wordcount",
-    "mr_wordcount",
-    "group_collect",
-    "sum_reduce",
-    # relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q4_late_shipments",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q17_small_quantity",
-    "topk_per_group",
-    "rollup_revenue",
-    "anti_join_customers",
-    "semi_join_big_spenders",
-    "order_status_pivot",
-    # event-time / windows / stats
-    "tumbling_window_counts",
-    "sessionize",
-    "running_totals",
-    "asof_join_orders",
-    "range_join_shipments",
-    "sliding_window_counts",
-    "cube_by_type_hour",
-    "latest_event_per_user",
-    "json_props_stats",
-    "percentile_stats",
-    "funnel_set_ops",
-    "value_prop_correlation",
-    "trimmed_mean_by_type",
-    "trimmed_mean_distributed",
-    "value_deciles",
-    "value_deciles_approx",
-    "approx_distinct_users",
-    "salted_user_counts",
-    "window_rank_showcase",
-    "profile_events",
-    # text / training pipeline
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    "training_corpus",
-    "doc_fingerprint",
-    "heavy_hitters",
-    "heavy_hitters_approx",
-    "bigram_stats",
-    "stratified_sample",
-    "corpus_mixture",
-    # dedup family
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "simhash",
-    "simhash_pairs",
-    "embedding_near_dup",
-    # similarity / multimodal
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "array_funcs_showcase",
-    "embedding_doc_join",
-    "multimodal_features",
-    "frame_stats",
-    "audio_chunk_stats",
-]
+# Every registered batch query, in inventory order; the streaming ops
+# are excluded (they run their own micro-batch lifecycle and are
+# parity-benchmarked in tests/test_streaming.py instead).
+def bench_queries(queries) -> list[str]:
+    return [n for n in queries if not n.startswith("streaming_")]
 
 
 def main() -> None:
@@ -102,7 +37,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     warm(QUERIES, spark, sf_dir)
-    times: dict[str, float] = {name: time_query(QUERIES, name, spark, sf_dir) for name in BENCH_QUERIES}
+    times: dict[str, float] = {
+        name: time_query(QUERIES, name, spark, sf_dir) for name in bench_queries(QUERIES)
+    }
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
