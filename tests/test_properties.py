@@ -121,3 +121,72 @@ def test_asof_join_matches_naive(spark, event_offsets, order_offsets):
             best_key = max(k for o, k in elig if o == best_date)
             want.add((ei, best_key))
     assert got == want
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_winnow_fingerprints_vs_python(spark, docs):
+    """Winnowing must equal a direct python implementation of the
+    same scheme (min per w-window over k-gram hashes, distinct)."""
+    import hashlib
+
+    from gomapreduce_spark.operators import text as text_ops
+
+    k, w = 8, 4
+
+    def py_h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = set()
+    for i, t in enumerate(docs):
+        n_grams = max(len(t) - (k - 1), 1)
+        hashes = [py_h64(t[j : j + k]) for j in range(n_grams)]
+        for start in range(max(n_grams - w, 0) + 1):
+            expected.add((i, min(hashes[start : start + w])))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {(r["doc_id"], r["fingerprint"]) for r in text_ops.winnow_fingerprints(df).collect()}
+    assert got == expected
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_gopher_rules_word_accounting(spark, docs):
+    """n_words must equal the shared tokenizer's count and keep must be
+    0 for any sub-50-word doc (the fixture alphabet can't pass the
+    bound by accident)."""
+    from gomapreduce_spark.operators import text as text_ops
+    from gomapreduce_spark.operators.wordcount import py_tokenize
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.gopher_rules(df).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, t in enumerate(docs):
+        assert out[i]["n_words"] == len(py_tokenize(t))
+        if out[i]["n_words"] < 50:
+            assert out[i]["keep"] == 0
+
+
+@given(docs=texts)
+@settings(**SETTINGS)
+def test_repetition_stats_bounds(spark, docs):
+    """Fractions live in (0,1]; sum/max/distinct accounting must agree
+    with a direct python count of each doc's bigrams."""
+    from collections import Counter
+
+    from gomapreduce_spark.operators import text as text_ops
+    from gomapreduce_spark.operators.wordcount import py_tokenize
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.repetition_stats(df).collect()}
+    for i, t in enumerate(docs):
+        toks = py_tokenize(t)
+        bigrams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        if len(toks) < 2:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r["n_bigrams"] == sum(bigrams.values())
+        assert r["n_distinct_bigrams"] == len(bigrams)
+        assert abs(r["top_bigram_frac"] - max(bigrams.values()) / sum(bigrams.values())) < 1e-6
