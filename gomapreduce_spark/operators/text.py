@@ -453,3 +453,38 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
         .select("doc_id", F.col("fp").alias("fingerprint"))
         .distinct()
     )
+
+
+# PII patterns restricted to syntax shared verbatim by Java regex
+# (Spark) and RE2 (DuckDB): char classes, \d, \b, bounded repeats.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction: count and replace emails, IPv4
+    addresses, and phone-shaped numbers — the standard pre-training
+    privacy scrub. Counts are taken on the ORIGINAL text (independent
+    per pattern); redaction applies email → IP → phone in that fixed
+    order so overlapping matches resolve identically everywhere.
+
+    Output is the per-doc audit record (match counts + a 60-bit hash of
+    the scrubbed text) rather than the scrubbed corpus itself — in a
+    pipeline the same projection feeds the write path. One narrow
+    built-in-only scan: regexp count/replace are JVM-side, zero
+    shuffle, embarrassingly parallel at any corpus size."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"), PII_IP_RE, "[IP]"
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IP_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        h64(scrubbed).alias("scrub_hash"),
+    )

@@ -103,6 +103,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_rules": lambda s, d: text.gopher_rules(load_table(s, d, "documents")),
     "repetition_stats": lambda s, d: text.repetition_stats(load_table(s, d, "documents")),
     "winnow_fingerprints": lambda s, d: text.winnow_fingerprints(load_table(s, d, "documents")),
+    "pii_scrub": lambda s, d: text.pii_scrub(load_table(s, d, "documents")),
     "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
         load_table(s, d, "embeddings")
     ),
@@ -242,6 +243,24 @@ sh AS (
   FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
   WHERE len(t) >= 3
 )"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_SCRUBBED = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '[EMAIL]', 'g'), "
+    f"'{_PII_IP}', '[IP]', 'g'), "
+    f"'{_PII_PHONE}', '[PHONE]', 'g')"
+)
+_PII_ORACLE = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
+               len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+               {_H.format(s=_PII_SCRUBBED)} AS scrub_hash
+        FROM documents
+    """
 
 ORACLE_MINHASH_LSH = f"""
         WITH {_SHINGLES},
@@ -743,6 +762,11 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id, fp AS fingerprint
         FROM wm WHERE pos <= greatest(n_grams - 4, 0) + 1
     """,
+    # counts on the original text per pattern; redaction order
+    # email → IP → phone matches the Spark side exactly. Patterns are
+    # the shared Java-regex/RE2 subset; DuckDB needs the explicit 'g'
+    # flag (it replaces first-match-only by default, Spark replaces all)
+    "pii_scrub": _PII_ORACLE,
     "embedding_dedup_clusters": """
         WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         edges AS (

@@ -597,3 +597,47 @@ def test_embedding_dedup_clusters_on_planted_groups(spark):
         clusters.setdefault(r["cluster_id"], set()).add(r["vec_id"])
         assert r["cluster_size"] == {1: 3, 10: 2}[r["cluster_id"]]
     assert clusters == {1: {1, 2, 3}, 10: {10, 11}}
+
+
+def test_pii_scrub_planted(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 at 555-123-4567 now"),
+            (2, "no pii in this one at all"),
+            (3, "two mails a@b.io c@d.org one ip 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (2, 1, 0)
+    # a clean doc's scrub hash equals the hash of the original text
+    from gomapreduce_spark.functions.hashing import h64
+    from pyspark.sql import functions as F
+
+    plain = docs.where(F.col("doc_id") == 2).select(h64(F.col("text")).alias("h")).first()["h"]
+    assert out[2]["scrub_hash"] == plain
+    # redaction actually removed the matches: scrubbed text of doc 1
+    # differs from the original
+    orig1 = docs.where(F.col("doc_id") == 1).select(h64(F.col("text")).alias("h")).first()["h"]
+    assert out[1]["scrub_hash"] != orig1
+    # full cross-engine agreement on PLANTED data (the corpus fixtures
+    # only exercise the zero-match path of the oracle)
+    import duckdb
+
+    from gomapreduce_spark.queries import _PII_ORACLE
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r["doc_id"], r["text"]) for r in docs.collect()],
+    )
+    for doc_id, n_emails, n_ips, n_phones, scrub_hash in con.execute(_PII_ORACLE).fetchall():
+        r = out[doc_id]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"], r["scrub_hash"]) == (
+            n_emails, n_ips, n_phones, scrub_hash,
+        )

@@ -174,6 +174,14 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # winnowing: the sliding-min window must stay PARTITIONED by doc_id
+    # — a single-partition exchange would serialize the whole gram
+    # stream through one task
+    "winnow_fingerprints": {
+        "require": ["Window"],
+        "partial_agg": True,  # the distinct over (doc_id, fp)
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
 }
 
 
