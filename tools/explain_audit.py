@@ -174,6 +174,12 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # PII scrub: a pure narrow regexp projection — no join, no window,
+    # no shuffle beyond the small-file rebalance
+    "pii_scrub": {
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Window", "Join"],
+    },
     # winnowing: the sliding-min window must stay PARTITIONED by doc_id
     # — a single-partition exchange would serialize the whole gram
     # stream through one task
