@@ -228,6 +228,27 @@ QUERIES["streaming_session_windows"] = _streaming_session_windows
 QUERIES["streaming_dedup_events"] = _streaming_dedup
 
 
+def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_static_enrichment
+
+    return streaming_static_enrichment(
+        spark, f"{sf_dir}/events.parquet", load_table(spark, sf_dir, "customer")
+    )
+
+
+# deterministic row-level stream-static join: the ONE streaming entry
+# with a full value-hash oracle (no windows/state to make it rows-only).
+# NEW this round → promoted into the driver's ~50-row check budget in
+# place of an unchanged green spot-check (sessionize slides out).
+QUERIES["streaming_static_enrichment"] = _streaming_enrichment
+_order = list(QUERIES)
+_order.insert(
+    _order.index("sessionize"),
+    _order.pop(_order.index("streaming_static_enrichment")),
+)
+QUERIES = {k: QUERIES[k] for k in _order}
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (tables pre-registered as views by the driver)
 # ---------------------------------------------------------------------------
@@ -767,6 +788,11 @@ ORACLES: dict[str, str] = {
     # the shared Java-regex/RE2 subset; DuckDB needs the explicit 'g'
     # flag (it replaces first-match-only by default, Spark replaces all)
     "pii_scrub": _PII_ORACLE,
+    "streaming_static_enrichment": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment, c.c_acctbal AS acctbal
+        FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
     "embedding_dedup_clusters": """
         WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         edges AS (

@@ -2,6 +2,7 @@ from .windows import (
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_windows,
+    streaming_static_enrichment,
     streaming_sliding_counts,
     streaming_stateful_sessions,
     streaming_tumbling_counts,
@@ -12,6 +13,7 @@ __all__ = [
     "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_session_windows",
+    "streaming_static_enrichment",
     "streaming_sliding_counts",
     "streaming_stateful_sessions",
     "streaming_tumbling_counts",

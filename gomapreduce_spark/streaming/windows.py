@@ -288,3 +288,29 @@ def streaming_upsert_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_static_enrichment(
+    spark: SparkSession, events_path: str, customer: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: each streaming event joined to
+    the static customer dimension (c_custkey = user_id) — the canonical
+    streaming lookup pattern. The static side is a plain DataFrame;
+    Spark re-broadcasts it per micro-batch, no watermark or join state
+    needed (unlike stream-stream joins), so state stays O(1) at any
+    ingest rate and the dimension can be swapped for a slowly-changing
+    table between batches.
+
+    Row-level and deterministic (no windows, no state), so this is the
+    one streaming query with a full value-hash DuckDB oracle — the
+    others settle for batch-parity tests."""
+    stream = _read_events_stream(spark, events_path)
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    joined = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "segment", "acctbal"
+    )
+    return _run_to_memory(joined, "append")

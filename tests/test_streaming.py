@@ -160,3 +160,25 @@ def test_streaming_upsert_sink_matches_batch_and_is_idempotent(spark, sf_small, 
     streaming_upsert_counts(spark, f"{sf_small}/events.parquet", out, str(tmp_path / "ckpt2"))
     got2 = {tuple(r) for r in spark.read.parquet(out).select("hour", "event_type", "n_events").collect()}
     assert got2 == batch
+
+
+def test_streaming_static_enrichment_matches_batch(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_static_enrichment
+
+    cust = load_table(spark, sf_small, "customer")
+    got = _as_set(
+        streaming_static_enrichment(spark, f"{sf_small}/events.parquet", cust)
+    )
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    exp = _as_set(
+        load_table(spark, sf_small, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "event_type", "segment", "acctbal")
+    )
+    assert got == exp and len(got) > 0
