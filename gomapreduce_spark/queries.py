@@ -104,6 +104,8 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": lambda s, d: text.repetition_stats(load_table(s, d, "documents")),
     "winnow_fingerprints": lambda s, d: text.winnow_fingerprints(load_table(s, d, "documents")),
     "pii_scrub": lambda s, d: text.pii_scrub(load_table(s, d, "documents")),
+    "tf_idf": lambda s, d: text.tf_idf(load_table(s, d, "documents")),
+    "inverted_index": lambda s, d: text.inverted_index(load_table(s, d, "documents")),
     "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
         load_table(s, d, "embeddings")
     ),
@@ -788,6 +790,34 @@ ORACLES: dict[str, str] = {
     # the shared Java-regex/RE2 subset; DuckDB needs the explicit 'g'
     # flag (it replaces first-match-only by default, Spark replaces all)
     "pii_scrub": _PII_ORACLE,
+    # ranking orders by the ROUNDED tfidf (then token) on both sides so
+    # sub-1e-6 libm differences in ln() can never flip a rank
+    "tf_idf": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, token, tf, df,
+                 round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+          FROM tf JOIN dfq USING (token), nd
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+          FROM scored
+        )
+        SELECT doc_id, token, tf::BIGINT AS tf, df::BIGINT AS df, tfidf, rk::BIGINT AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+    "inverted_index": f"""
+        WITH pairs AS (
+          SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+        )
+        SELECT token, count(*)::BIGINT AS df,
+               list_sort(list(doc_id)) AS postings
+        FROM pairs GROUP BY token
+    """,
     "streaming_static_enrichment": """
         SELECT e.event_id, e.user_id, e.event_type,
                c.c_mktsegment AS segment, c.c_acctbal AS acctbal

@@ -641,3 +641,30 @@ def test_pii_scrub_planted(spark):
         assert (r["n_emails"], r["n_ips"], r["n_phones"], r["scrub_hash"]) == (
             n_emails, n_ips, n_phones, scrub_hash,
         )
+
+
+def test_tf_idf_semantics(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "common zebra zebra"), (2, "common yak"), (3, "common emu")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["token"]): r for r in text_ops.tf_idf(docs).collect()}
+    # a token present in every doc carries zero tf-idf
+    assert out[(1, "common")]["tfidf"] == 0.0
+    # the distinctive token outranks it
+    assert out[(1, "zebra")]["rk"] == 1 and out[(1, "zebra")]["tfidf"] > 0
+    assert out[(1, "zebra")]["tf"] == 2 and out[(1, "zebra")]["df"] == 1
+
+
+def test_inverted_index_roundtrip(spark):
+    from gomapreduce_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(5, "b a"), (2, "a c"), (9, "a")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in text_ops.inverted_index(docs).collect()}
+    assert out["a"]["postings"] == [2, 5, 9] and out["a"]["df"] == 3
+    assert out["b"]["postings"] == [5]
+    assert out["c"]["postings"] == [2]

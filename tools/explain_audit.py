@@ -174,6 +174,19 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # tf-idf: the per-doc top-k window must PARTITION by doc_id, and the
+    # corpus-size side must broadcast (nested-loop on a 1-row build side
+    # is the intended plan) — never a shuffle join for a single row
+    "tf_idf": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Exchange SinglePartition", "SortMergeJoin"],
+    },
+    # inverted index: distinct + posting-list aggregation, both keyed —
+    # no window, no single-partition collapse
+    "inverted_index": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Window", "Exchange SinglePartition"],
+    },
     # PII scrub: a pure narrow regexp projection — no join, no window,
     # no shuffle beyond the small-file rebalance
     "pii_scrub": {
