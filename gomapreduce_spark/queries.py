@@ -245,7 +245,7 @@ def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_static_enrichment"] = _streaming_enrichment
 _order = list(QUERIES)
 _order.insert(
-    _order.index("sessionize"),
+    _order.index("asof_join_orders"),
     _order.pop(_order.index("streaming_static_enrichment")),
 )
 QUERIES = {k: QUERIES[k] for k in _order}
