@@ -135,7 +135,11 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": lambda s, d: relational.q10_returned_items(
         load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
     ),
-    # -- unchanged relational/event spot-checks filling the budget --
+    # -- unchanged relational/event spot-checks filling the budget;  --
+    # -- after the streaming_static_enrichment promotion below, the  --
+    # -- LAST FOUR of these (asof, range_join, sessionize,           --
+    # -- percentile) sit at positions 51-54 — outside a strict 50-row --
+    # -- budget, checked only if the driver's cap allows              --
     "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(load_table(s, d, "lineitem")),
     "q6_forecast_revenue": lambda s, d: relational.q6_forecast_revenue(load_table(s, d, "lineitem")),
     "q5_local_supplier": lambda s, d: relational.q5_local_supplier_volume(
@@ -156,7 +160,9 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "sessionize": lambda s, d: events.sessionize(load_table(s, d, "events")),
     "percentile_stats": lambda s, d: events.percentile_stats(load_table(s, d, "events")),
-    # ---- budget line: entries below are UNCHANGED since their green ----
+    # ---- ~50-entry budget line (exact boundary: see the promotion   ----
+    # ---- note after the streaming entries): entries below are       ----
+    # ---- UNCHANGED since their green                                ----
     # ---- round-1 rows (re-verified by pytest + check_oracle.py) and ----
     # ---- cede driver-check priority.                                ----
     "topk_per_group": lambda s, d: relational.topk_per_group(load_table(s, d, "lineitem")),
@@ -240,8 +246,10 @@ def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic row-level stream-static join: the ONE streaming entry
 # with a full value-hash oracle (no windows/state to make it rows-only).
-# NEW this round → promoted into the driver's ~50-row check budget in
-# place of an unchanged green spot-check (sessionize slides out).
+# NEW this round → promoted to position 50, inside the driver's check
+# budget; the unchanged spot-checks asof_join_orders, range_join_
+# shipments, sessionize, and percentile_stats slide to 51-54 and are
+# checked only if the driver's cap allows.
 QUERIES["streaming_static_enrichment"] = _streaming_enrichment
 _order = list(QUERIES)
 _order.insert(
@@ -619,8 +627,8 @@ ORACLES: dict[str, str] = {
                  len(t) AS nt, greatest(len(t), 1) AS n,
                  len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
                  len(list_distinct(t)) AS n_uniq,
-                 strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
-                 greatest(strlen(text), 1) AS len_text
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 greatest(length(text), 1) AS len_text
           FROM c
         ), q AS (
           SELECT doc_id,
@@ -674,7 +682,7 @@ ORACLES: dict[str, str] = {
                lpad(substr(text, 1, 5), 8, '.') AS padded,
                reverse(substr(text, 1, 10)) AS reversed_prefix,
                substr(text, 1, 3) || '|' || substr(text, 4, 3) AS pieces,
-               strlen(text)::BIGINT AS len,
+               length(text)::BIGINT AS len,
                instr(text, 'the')::BIGINT AS first_the,
                trim(substr('  ' || text, 1, 8)) AS trimmed
         FROM documents WHERE doc_id % 50 = 0
@@ -719,7 +727,7 @@ ORACLES: dict[str, str] = {
                len(t)::BIGINT AS n_tokens,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens,
                len(list_distinct(t))::BIGINT AS n_unique_tokens,
-               round(list_sum(list_transform(t, x -> strlen(x)))::DOUBLE / greatest(len(t), 1), 6) AS mean_token_len
+               round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / greatest(len(t), 1), 6) AS mean_token_len
         FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
     """,
     "quality_score": rf"""
@@ -730,8 +738,8 @@ ORACLES: dict[str, str] = {
                  len(t) AS nt, greatest(len(t), 1) AS n,
                  len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
                  len(list_distinct(t)) AS n_uniq,
-                 strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
-                 greatest(strlen(text), 1) AS len_text
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                 greatest(length(text), 1) AS len_text
           FROM c
         )
         SELECT doc_id, n_chars, nt::BIGINT AS n_tokens,
@@ -766,15 +774,15 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": f"""
         WITH grams AS (
           SELECT doc_id, substr(text, i, 8) AS gram
-          FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
+          FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i)
         )
         SELECT doc_id, min({_H.format(s='gram')}) AS fingerprint FROM grams GROUP BY doc_id
     """,
     "winnow_fingerprints": f"""
         WITH g AS (
           SELECT doc_id, i AS pos, {_H.format(s='substr(text, i, 8)')} AS h,
-                 greatest(strlen(text) - 7, 1) AS n_grams
-          FROM documents, unnest(range(1, greatest(strlen(text) - 7, 1) + 1)) AS u(i)
+                 greatest(length(text) - 7, 1) AS n_grams
+          FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS u(i)
         ),
         wm AS (
           SELECT doc_id, pos, n_grams,
@@ -913,12 +921,12 @@ ORACLES: dict[str, str] = {
         m AS (
           SELECT doc_id,
                  len(t) AS n_words,
-                 list_aggregate(list_transform(t, x -> strlen(x)), 'sum')::DOUBLE
+                 list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE
                    / greatest(len(t), 1) AS mean_len,
                  len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
                    / greatest(len(t), 1) AS alpha_ratio,
-                 (strlen(text) - strlen(replace(text, '#', ''))
-                    + (strlen(text) - strlen(replace(text, '...', ''))) / 3)::DOUBLE
+                 (length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
                    / greatest(len(t), 1) AS symbol_ratio,
                  ((CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
                   + (CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END)

@@ -668,3 +668,33 @@ def test_inverted_index_roundtrip(spark):
     assert out["a"]["postings"] == [2, 5, 9] and out["a"]["df"] == 3
     assert out["b"]["postings"] == [5]
     assert out["c"]["postings"] == [2]
+
+
+def test_text_oracles_char_length_parity_non_ascii(spark):
+    """Spark length() counts characters; DuckDB strlen() counts BYTES.
+    The oracles must use DuckDB length() so non-ASCII text agrees —
+    the corpus fixtures are pure ASCII and cannot catch this, so pin it
+    with planted multibyte docs run through both engines."""
+    import duckdb
+
+    from gomapreduce_spark.operators import text as text_ops
+    from gomapreduce_spark.queries import ORACLES
+
+    rows = [
+        (1, "café au lait über naïve emoji 😀 end"),
+        (2, "plain ascii text with the usual words here"),
+        (3, "日本語のテキスト と spaces"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    for qname, fn in (
+        ("winnow_fingerprints", text_ops.winnow_fingerprints),
+        ("doc_fingerprint", text_ops.doc_fingerprint),
+        ("gopher_rules", text_ops.gopher_rules),
+    ):
+        spark_rows = {tuple(r) for r in fn(docs).collect()}
+        duck_rows = {tuple(r) for r in con.execute(ORACLES[qname]).fetchall()}
+        assert spark_rows == duck_rows, f"{qname} diverges on non-ASCII text"

@@ -53,11 +53,13 @@ AUDITS: dict[str, dict] = {
         # top-k must be the distributed partial top-k, never a global
         # single-partition sort/window over the full aggregate
         "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
     },
     "q10_returned_items": {
         "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
     },
     "q5_local_supplier": {
         "require": ["BroadcastHashJoin"],
@@ -136,7 +138,8 @@ AUDITS: dict[str, dict] = {
     # single-partition exchange would mean the partitionBy was lost
     "bigram_stats": {
         "partial_agg": True,
-        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct"],
+        "max_single_partition": 0,
     },
     # stratified sampling: stratum rates must broadcast back onto the
     # corpus scan; a shuffle join here would move the corpus to move a
@@ -164,7 +167,8 @@ AUDITS: dict[str, dict] = {
     # was lost
     "repetition_stats": {
         "partial_agg": True,
-        "forbid": ["CartesianProduct", "Window", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct", "Window"],
+        "max_single_partition": 0,
     },
     # decontamination: the benchmark shingle side must BROADCAST onto
     # the corpus scan — a shuffle join would move the 100 TB corpus to
@@ -179,13 +183,17 @@ AUDITS: dict[str, dict] = {
     # is the intended plan) — never a shuffle join for a single row
     "tf_idf": {
         "partial_agg": True,
-        "forbid": ["CartesianProduct", "Exchange SinglePartition", "SortMergeJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        # exactly one single-partition exchange is legitimate: the
+        # global n_docs aggregate merges O(partitions) partial rows
+        "max_single_partition": 1,
     },
     # inverted index: distinct + posting-list aggregation, both keyed —
     # no window, no single-partition collapse
     "inverted_index": {
         "partial_agg": True,
-        "forbid": ["CartesianProduct", "Window", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct", "Window"],
+        "max_single_partition": 0,
     },
     # PII scrub: a pure narrow regexp projection — no join, no window,
     # no shuffle beyond the small-file rebalance
@@ -199,7 +207,8 @@ AUDITS: dict[str, dict] = {
     "winnow_fingerprints": {
         "require": ["Window"],
         "partial_agg": True,  # the distinct over (doc_id, fp)
-        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+        "forbid": ["CartesianProduct"],
+        "max_single_partition": 0,
     },
 }
 
@@ -244,6 +253,16 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
         # AQE wraps plans; count physical Exchange nodes only
         if n_ex > exp["max_exchanges"]:
             fails.append(f"{n_ex} Exchange nodes > allowed {exp['max_exchanges']}")
+    if "max_single_partition" in exp:
+        # formatted explain prints the Exchange node name and its
+        # "Arguments: SinglePartition, ..." on separate lines, so a
+        # "Exchange SinglePartition" substring can never match — count
+        # the partitioning argument itself instead
+        n_sp = plan.count("SinglePartition")
+        if n_sp > exp["max_single_partition"]:
+            fails.append(
+                f"{n_sp} SinglePartition exchanges > allowed {exp['max_single_partition']}"
+            )
     return fails
 
 
