@@ -259,7 +259,11 @@ def streaming_upsert_counts(
     replayed batch rewrites the same files instead of duplicating rows.
     Update output mode ships only windows the batch changed; state
     carries cumulative counts, so the last write per partition is the
-    correct total. At 100 TB this is the standard streaming→lakehouse
+    correct total. The sink partitions by the FULL update key
+    (hour, event_type) — overwrite granularity must match what update
+    mode emits: partitioning by hour alone would let a later batch
+    that touches only one event type wipe its siblings' rows for that
+    hour. At 100 TB this is the standard streaming→lakehouse
     compaction pattern (swap parquet-overwrite for a MERGE sink where
     ACID tables are available)."""
     stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
@@ -276,7 +280,7 @@ def streaming_upsert_counts(
             )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour")
+            .partitionBy("hour", "event_type")
             .parquet(out_dir)
         )
 

@@ -182,3 +182,38 @@ def test_streaming_static_enrichment_matches_batch(spark, sf_small):
         .select("event_id", "user_id", "event_type", "segment", "acctbal")
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_upsert_sink_incremental_batch_keeps_siblings(spark, tmp_path):
+    """A later micro-batch that touches only ONE event type in an hour
+    must not wipe that hour's other event types — overwrite granularity
+    has to match the (hour, event_type) update key. Two runs against a
+    growing source dir with the SAME checkpoint: run 2 processes only
+    the new file, whose events are in-watermark and re-emit one type's
+    window while the sibling type's rows must survive."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_upsert_counts
+
+    def raw_events(rows):
+        # fixture layout: ts is int64 NANOS (reader does ts div 1000)
+        return spark.createDataFrame(
+            [(i, int(ts * 1e9), 1, et, 1.0, "{}") for i, (ts, et) in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+
+    base = 1_700_000_000  # epoch seconds, hour-aligned enough for windows
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    # batch 1: typeA and typeB in the same hour
+    raw_events([(base, "typeA"), (base + 600, "typeB")]).write.parquet(src)
+    streaming_upsert_counts(spark, src, out, ckpt)
+    got1 = {tuple(r) for r in spark.read.parquet(out).select("hour", "event_type", "n_events").collect()}
+    assert {t for _, t, _ in got1} == {"typeA", "typeB"}
+    # batch 2 (same checkpoint): one more typeA event in the SAME hour,
+    # within the watermark — update mode re-emits only typeA's window
+    raw_events([(base + 1200, "typeA")]).write.mode("append").parquet(src)
+    streaming_upsert_counts(spark, src, out, ckpt)
+    got2 = {(t, n) for _, t, n in (tuple(r) for r in
+            spark.read.parquet(out).select("hour", "event_type", "n_events").collect())}
+    assert ("typeB", 1) in got2, "incremental batch deleted the sibling event type"
+    assert ("typeA", 2) in got2
