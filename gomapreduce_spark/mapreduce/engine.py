@@ -124,8 +124,18 @@ class JobStats:
         """Per-task records, populated once the job's action has run.
         Tasks cut short by an early-terminating action (``take`` hitting
         its limit mid-partition) may not report — same blind spot as the
-        reference's stats on interrupted tasks."""
-        return list(self._accum.value) if self._accum is not None else []
+        reference's stats on interrupted tasks. Re-executions of the
+        same logical task (a second action over the lineage — e.g. the
+        oversized-result divert path peeks then write_rdd's — or a
+        Spark retry/speculative attempt) are deduplicated by
+        (stage, partition), last attempt wins, so counts reflect
+        logical tasks, not physical attempts."""
+        if self._accum is None:
+            return []
+        seen: dict[tuple[str, int], TaskStat] = {}
+        for s in self._accum.value:
+            seen[(s.stage, s.partition)] = s
+        return list(seen.values())
 
     @property
     def task_times(self) -> dict[str, list[float]]:
@@ -315,11 +325,13 @@ class MapReduceEngine:
                 out = ListOutputer()
                 reducer.reduce("", list(vals_a) + list(vals_b), out)
                 # the associative contract (api.Reducer): exactly one
-                # combined pair, key ignored during combining
-                assert len(out.pairs) == 1, (
-                    "associative reducer must emit exactly one pair when combining; "
-                    f"got {len(out.pairs)}"
-                )
+                # combined pair, key ignored during combining. A raise,
+                # not an assert — the contract must hold under python -O
+                if len(out.pairs) != 1:
+                    raise ValueError(
+                        "associative reducer must emit exactly one pair when "
+                        f"combining; got {len(out.pairs)}"
+                    )
                 return [v for _, v in out.pairs]
 
             grouped = kv.mapValues(lambda v: [v]).reduceByKey(

@@ -401,14 +401,6 @@ NEAR_DUP_PLANES = 6   # sign-LSH planes per table (bucket space 2^6)
 NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
 
 
-def _lsh_signatures_np(emb: DataFrame, n_planes: int, n_tables: int, dim: int = 64) -> DataFrame:
-    """Shared sign-bit LSH signer — :func:`similarity.lsh_signatures`
-    (one narrow Arrow matmul pass, zero shuffle)."""
-    from .similarity import lsh_signatures
-
-    return lsh_signatures(emb, n_planes, n_tables, dim)
-
-
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -448,8 +440,12 @@ def embedding_near_dup(
     import pandas as pd
 
     # signatures feed TWO consumers (exact members + probe visitors);
-    # materialize once instead of running the matmul pass per branch
-    sigs = _lsh_signatures_np(emb, n_planes, n_tables).localCheckpoint()
+    # materialize once instead of running the matmul pass per branch.
+    # lsh_signatures is the shared sign-bit signer (one narrow Arrow
+    # matmul pass, zero shuffle)
+    from .similarity import lsh_signatures
+
+    sigs = lsh_signatures(emb, n_planes, n_tables).localCheckpoint()
     exact = sigs.withColumn("is_probe", F.lit(0))
     # a probe visitor flips exactly one signature bit, so each (cell,
     # visitor) combination is unique — no within-cell double counting

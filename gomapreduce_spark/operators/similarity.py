@@ -189,15 +189,6 @@ def train_centroids(emb: DataFrame, n_centroids: int, dim: int) -> list[list[flo
     return [[float(v) for v in c] for c in cents]
 
 
-def _centroid_scores(centroids: list[list[float]]):
-    """Array of dot scores of `embedding` against each (unit-norm)
-    centroid literal — cosine up to the query's own norm, which is
-    constant across centroids so argmax/top-probe order is unchanged."""
-    return F.array(
-        *[dot(F.col("embedding"), F.array(*[F.lit(v) for v in c])) for c in centroids]
-    )
-
-
 def ivf_assignments(
     emb: DataFrame, n_centroids: int = 16, dim: int = 64, centroids: list[list[float]] | None = None
 ) -> DataFrame:
@@ -242,28 +233,41 @@ def knn_ivf(
     Partitioning the assigned table by ``cent`` makes the probe join a
     co-located lookup at scale. Same schema as knn_bruteforce; recall
     asserted in tests."""
+    import numpy as np
+    import pandas as pd
+
     cents = train_centroids(emb, n_centroids, dim)
     # no cache: assigned feeds exactly one join — caching would pin the
     # corpus in memory for zero reuse and leak into long-lived sessions
     assigned = ivf_assignments(emb, n_centroids, dim, centroids=cents)
-    scores = _centroid_scores(cents)
-    probe_idx = F.transform(
-        F.slice(
-            F.sort_array(
-                F.transform(scores, lambda s, i: F.struct(s.alias("score"), i.alias("idx"))),
-                asc=False,
-            ),
-            1,
-            nprobe,
-        ),
-        lambda st: st["idx"].cast("int"),
-    )
+    # query probe order uses the SAME float64 BLAS matmul as corpus
+    # assignment (ivf_assignments), so the two sides can never disagree
+    # on a near-tie: identical inputs through identical accumulation
+    # give bit-identical scores. A Catalyst-fold scoring here would
+    # accumulate in a different order and could rank a near-tied top
+    # centroid differently than argmax assigned it — with nprobe=1 that
+    # query would probe the wrong cell entirely. Stable argsort breaks
+    # exact ties to the lowest centroid index, matching argmax.
+    cmat = np.array(cents, dtype=np.float64)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            order = np.argsort(-(mat @ cmat.T), axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(order.shape[1])].reset_index(drop=True)
+            out["probe_cent"] = order.ravel().astype("int32")
+            yield out[["vec_id", "embedding", "probe_cent"]]
+
     q = (
         emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, "vec_id long, embedding array<float>, probe_cent int")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
-            F.explode(probe_idx).alias("probe_cent"),
+            "probe_cent",
         )
     )
     scored = (

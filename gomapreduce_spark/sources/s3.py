@@ -23,7 +23,9 @@ What this module adds is the *configuration* recipe as code:
   container it is not, and tests gate on this probe.
 
 At 100 TB the confs that matter beyond credentials: the directory
-committer (``magic``) so task commits are O(1) renames-free, a high
+committer (``magic`` — BOTH halves: the fs.s3a.committer.* Hadoop keys
+and the spark.sql commit-protocol bindings from spark-hadoop-cloud,
+since either alone leaves writes on the rename committer), a high
 ``fs.s3a.connection.maximum`` (one pool per executor feeding many
 concurrent ranged reads), and ``fs.s3a.experimental.input.fadvise=
 random`` for parquet's non-sequential column reads.
@@ -36,6 +38,22 @@ from pyspark.sql import SparkSession
 #: hadoop-aws must match the Hadoop client bundled with pyspark
 #: (hadoop-client-api-3.4.2 here) — mixed versions fail at runtime.
 HADOOP_AWS_COORD = "org.apache.hadoop:hadoop-aws:3.4.2"
+
+#: Spark-side committer bindings (PathOutputCommitProtocol and the
+#: parquet binding committer) live in the spark-hadoop-cloud module —
+#: also not bundled in the pyspark wheel; match the Spark version.
+SPARK_HADOOP_CLOUD_COORD = "org.apache.spark:spark-hadoop-cloud_2.13:4.1.2"
+
+#: Spark SQL confs that actually route DataFrame writes through the
+#: S3A committer. Setting only the fs.s3a.committer.* Hadoop keys is
+#: NOT enough for spark.sql writes — without these, parquet commits
+#: silently stay on the rename-based FileOutputCommitter.
+MAGIC_COMMITTER_SPARK_CONFS = {
+    "spark.sql.sources.commitProtocolClass":
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class":
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+}
 
 
 def s3a_confs(
@@ -76,15 +94,41 @@ def s3a_confs(
     return confs
 
 
+def committer_bindings_available(spark: SparkSession) -> bool:
+    """True iff spark-hadoop-cloud's PathOutputCommitProtocol is on the
+    JVM classpath — the prerequisite for Spark SQL writes to use the
+    S3A magic committer at all."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def configure_s3a(spark: SparkSession, **kwargs) -> dict[str, str]:
     """Apply :func:`s3a_confs` to the session's live Hadoop conf and
     return what was set. fs.* keys are consulted when a FileSystem for
     the scheme is first instantiated (per URI authority), so this works
-    on an already-running session."""
+    on an already-running session.
+
+    When the magic committer is requested, the Spark-side commit
+    protocol (``MAGIC_COMMITTER_SPARK_CONFS``) is also applied —
+    without it, Spark SQL writes ignore the fs.s3a.committer.* keys and
+    keep using rename-based commits. Applied ONLY when the
+    spark-hadoop-cloud bindings are on the classpath (add
+    ``SPARK_HADOOP_CLOUD_COORD`` next to ``HADOOP_AWS_COORD``):
+    pointing the commit protocol at a missing class would break every
+    write on the session."""
     confs = s3a_confs(**kwargs)
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in confs.items():
         hconf.set(k, v)
+    if kwargs.get("magic_committer", True) and committer_bindings_available(spark):
+        for k, v in MAGIC_COMMITTER_SPARK_CONFS.items():
+            spark.conf.set(k, v)
+        confs = {**confs, **MAGIC_COMMITTER_SPARK_CONFS}
     return confs
 
 

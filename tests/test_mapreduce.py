@@ -20,6 +20,7 @@ from gomapreduce_spark.mapreduce import (
     split_file_into_chunks,
 )
 from gomapreduce_spark.mapreduce.api import Outputer, Reducer
+from gomapreduce_spark.mapreduce.engine import Job, JobStats
 
 TEXT = {
     "chunk/0": "the quick brown fox",
@@ -299,3 +300,27 @@ def test_per_task_stats(spark):
     times = st.task_times
     assert set(times) == {"map", "reduce"}
     assert len(times["reduce"]) == 2  # r=2 reduce partitions
+
+
+def test_per_task_stats_dedupe_re_execution(spark):
+    """A second action over the same lineage (the oversized-result
+    divert path peeks with take() then re-runs for write_rdd) must not
+    double-count tasks: stats dedupe by (stage, partition), last
+    attempt wins."""
+    eng = MapReduceEngine(spark)
+    job = Job(
+        job_id="dedupe-test",
+        config=JobConfig(m=3, r=2),
+        mapper=DemoMapper(),
+        reducer=DemoReducer(),
+        inputer=MemoryInputer(TEXT),
+        outputer=MemoryOutputer(),
+    )
+    eng._stats[job.job_id] = JobStats(started_at=0.0)
+    rdd = eng.run_rdd(job)
+    rdd.count()
+    once = sorted((s.stage, s.partition) for s in eng._stats[job.job_id].task_stats)
+    rdd.count()  # re-execute every task
+    twice = sorted((s.stage, s.partition) for s in eng._stats[job.job_id].task_stats)
+    assert once == twice, "re-execution inflated per-task stats"
+    assert len(eng._stats[job.job_id]._accum.value) > len(twice)  # raw attempts did accumulate

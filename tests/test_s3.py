@@ -68,3 +68,28 @@ def test_s3a_uri_reaches_filesystem_dispatch(spark):
         spark.read.parquet("s3a://no-such-bucket/table.parquet").limit(1).collect()
     msg = str(ei.value)
     assert "S3AFileSystem not found" in msg or "s3a" in msg.lower()
+
+
+def test_magic_committer_spark_confs_gated_on_bindings(spark):
+    """The Spark-side commit protocol must be applied only when the
+    spark-hadoop-cloud bindings exist — pointing commitProtocolClass at
+    a missing class would break every write. This container has no
+    bindings, so configure_s3a must NOT set them (and must still set
+    the Hadoop-side committer keys)."""
+    from gomapreduce_spark.sources.s3 import (
+        MAGIC_COMMITTER_SPARK_CONFS,
+        committer_bindings_available,
+        configure_s3a,
+    )
+
+    applied = configure_s3a(spark, magic_committer=True)
+    assert applied["fs.s3a.committer.name"] == "magic"
+    if committer_bindings_available(spark):
+        for k, v in MAGIC_COMMITTER_SPARK_CONFS.items():
+            assert applied[k] == v == spark.conf.get(k)
+    else:
+        assert not any(k in applied for k in MAGIC_COMMITTER_SPARK_CONFS)
+        # and the session's write path is untouched
+        assert spark.conf.get("spark.sql.sources.commitProtocolClass", None) not in (
+            MAGIC_COMMITTER_SPARK_CONFS["spark.sql.sources.commitProtocolClass"],
+        )
