@@ -539,9 +539,14 @@ def inverted_index(docs: DataFrame) -> DataFrame:
     token|; at 100 TB the head of the vocabulary (stopwords) produces
     pathological lists — production shards postings by (token,
     doc_id range) and delta-encodes; here the list rides whole because
-    the oracle compares it value-for-value."""
+    the oracle compares it value-for-value. Emitted as a comma-joined
+    string (numeric sort first): flat scalar columns survive any
+    downstream engine's row comparator, arrays don't."""
     pairs = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).distinct()
     return pairs.groupBy("token").agg(
         F.count("*").cast("long").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("postings"),
     )

@@ -823,7 +823,8 @@ ORACLES: dict[str, str] = {
           SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
         )
         SELECT token, count(*)::BIGINT AS df,
-               list_sort(list(doc_id)) AS postings
+               list_aggregate(list_transform(list_sort(list(doc_id)), x -> x::VARCHAR),
+                              'string_agg', ',') AS postings
         FROM pairs GROUP BY token
     """,
     "streaming_static_enrichment": """
@@ -890,7 +891,7 @@ ORACLES: dict[str, str] = {
     """,
     "corpus_mixture": f"""
         WITH toks AS (
-          SELECT lang, count(*) AS n_docs, sum(len({_TOKS})) AS n_tokens
+          SELECT lang, count(*) AS n_docs, sum(len({_TOKS}))::BIGINT AS n_tokens
           FROM documents GROUP BY lang
         ),
         tot AS (SELECT sum(n_tokens) AS tot FROM toks),

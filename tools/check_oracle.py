@@ -24,12 +24,20 @@ ONLY = set(sys.argv[2:])
 
 
 def norm(v):
+    # Dtype-tagged: the driver's hash distinguishes int64 3549 from
+    # float64 3549.0 (DuckDB sum(BIGINT) widens to HUGEINT → pandas
+    # float64), so a lenient "3549"=="3549.0" here would mask a real
+    # driver mismatch (this bit round 2's corpus_mixture).
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "f:NaN"
         if v == 0.0:
             v = 0.0  # collapse -0.0 and 0.0 — engines may differ on zero sign
-        return f"{v:.9g}"
+        return f"f:{v:.9g}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
 
 
@@ -38,6 +46,25 @@ def canon(cols, rows):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
+
+
+def pandas_rows(df):
+    """Mirror the driver: both sides pass through pandas, so dtypes are
+    what pandas makes of them (DuckDB HUGEINT → float64, Spark long →
+    int64) and list/array cells crash its sort. Returns (cols, rows)
+    with numpy scalars unboxed so norm()'s dtype tags apply, or raises
+    TypeError for driver-unsortable array/list cells."""
+    rows = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for x in row:
+            if hasattr(x, "ndim") and getattr(x, "ndim", 0) > 0:
+                raise TypeError("array-typed cell — the driver's pandas sort crashes on these")
+            if isinstance(x, (list, tuple, dict)):
+                raise TypeError("nested cell — the driver's pandas sort crashes on these")
+            vals.append(x.item() if hasattr(x, "item") else x)
+        rows.append(tuple(vals))
+    return list(df.columns), rows
 
 
 def main() -> int:
@@ -62,20 +89,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n = sdf.count()
+                print(f"ok   {name}: rows-only ({n} rows, {time.time()-t0:.1f}s)")
+                n_pass += 1
+                continue
+            scols, srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
-            n_pass += 1
-            continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dcols, drows = pandas_rows(con.sql(oracles[name]).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
