@@ -24,7 +24,7 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-style pricing summary: one scan, grouped aggregate with
     partial aggregation; the shipdate filter is pushed to the parquet scan."""
     return (
-        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -46,8 +46,8 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     pushdown — every predicate reaches the scan, output is one row."""
     return (
         lineitem.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -79,7 +79,7 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     revenue = (
-        orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(rev, F.col("o_orderkey") == rev.l_orderkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
@@ -121,8 +121,8 @@ def q5_local_supplier_volume(
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nations), F.col("s_nationkey") == nations.n_nationkey)
         .join(orders.where(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         ), lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), (F.col("o_custkey") == customer.c_custkey)
               & (customer.c_nationkey == F.col("s_nationkey")))
@@ -163,7 +163,7 @@ def customers_without_orders(
     pushed to the orders scan before the anti-join; Catalyst broadcasts
     whichever side is small enough. (Without the cutoff every customer
     has an order and the result is empty — a useless check.)"""
-    recent = orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz"))
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
     return (
         customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

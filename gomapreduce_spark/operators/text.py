@@ -539,14 +539,12 @@ def inverted_index(docs: DataFrame) -> DataFrame:
     token|; at 100 TB the head of the vocabulary (stopwords) produces
     pathological lists — production shards postings by (token,
     doc_id range) and delta-encodes; here the list rides whole because
-    the oracle compares it value-for-value. Emitted as a comma-joined
-    string (numeric sort first): flat scalar columns survive any
-    downstream engine's row comparator, arrays don't."""
+    the oracle compares it value-for-value. The library API keeps
+    ``postings`` typed (sorted array<long>); the registered query in
+    ``queries.py`` flattens it to a comma-joined string because the
+    driver's row comparator can only sort flat scalar cells."""
     pairs = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).distinct()
     return pairs.groupBy("token").agg(
         F.count("*").cast("long").alias("df"),
-        F.array_join(
-            F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
-            ",",
-        ).alias("postings"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .functions.skew import salted_counts
 from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
@@ -105,7 +106,13 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": lambda s, d: text.winnow_fingerprints(load_table(s, d, "documents")),
     "pii_scrub": lambda s, d: text.pii_scrub(load_table(s, d, "documents")),
     "tf_idf": lambda s, d: text.tf_idf(load_table(s, d, "documents")),
-    "inverted_index": lambda s, d: text.inverted_index(load_table(s, d, "documents")),
+    # postings is array<long> in the library API; flatten to a comma-joined
+    # string here because the driver's comparator can't sort array cells
+    "inverted_index": lambda s, d: text.inverted_index(load_table(s, d, "documents")).select(
+        "token",
+        "df",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias("postings"),
+    ),
     "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
         load_table(s, d, "embeddings")
     ),

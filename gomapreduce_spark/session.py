@@ -27,8 +27,12 @@ from pyspark.sql import SparkSession
 # Runtime SQL confs every entry point re-asserts even on a session it did
 # not create (the driver passes us its own SparkSession).
 RUNTIME_CONFS: dict[str, str] = {
-    # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
-    # parquet reader rejects; read as long and convert (sources.registry).
+    # legacy testdata generations stored events.ts as TIMESTAMP(NANOS),
+    # which the vectorized parquet reader rejects outright; with this set
+    # it surfaces as bigint and sources.registry.normalize_timestamps
+    # converts. Harmless for non-nanos data (current testdata is plain
+    # timestamp[us]); kept so either encoding loads (inputer.go:39-43's
+    # "read whatever the input is" contract).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # oracle comparisons are UTC-naive on the DuckDB side.
     "spark.sql.session.timeZone": "UTC",

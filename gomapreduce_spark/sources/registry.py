@@ -54,19 +54,35 @@ def rebalance_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing types.
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every event-time encoding the testdata has ever shipped
+    to a plain ``timestamp`` column — the "read whatever the input is"
+    contract (reference inputer.go:39-43), applied schema-adaptively:
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``nanosAsLong`` it arrives as a long
-    that we floor-divide to microseconds (integer division — the value
-    exceeds 2**53 so a double roundtrip would lose precision) to match
-    DuckDB's nanos→micros truncation exactly.
+    - ``timestamp_ntz`` (naive parquet timestamp[us], the current
+      testdata encoding): cast to ``timestamp``. The session timezone is
+      pinned UTC (session.py), so the cast relabels without shifting a
+      single microsecond — and downstream ``unix_micros``/``window``
+      calls (which reject NTZ) work uniformly.
+    - ``bigint`` named ``ts`` (legacy TIMESTAMP(NANOS) surfaced via
+      ``nanosAsLong``): floor-divide to micros (integer division — the
+      value exceeds 2**53, a double roundtrip would lose precision,
+      and DuckDB truncates nanos→micros the same way).
     """
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif t == "bigint" and c == "ts":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types (see
+    :func:`normalize_timestamps` — every timestamp column arrives as a
+    plain UTC ``timestamp`` regardless of the on-disk encoding)."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "documents":
         # documents feed scan-bound narrow pipelines (tokenize/shingle/
         # hash) where the single-file scan is the whole job — rebalance.

@@ -20,33 +20,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores TIMESTAMP(NANOS): read ts as long, convert after.
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Encoding-adaptive streaming read of the events table.
+
+    ``readStream`` needs an explicit schema, but the testdata's ``ts``
+    encoding has changed across driver generations (TIMESTAMP(NANOS)
+    surfaced as bigint via ``nanosAsLong``; now plain naive
+    timestamp[us] → TIMESTAMP_NTZ). Hard-coding either assumption is
+    how a silent unit error ships: a micros long divided as if nanos
+    still *runs* — every window lands in January 1970. So probe the
+    parquet footer with a one-file batch read (metadata only, no data
+    scan) and build the stream schema from what is actually on disk:
+
+    - ``bigint`` ts → read as long, floor-div 1000 (nanos→micros);
+    - ``timestamp_ntz`` ts → read natively, cast to ``timestamp``
+      (value-preserving under the pinned UTC session zone);
+    - ``timestamp`` ts → use directly.
+
+    Same normalization contract as ``sources.registry.normalize_timestamps``
+    on the batch side; ``tests/test_streaming.py`` parity tests pin the
+    two paths together.
+    """
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(EVENT_SCHEMA)
     if os.path.isfile(events_path):  # single file: glob it within its dir
         d, base = os.path.split(events_path)
-        reader = reader.option("pathGlobFilter", base)
-        events_path = d
-    elif not os.path.isdir(events_path):
+        glob, stream_dir = base, d
+    elif os.path.isdir(events_path):
+        glob, stream_dir = None, events_path
+    else:
         # fail loudly: a missing path (or a misnamed dataset) would
         # otherwise stream 0 files and "complete" with an empty result
         raise FileNotFoundError(f"events path is neither file nor directory: {events_path}")
-    return reader.parquet(events_path).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    # Footer probe: the batch reader resolves the exact on-disk schema
+    # (honoring nanosAsLong for legacy nanos data) without reading rows.
+    disk_schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(disk_schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(stream_dir)
+    ts_type = disk_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif not isinstance(ts_type, T.TimestampType):
+        raise TypeError(f"unsupported events.ts encoding: {ts_type.simpleString()}")
+    return stream
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:

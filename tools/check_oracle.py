@@ -38,7 +38,11 @@ def norm(v):
         return f"b:{v}"
     if isinstance(v, int):
         return f"i:{v}"
-    return str(v)
+    if v is None:
+        return "null:"
+    # strings get their own namespace too — a VARCHAR cell that happens
+    # to equal "i:5" or "f:NaN" must not collide with a tagged numeric
+    return f"s:{v}"
 
 
 def canon(cols, rows):
@@ -74,6 +78,16 @@ def main() -> int:
     spark = get_spark("check_oracle")  # cpus resolved by session.default_cpus
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Canary: if the driver re-encodes testdata timestamps again, fail
+    # loudly HERE — before any query half-runs on garbage timestamps.
+    from gomapreduce_spark.sources.registry import load_table
+
+    ts_dtype = dict(load_table(spark, SF_DIR, "events").dtypes)["ts"]
+    assert ts_dtype == "timestamp", (
+        f"events.ts arrived as {ts_dtype!r}, not 'timestamp' — a new testdata "
+        "encoding slipped past sources.registry.normalize_timestamps"
+    )
+
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
@@ -90,7 +104,12 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             if name not in oracles:
-                n = sdf.count()
+                # collect(), not count(): count() lets Catalyst prune
+                # unprojected columns, so a runtime error inside a column
+                # expression (UDF, cast, divide) would never execute.
+                # collect() materializes every column; no pandas
+                # conversion, so array columns are fine here.
+                n = len(sdf.collect())
                 print(f"ok   {name}: rows-only ({n} rows, {time.time()-t0:.1f}s)")
                 n_pass += 1
                 continue
