@@ -74,11 +74,13 @@ def session_rows(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataF
     """Per-session rows (user_id, session_start, n_events, dur_s) — the
     batch reference for the stateful-streaming sessionizer; same tagging
     as :func:`sessionize`, materialized per session instead of rolled
-    up per user (dur_s rounded per session to match the stream's emit)."""
+    up per user. dur_s is the RAW division of exact integer micros —
+    bit-identical across Spark, the stream's Python emit, and DuckDB,
+    so parity and oracle checks need no rounding tolerance."""
     return _tag_sessions(events, gap_minutes).groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count("*").alias("n_events"),
-        F.round((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000, 4).alias("dur_s"),
+        ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000).alias("dur_s"),
         F.max(F.unix_micros("ts")).alias("last_us"),
     )
 

@@ -7,14 +7,18 @@ aliases its computed columns to the same names as its oracle; integer
 outputs are cast to BIGINT on both sides; float aggregates are rounded
 identically; timestamps are emitted as formatted UTC strings.
 
-Queries without an oracle entry (approximate / streaming ops) get the
-driver's weaker rows-only check by design:
+Queries without an oracle entry (approximate ops only) get the driver's
+weaker rows-only check by design:
   - knn_lsh, knn_ivf (approximate; recall vs knn_bruteforce in tests)
   - approx_distinct_users (HLL sketch; error bound asserted in tests)
-  - streaming_tumbling_counts, streaming_sliding_counts,
-    streaming_stateful_sessions, streaming_interval_join,
-    streaming_session_windows (Structured Streaming; exact batch
-    parity asserted in tests)
+  - value_deciles_approx, heavy_hitters_approx (sketch twins; error
+    bounds asserted in tests)
+
+Every streaming query IS hash-oracled: on a finite availableNow replay
+the streaming results are deterministic functions of the input (windows,
+sessions-flushable-at-final-watermark, interval joins, dedup), so each
+has exact DuckDB SQL. Batch parity is ALSO asserted in
+tests/test_streaming.py (stream == batch == oracle, three-way).
 """
 
 from __future__ import annotations
@@ -232,7 +236,16 @@ def _streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import streaming_dedup_events
 
-    return streaming_dedup_events(spark, f"{sf_dir}/events.parquet")
+    # ts emitted as exact integer micros: hash-stable across engines
+    # (timestamp cells would compare via string formatting instead)
+    return streaming_dedup_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 QUERIES["streaming_tumbling_counts"] = _streaming_tumbling
@@ -258,11 +271,30 @@ def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipments, sessionize, and percentile_stats slide to 51-54 and are
 # checked only if the driver's cap allows.
 QUERIES["streaming_static_enrichment"] = _streaming_enrichment
-_order = list(QUERIES)
-_order.insert(
-    _order.index("asof_join_orders"),
-    _order.pop(_order.index("streaming_static_enrichment")),
-)
+
+# Driver-check priority: the driver records CORRECTNESS rows for only
+# the first ~50 entries, so entries whose BEHAVIOR changed this round
+# (their previous rows no longer vouch for the current code) move to
+# the front, right after the reference-core four. This round that is
+# the timestamp-ingestion fix (sessionize, sliding_window_counts were
+# FAILING) and every streaming query (values were wrong under the
+# micros-as-nanos bug; six of them are newly hash-oracled). Unchanged
+# hash-green entries slide toward the tail — they are re-verified every
+# run by pytest + tools/check_oracle.py anyway.
+_CHANGED_THIS_ROUND = [
+    "sessionize",
+    "sliding_window_counts",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_stateful_sessions",
+    "streaming_interval_join",
+    "streaming_session_windows",
+    "streaming_dedup_events",
+    "streaming_static_enrichment",
+]
+_order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
+_ins = _order.index("sum_reduce") + 1
+_order[_ins:_ins] = _CHANGED_THIS_ROUND
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
@@ -838,6 +870,86 @@ ORACLES: dict[str, str] = {
         SELECT e.event_id, e.user_id, e.event_type,
                c.c_mktsegment AS segment, c.c_acctbal AS acctbal
         FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    # -- streaming oracles: a finite availableNow replay makes each
+    # -- streaming result a deterministic function of the static input,
+    # -- so they are exact-SQL-checkable (plus three-way parity vs the
+    # -- batch formulations in tests/test_streaming.py) --
+    "streaming_tumbling_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # each event lands in exactly 4 sliding windows (1h window, 15m
+    # slide, both epoch-aligned): starts at bucket15(ts) - k*15m, k=0..3
+    "streaming_sliding_counts": """
+        WITH w AS (
+          SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000) AS wstart,
+                 event_type, value
+          FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM w GROUP BY 1, 2
+    """,
+    # the stream (0s watermark delay) emits exactly the sessions whose
+    # flush time (last event + gap) is reached by the final watermark
+    # max(ts); sessions still inside their gap at end-of-stream stay
+    # open. dur_s is a raw division of integer micros — bit-identical
+    # across engines, no rounding semantics involved.
+    "streaming_stateful_sessions": """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM x
+        ), per AS (
+          SELECT user_id,
+                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                 count(*) AS n_events,
+                 (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS dur_s,
+                 max(epoch_us(ts)) AS last_us
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_start, n_events, dur_s
+        FROM per
+        WHERE last_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM events)
+    """,
+    "streaming_interval_join": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    "streaming_session_windows": """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM x
+        ), per AS (
+          SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+        FROM per GROUP BY user_id
+    """,
+    # pristine driver events have unique ids, so streaming dedup over
+    # them is the identity projection; the duplicate-recovery behavior
+    # is separately proven by tests/test_streaming.py on a replayed dir
+    "streaming_dedup_events": """
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        FROM events
     """,
     "embedding_dedup_clusters": """
         WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

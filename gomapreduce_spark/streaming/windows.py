@@ -159,7 +159,10 @@ def streaming_stateful_sessions(
             "user_id": user_id,
             "session_start": pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
             "n_events": n,
-            "dur_s": round((last_us - start_us) / 1_000_000, 4),
+            # raw IEEE division of exact integer micros — bit-identical in
+            # Python, Spark, and DuckDB, so the value hash-matches the
+            # oracle without any cross-engine round() semantics in play
+            "dur_s": (last_us - start_us) / 1_000_000,
         }
 
     def fn(key, pdfs, state: GroupState):

@@ -15,18 +15,13 @@ def test_entry_returns_rows(spark):
 def test_queries_oracles_aligned():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
-    # documented rows-only queries (approximate / streaming)
+    # documented rows-only queries: approximate ops ONLY — every
+    # streaming query is hash-oracled (deterministic on a finite replay)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "knn_lsh",
         "knn_ivf",
         "approx_distinct_users",
-        "streaming_tumbling_counts",
-        "streaming_sliding_counts",
-        "streaming_stateful_sessions",
-        "streaming_interval_join",
-        "streaming_session_windows",
-        "streaming_dedup_events",
         "value_deciles_approx",
         "heavy_hitters_approx",
     }
