@@ -294,10 +294,13 @@ def value_deciles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame
 
 def value_deciles(events: DataFrame) -> DataFrame:
     """ntile decile assignment over event values, rolled up per decile —
-    the ranking-window surface (ntile) next to row_number. One global
-    sort-shuffle; exact, oracle-checkable — kept as the verification
-    form. The scale path is :func:`value_deciles_approx` (sketch
-    cutpoints + narrow bucketing, no global sort)."""
+    the ranking-window surface (ntile) next to row_number.
+
+    VERIFICATION-ONLY at scale: ntile needs one GLOBAL sort partition —
+    a single task sorts the whole table. The 100 TB default is
+    :func:`value_deciles_approx` (sketch cutpoints + narrow bucketing,
+    no global sort); this exact form is the oracle cross-check for it
+    (see SCALE.md)."""
     w = W.orderBy(F.col("value").asc(), F.col("event_id").asc())
     return (
         events.withColumn("decile", F.ntile(10).over(w).cast("long"))
@@ -356,7 +359,13 @@ def trimmed_mean_by_type(events: DataFrame, trim: float = 0.1) -> DataFrame:
     built-in aggregate expresses. Each group arrives as one pandas
     frame (Arrow-batched); rows are sorted by (value, event_id) so the
     trim is deterministic under ties. One shuffle on the group key —
-    same dataflow as groupBy().agg, with Python only per group."""
+    same dataflow as groupBy().agg, with Python only per group.
+
+    VERIFICATION-ONLY at scale: the whole group lands in ONE pandas
+    frame, so a hot group OOMs an executor. The 100 TB default is
+    :func:`trimmed_mean_distributed` (identical output, spilling
+    windows); this form exists for Reducer-contract fidelity and as
+    the oracle cross-check (see SCALE.md)."""
     import pandas as pd
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
