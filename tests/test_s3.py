@@ -70,6 +70,24 @@ def test_s3a_uri_reaches_filesystem_dispatch(spark):
     assert "S3AFileSystem not found" in msg or "s3a" in msg.lower()
 
 
+def test_load_table_passes_s3a_uri_to_filesystem_dispatch(spark):
+    """The actual entry point users call — ``load_table`` — must hand an
+    ``s3a://`` sf_dir to Hadoop unchanged (no local-path assumptions in
+    our code). Covers the reference's ListKeys/GetValue-over-S3 surface
+    (s3_utils.go:39-67) at the API level: with hadoop-aws present this
+    is a live read; without it the failure must be the missing S3A
+    class, proving dispatch was reached."""
+    from gomapreduce_spark.sources.registry import load_table
+
+    configure_s3a(spark, endpoint="http://127.0.0.1:9", anonymous=True)
+    if s3a_available(spark):
+        pytest.skip("hadoop-aws present: exercise against a real stub endpoint")
+    with pytest.raises(Exception) as ei:
+        load_table(spark, "s3a://no-such-bucket/sf100", "lineitem").limit(1).collect()
+    msg = str(ei.value)
+    assert "S3AFileSystem not found" in msg or "s3a" in msg.lower()
+
+
 def test_magic_committer_spark_confs_gated_on_bindings(spark):
     """The Spark-side commit protocol must be applied only when the
     spark-hadoop-cloud bindings exist — pointing commitProtocolClass at
