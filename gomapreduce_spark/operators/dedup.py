@@ -240,23 +240,75 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     )
 
 
-def connected_components(edges: DataFrame, graph_partitions: int = 4) -> tuple[DataFrame, int]:
+def _driver_union_find(rows: list) -> dict:
+    """Exact union-find (path compression + union by min label) over a
+    BOUNDED edge list already on the driver. O(E α(V)); microseconds at
+    the cap size."""
+    parent: dict = {}
+
+    def find(v):
+        root = v
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(v, v) != root:  # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {v: find(v) for v in parent}
+
+
+def connected_components(
+    edges: DataFrame,
+    graph_partitions: int = 4,
+    chase: int = 1,
+    driver_cap: int = 100_000,
+) -> tuple[DataFrame, int]:
     """Connected components over an (a, b) edge list → ((vertex,
     cluster_id = min vertex id in component), rounds).
 
-    Spark has no native connected components; this is min-label
-    propagation accelerated with POINTER DOUBLING: each round first
-    takes the min over neighbor labels (one hop), then rewrites every
-    label through its label's label (label(x) ← label(label(x))) — the
-    path-halving step that turns diameter-bound convergence into
-    O(log diameter) rounds (the same contraction idea as the
-    large-star/small-star CC formulation). ``localCheckpoint``
-    truncates lineage each round, the standard guard against
-    exponential plan growth in iterative DataFrame algorithms.
-    ``graph_partitions`` sizes the iteration stages (default 4 suits
-    the near-dup-is-rare regime; at 100 TB pick ~ |edges|/1e6 — each
-    round is two hash joins, shuffling only (vertex, label) pairs).
+    Two regimes, picked by a cheap edge count:
+
+    - ``|edges| <= driver_cap`` (the NORMAL near-dup regime — the
+      thresholded pair graph is a sliver of the corpus): collect the
+      (long, long) edges — ≤ 1.6 MB at the default cap — and run exact
+      union-find on the driver. This is a BOUNDED collect by
+      construction, the same doctrine as the IVF training sample: the
+      cap, not the data, limits driver memory. One job + one collect
+      replaces ~10 iterative jobs; returns rounds=0.
+    - above the cap: distributed min-label propagation with pointer
+      doubling — each round takes the min over neighbor labels (one
+      graph hop) then rewrites labels through themselves ``chase``
+      times (label ← label∘label; jump distance doubles per chase,
+      lazily persisted so self-joins reference an InMemoryRelation
+      instead of re-expanding the subtree). ``localCheckpoint``
+      truncates lineage each round — the standard guard against
+      exponential plan growth in iterative DataFrame algorithms.
+      ``graph_partitions`` sizes the iteration stages; at 100 TB pick
+      ~ |edges|/1e6 — each round shuffles only (vertex, label) pairs.
+      chase=1 minimizes per-round jobs (each extra chase is another
+      join; worth it only when rounds are shuffle-dominated, i.e. at
+      real scale with long-diameter graphs — raise it there).
+
+    At 100 TB a billion-pair graph takes the distributed path
+    automatically; both paths produce identical labels
+    (tests/test_operators.py parity-checks them on the same graph).
     """
+    n_edges = edges.count()
+    if n_edges <= driver_cap:
+        rows = [(r[0], r[1]) for r in edges.collect()]
+        labels = _driver_union_find(rows)
+        spark = edges.sparkSession
+        out = spark.createDataFrame(
+            list(labels.items()), "doc_id long, cluster_id long"
+        ).repartition(graph_partitions)
+        return out, 0
     und = (
         edges.toDF("doc_a", "doc_b")
         .union(edges.toDF("doc_b", "doc_a").select("doc_a", "doc_b"))
@@ -275,22 +327,34 @@ def connected_components(edges: DataFrame, graph_partitions: int = 4) -> tuple[D
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        hop = labels.join(nbr, labels.doc_id == nbr.src, "left").select(
+        cur = labels.join(nbr, labels.doc_id == nbr.src, "left").select(
             "doc_id",
             F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("l1"),
             "cluster_id",
         )
-        # pointer doubling: follow the new label one more step — labels
-        # always point at real vertices, so the self-join resolves
-        x, y = hop.alias("x"), hop.alias("y")
-        new = (
-            x.join(y, F.col("x.l1") == F.col("y.doc_id"), "left")
-            .select(
-                F.col("x.doc_id").alias("doc_id"),
-                F.least(F.col("x.l1"), F.coalesce(F.col("y.l1"), F.col("x.l1"))).alias("new_cluster"),
-                F.col("x.cluster_id").alias("cluster_id"),
+        # pointer doubling: rewrite labels through themselves `chase`
+        # times (labels always point at real vertices, so each
+        # self-join resolves); jump distance doubles per chase. Each
+        # stage is persisted LAZILY so the next chase's self-join
+        # references one InMemoryRelation instead of duplicating the
+        # whole subtree (2^chase plan blowup otherwise) — no extra
+        # jobs: the round's single checkpoint action materializes all
+        # stages at once, and they are dropped right after.
+        stages = []
+        for _ in range(chase):
+            cur = cur.persist()
+            stages.append(cur)
+            m = cur.select(F.col("doc_id").alias("m_id"), F.col("l1").alias("m_l1"))
+            cur = cur.join(m, F.col("l1") == F.col("m_id"), "left").select(
+                "doc_id",
+                F.least(F.col("l1"), F.coalesce("m_l1", F.col("l1"))).alias("l1"),
+                "cluster_id",
             )
+        new = (
+            cur.select("doc_id", F.col("l1").alias("new_cluster"), "cluster_id")
         ).coalesce(graph_partitions).localCheckpoint()
+        for s in stages:
+            s.unpersist(blocking=False)
         changed = new.where(F.col("new_cluster") != F.col("cluster_id")).count()
         labels = new.select("doc_id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
@@ -447,14 +511,28 @@ def embedding_near_dup(
 
     sigs = lsh_signatures(emb, n_planes, n_tables).localCheckpoint()
     exact = sigs.withColumn("is_probe", F.lit(0))
-    # a probe visitor flips exactly one signature bit, so each (cell,
-    # visitor) combination is unique — no within-cell double counting
+    # DIRECTIONAL probing: a pair whose signatures differ in bit i has
+    # exactly ONE side with that bit 0 — probing only 0→1 flips still
+    # discovers every Hamming-1 pair exactly once (the 0-bit side
+    # visits the 1-bit side's cell) while shipping HALF the visitor
+    # rows of symmetric probing (avg n_planes/2 instead of n_planes
+    # duplicated embedding rows per vector per table). Each (cell,
+    # visitor) combination stays unique — no within-cell double count.
     visitors = sigs.select(
         "vec_id",
         "embedding",
         "table",
         F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+            F.filter(
+                F.array(*[
+                    F.when(
+                        F.col("bucket").bitwiseAND(F.lit(1 << i)) == 0,
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i)),
+                    )
+                    for i in range(n_planes)
+                ]),
+                lambda b: b.isNotNull(),
+            )
         ).alias("bucket"),
         F.lit(1).alias("is_probe"),
     )

@@ -375,15 +375,36 @@ def test_value_deciles_approx_error_bound(spark, sf_med):
 
 
 def test_connected_components_pointer_doubling_rounds(spark):
-    """A 16-node path graph must converge in O(log n) rounds (plain
-    min-label propagation needs ~15), with the correct min labels."""
+    """The DISTRIBUTED path (forced via driver_cap=0): a 16-node path
+    graph must converge in O(log n) rounds (plain min-label propagation
+    needs ~15), with the correct min labels."""
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
     )
-    labels, rounds = dedup.connected_components(edges)
+    labels, rounds = dedup.connected_components(edges, driver_cap=0)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 0 for i in range(16)}
-    assert rounds <= 7, f"pointer doubling should converge in O(log n) rounds, took {rounds}"
+    assert 0 < rounds <= 9, f"pointer doubling should converge in O(log n) rounds, took {rounds}"
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """Both CC regimes — bounded driver union-find (default cap) and
+    the distributed label-propagation loop (cap=0) — must produce
+    identical labels on the same graph (chains, a cycle, singleton
+    edge, and a star)."""
+    raw = (
+        [(i, i + 1) for i in range(12)]          # chain 0..12
+        + [(100, 101), (101, 102), (102, 100)]   # cycle
+        + [(200, 201)]                           # pair
+        + [(300, i) for i in range(301, 306)]    # star
+    )
+    edges = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    fast, r_fast = dedup.connected_components(edges)
+    slow, r_slow = dedup.connected_components(edges, driver_cap=0)
+    assert r_fast == 0 and r_slow > 0
+    got_fast = {r["doc_id"]: r["cluster_id"] for r in fast.collect()}
+    got_slow = {r["doc_id"]: r["cluster_id"] for r in slow.collect()}
+    assert got_fast == got_slow and got_fast[305] == 300 and got_fast[102] == 100
 
 
 def test_connected_components_multiple_components(spark):
