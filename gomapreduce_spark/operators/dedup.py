@@ -21,15 +21,18 @@ Scale design:
   distributed (no driver collect); exact on the fixtures (verified
   against the all-pairs oracle at every SF).
 
-No operator here caches or persists anything: every intermediate is
-consumed exactly once (sizes and signatures ride through the joins
-instead of being re-joined), so repeated invocations in a long-lived
-session leave no storage behind.
+No operator here caches or persists anything durable: every
+intermediate is consumed exactly once (sizes and signatures ride
+through the joins instead of being re-joined); the one exception is the
+distributed connected-components loop, whose per-round chase stages are
+persisted for the duration of one round and unpersisted before the
+next — repeated invocations in a long-lived session leave no storage
+behind.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
@@ -376,6 +379,38 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: in
     labels, _ = connected_components(pairs.select("doc_a", "doc_b"), graph_partitions)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Canonical-document selection — the decision stage a production
+    dedup pipeline ends with: per near-dup cluster keep exactly ONE
+    representative (highest :func:`~..text.quality_score` quality,
+    doc_id as the deterministic tie-break); unclustered docs are their
+    own singleton cluster and always kept.
+
+    Output: one row per document (doc_id, cluster_id, cluster_size,
+    quality, keep) — the full audit trail, not just the survivors, so
+    downstream can materialize either the kept corpus or a removal
+    report.
+
+    Scale shape: clusters come from the banded-LSH pipeline
+    (:func:`dedup_clusters`), quality is a narrow scan, and the argmax
+    is one row_number window partitioned by cluster_id — cluster sizes
+    are bounded by near-dup group sizes (AQE-split if a boilerplate
+    cluster explodes), never corpus-sized.
+    """
+    from .text import quality_score
+
+    clusters = dedup_clusters(docs, threshold)
+    q = quality_score(docs).select("doc_id", "quality")
+    joined = q.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        "quality",
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return joined.withColumn("keep", F.row_number().over(w) == 1)
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

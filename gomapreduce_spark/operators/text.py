@@ -548,3 +548,88 @@ def inverted_index(docs: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+# context-window chunking defaults, shared with the DuckDB oracle in
+# queries.py so the two cannot drift
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    RAG/context-window chunker: chunk k covers tokens
+    [k*stride, k*stride + chunk_size) with stride = chunk_size - overlap,
+    so consecutive chunks share ``overlap`` tokens and every token is
+    covered.
+
+    Pure narrow pipeline (tokenize → explode window starts → slice):
+    zero shuffle, rows fan out by ceil(n_tokens/stride) — at 100 TB this
+    is a scan-bound map, exactly like tokenization itself. Empty chunks
+    (empty documents) are dropped.
+    """
+    stride = chunk_size - overlap
+    assert stride > 0, "overlap must be smaller than chunk_size"
+    base = docs.select("doc_id", tokenize("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = base.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice("toks", F.col("start") + 1, chunk_size)
+    return (
+        chunked.select(
+            "doc_id",
+            F.expr(f"start div {stride}").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+# sequence-packing defaults, shared with the DuckDB oracle
+PACK_BUDGET = 512
+PACK_SHARD = 1000
+
+
+def pack_training_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, shard_size: int = PACK_SHARD
+) -> DataFrame:
+    """Greedy in-order packing of documents into fixed token-budget
+    training sequences — the pretraining batch packer: within each
+    shard, documents are taken in doc_id order and a document starts in
+    the sequence its cumulative-token offset falls in (a document may
+    overflow its sequence; the trainer truncates or wraps downstream —
+    the standard greedy contract).
+
+    Packing is PER SHARD (doc_id div shard_size), deliberately: a
+    global in-order pack needs a global cumulative sum (one partition —
+    the exact shape that dies at 100 TB), while per-shard packing is one
+    hash shuffle on shard and an intra-partition window, and shards are
+    how training data is laid out anyway (write_training_shards).
+
+    Output: one row per packed sequence (shard, seq_id, n_docs,
+    seq_tokens, first_doc, last_doc).
+    """
+    base = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {shard_size}").alias("shard"),
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("cum_before", cum_before)
+        .withColumn("seq_id", F.expr(f"cum_before div {budget}"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

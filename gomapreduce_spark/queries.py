@@ -120,6 +120,12 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dedup_clusters": lambda s, d: dedup.embedding_dedup_clusters(
         load_table(s, d, "embeddings")
     ),
+    # -- NEW round 4: training-data preparation ops --
+    "chunk_documents": lambda s, d: text.chunk_documents(load_table(s, d, "documents")),
+    "pack_training_sequences": lambda s, d: text.pack_training_sequences(
+        load_table(s, d, "documents")
+    ),
+    "canonical_docs": lambda s, d: dedup.canonical_docs(load_table(s, d, "documents")),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
@@ -284,6 +290,9 @@ QUERIES["streaming_static_enrichment"] = _streaming_enrichment
 _CHANGED_THIS_ROUND = [
     "sessionize",
     "sliding_window_counts",
+    "chunk_documents",
+    "pack_training_sequences",
+    "canonical_docs",
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
     "streaming_stateful_sessions",
@@ -1132,6 +1141,70 @@ ORACLES: dict[str, str] = {
         SELECT l.doc_id, l.cluster_id, s.n AS cluster_size
         FROM labels l
         JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s USING (cluster_id)
+    """,
+    "chunk_documents": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        s AS (
+          SELECT doc_id, t,
+                 unnest(range(0, greatest(len(t), 1), {text.CHUNK_SIZE - text.CHUNK_OVERLAP})) AS start
+          FROM t
+        )
+        SELECT doc_id,
+               (start // {text.CHUNK_SIZE - text.CHUNK_OVERLAP})::BIGINT AS chunk_id,
+               len(list_slice(t, start + 1, start + {text.CHUNK_SIZE}))::BIGINT AS n_tokens,
+               array_to_string(list_slice(t, start + 1, start + {text.CHUNK_SIZE}), ' ') AS chunk_text
+        FROM s
+        WHERE len(list_slice(t, start + 1, start + {text.CHUNK_SIZE})) > 0
+    """,
+    "pack_training_sequences": f"""
+        WITH d AS (
+          SELECT doc_id, doc_id // {text.PACK_SHARD} AS shard, len({_TOKS})::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM d
+        )
+        SELECT shard, (cum_before // {text.PACK_BUDGET})::BIGINT AS seq_id,
+               count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2
+    """,
+    "canonical_docs": f"""
+        WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+        edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
+        sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
+        qual AS (
+          SELECT doc_id,
+                 round(0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
+                       + 0.3 * least(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
+                                     / greatest(len(t), 1) * 5, 1.0)
+                       + 0.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+                       + 0.2 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                                / greatest(length(text), 1)), 6) AS quality
+          FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+        ),
+        j AS (
+          SELECT q.doc_id,
+                 coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+                 coalesce(s.n, 1)::BIGINT AS cluster_size,
+                 q.quality
+          FROM qual q
+          LEFT JOIN labels l ON q.doc_id = l.doc_id
+          LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+        )
+        SELECT doc_id, cluster_id, cluster_size, quality,
+               row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
+        FROM j
     """,
     "simhash": f"""
         WITH {_SIMHASH_SQL}

@@ -719,3 +719,74 @@ def test_text_oracles_char_length_parity_non_ascii(spark):
         spark_rows = {tuple(r) for r in fn(docs).collect()}
         duck_rows = {tuple(r) for r in con.execute(ORACLES[qname]).fetchall()}
         assert spark_rows == duck_rows, f"{qname} diverges on non-ASCII text"
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered, consecutive chunks share exactly
+    `overlap` tokens, only the final chunk may be short, and empty
+    documents produce no chunks."""
+    from gomapreduce_spark.operators import text as text_ops
+
+    toks = [f"t{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = text_ops.chunk_documents(docs, chunk_size=16, overlap=4)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"].split(" ")) for r in out.collect()),
+    )
+    d1 = [(cid, c) for did, cid, c in rows if did == 1]
+    # stride 12 over 50 tokens -> starts 0,12,24,36,48 -> 5 chunks
+    assert [cid for cid, _ in d1] == [0, 1, 2, 3, 4]
+    covered = [t for _, c in d1 for t in c]
+    assert set(covered) == set(toks)
+    for (_, a), (_, b) in zip(d1, d1[1:]):
+        assert a[-4:] == b[:4] or len(b) < 4  # shared overlap tokens
+    assert [c for did, cid, c in rows if did == 2] == [["a", "b"]]
+    assert not [c for did, _, c in rows if did == 3]
+
+
+def test_pack_training_sequences_greedy_semantics(spark):
+    """Docs pack in doc_id order within a shard; a doc starts in the
+    sequence its cumulative offset falls in; shards pack independently."""
+    from gomapreduce_spark.operators import text as text_ops
+
+    def doc(doc_id, n):
+        return (doc_id, " ".join(["w"] * n))
+
+    docs = spark.createDataFrame(
+        [doc(1, 30), doc(2, 15), doc(3, 20), doc(12, 35)], "doc_id long, text string"
+    )
+    out = {
+        (r["shard"], r["seq_id"]): (r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"])
+        for r in text_ops.pack_training_sequences(docs, budget=40, shard_size=10).collect()
+    }
+    # shard 0: doc1 starts at 0 -> seq0; doc2 at 30 -> seq0; doc3 at 45 -> seq1
+    # shard 1: doc12 restarts at 0 -> seq0 (independent packing)
+    assert out == {
+        (0, 0): (2, 45, 1, 2),
+        (0, 1): (1, 20, 3, 3),
+        (1, 0): (1, 35, 12, 12),
+    }
+
+
+def test_canonical_docs_keeps_best_per_cluster(spark):
+    """Exactly one keep per near-dup cluster (the highest quality, then
+    smallest doc_id), singletons always kept."""
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),        # same cluster, higher quality
+        (4, base),                   # identical to 1 -> quality tie with 1
+        (3, "completely different content with many unique interesting words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    out = {r["doc_id"]: r for r in dedup.canonical_docs(docs).collect()}
+    assert {d: r["cluster_id"] for d, r in out.items()} == {1: 1, 2: 1, 4: 1, 3: 3}
+    kept = {d for d, r in out.items() if r["keep"]}
+    assert kept == {2, 3}  # 2 beats the 1/4 quality tie; 3 is a singleton
+    assert out[1]["cluster_size"] == 3 and out[3]["cluster_size"] == 1
