@@ -413,6 +413,40 @@ def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return joined.withColumn("keep", F.row_number().over(w) == 1)
 
 
+def leakage_safe_split(
+    docs: DataFrame, test_pct: int = 10, val_pct: int = 10, threshold: float = 0.5
+) -> DataFrame:
+    """Contamination-safe train/validation/test split: the unit of
+    assignment is the near-dup CLUSTER, not the document — a document
+    and all its near-duplicates always land in the SAME split, so a
+    test example can never have a near-copy in training (the classic
+    eval-leakage failure a naive per-doc hash split ships).
+
+    Assignment is a deterministic 60-bit md5 hash of the cluster id
+    bucketed mod 100 (cross-engine reproducible — the same contract as
+    every fingerprint here), so the split is stable run-to-run and
+    engine-to-engine. Unclustered docs are their own singleton cluster.
+
+    Scale shape: clusters come from the banded-LSH pipeline, the join
+    back to docs is one keyed shuffle, the hash is a narrow projection.
+    """
+    clusters = dedup_clusters(docs, threshold).select("doc_id", "cluster_id")
+    base = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+    )
+    bucket = F.pmod(h64(F.col("cluster_id"), seed="split:"), F.lit(100))
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "validation")
+        .otherwise("train")
+    )
+    return base.select(
+        "doc_id", "cluster_id", bucket.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Weighted SimHash fingerprint: token-count-weighted bit votes over
     the md5 hash of each distinct token; bit b set iff the weighted vote

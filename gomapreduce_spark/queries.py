@@ -126,6 +126,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents")
     ),
     "canonical_docs": lambda s, d: dedup.canonical_docs(load_table(s, d, "documents")),
+    "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(load_table(s, d, "documents")),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
@@ -293,6 +294,7 @@ _CHANGED_THIS_ROUND = [
     "chunk_documents",
     "pack_training_sequences",
     "canonical_docs",
+    "leakage_safe_split",
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
     "streaming_stateful_sessions",
@@ -1205,6 +1207,33 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, cluster_id, cluster_size, quality,
                row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
         FROM j
+    """,
+    "leakage_safe_split": f"""
+        WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
+        edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+                UNION SELECT doc_b, doc_a FROM edges),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
+        base AS (
+          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        b AS (
+          SELECT doc_id, cluster_id,
+                 {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 AS bucket
+          FROM base
+        )
+        SELECT doc_id, cluster_id, bucket::BIGINT AS bucket,
+               CASE WHEN bucket < 10 THEN 'test'
+                    WHEN bucket < 20 THEN 'validation'
+                    ELSE 'train' END AS split
+        FROM b
     """,
     "simhash": f"""
         WITH {_SIMHASH_SQL}

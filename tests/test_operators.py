@@ -790,3 +790,20 @@ def test_canonical_docs_keeps_best_per_cluster(spark):
     kept = {d for d, r in out.items() if r["keep"]}
     assert kept == {2, 3}  # 2 beats the 1/4 quality tie; 3 is a singleton
     assert out[1]["cluster_size"] == 3 and out[3]["cluster_size"] == 1
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark, sf_med):
+    """Near-duplicate documents must never straddle splits: every
+    cluster maps to exactly one split, every doc is assigned, and all
+    three splits are non-empty at sf0.01 (500 docs)."""
+    docs = load_table(spark, sf_med, "documents")
+    out = dedup.leakage_safe_split(docs).collect()
+    assert len(out) == docs.count()
+    by_cluster: dict[int, set] = {}
+    cluster_sizes: dict[int, int] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        cluster_sizes[r["cluster_id"]] = cluster_sizes.get(r["cluster_id"], 0) + 1
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster split leakage"
+    assert max(cluster_sizes.values()) > 1, "fixture should contain a multi-doc cluster"
+    assert {r["split"] for r in out} == {"train", "validation", "test"}

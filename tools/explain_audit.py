@@ -201,6 +201,23 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 1,  # rebalance only
         "forbid": ["CartesianProduct", "Window", "Join"],
     },
+    # context-window chunking: tokenize → explode → slice is a pure
+    # narrow fan-out — no shuffle beyond the rebalance, no window, no
+    # join; at 100 TB this must stay a scan-bound map
+    "chunk_documents": {
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Window", "Join"],
+    },
+    # sequence packing: ONE keyed shuffle on shard; the cumulative-sum
+    # window partitions by shard and the (shard, seq_id) aggregate
+    # reuses that partitioning (shard ⊆ group keys) — a second keyed
+    # exchange or a global window would mean per-shard packing was lost
+    "pack_training_sequences": {
+        "require": ["Window"],
+        "max_exchanges": 2,  # rebalance + shard hash
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
     # winnowing: the sliding-min window must stay PARTITIONED by doc_id
     # — a single-partition exchange would serialize the whole gram
     # stream through one task
