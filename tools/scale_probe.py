@@ -40,6 +40,12 @@ PROBE_QUERIES = [
     "repetition_stats",
     "winnow_fingerprints",
     "profile_events",
+    "chunk_documents",
+    "pack_training_sequences",
+    "canonical_docs",
+    "leakage_safe_split",
+    "dedup_clusters",
+    "embedding_dedup_clusters",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
