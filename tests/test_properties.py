@@ -190,3 +190,67 @@ def test_repetition_stats_bounds(spark, docs):
         assert r["n_bigrams"] == sum(bigrams.values())
         assert r["n_distinct_bigrams"] == len(bigrams)
         assert abs(r["top_bigram_frac"] - max(bigrams.values()) / sum(bigrams.values())) < 1e-6
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    chunk_size=st.integers(min_value=2, max_value=32),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_invariants(spark, n_tokens, chunk_size, overlap_frac):
+    """For any (doc length, chunk size, overlap): chunks cover every
+    token in order, every chunk except possibly the last is full-size,
+    and re-joining chunk k's suffix with chunk k+1's prefix reproduces
+    the original token stream."""
+    from gomapreduce_spark.operators import text as text_ops
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    stride = chunk_size - overlap
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" "))
+        for r in text_ops.chunk_documents(docs, chunk_size, overlap).collect()
+    )
+    if n_tokens == 0:
+        assert out == []
+        return
+    # stitch: first chunk whole, then the non-overlapping tail of each
+    stitched = list(out[0][1]) if out else []
+    for _, c in out[1:]:
+        stitched.extend(c[overlap:])
+    assert stitched == toks
+    for _, c in out:
+        assert len(c) <= chunk_size
+    for _, c in out[:-1]:
+        # a non-last chunk always extends past the next chunk's start,
+        # so it holds strictly more than the shared overlap
+        assert len(c) > overlap
+
+
+@given(
+    token_counts=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=12),
+    budget=st.integers(min_value=5, max_value=80),
+)
+@settings(**SETTINGS)
+def test_pack_training_sequences_conservation(spark, token_counts, budget):
+    """Packing conserves docs and tokens, sequence ids are dense from 0
+    within a shard, and every sequence except the last starts strictly
+    inside the budget grid (greedy in-order semantics)."""
+    from gomapreduce_spark.operators import text as text_ops
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["seq_id"], r["n_docs"], r["seq_tokens"])
+        for r in text_ops.pack_training_sequences(docs, budget=budget, shard_size=1000).collect()
+    )
+    assert sum(n for _, n, _ in out) == len(token_counts)
+    assert sum(t for _, _, t in out) == sum(token_counts)
+    # greedy grid check against a python reference
+    import itertools
+
+    cum = list(itertools.accumulate([0] + token_counts[:-1]))
+    want_seqs = sorted({c // budget for c in cum})
+    assert [s for s, _, _ in out] == want_seqs
