@@ -240,6 +240,12 @@ def _streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_windows(spark, f"{sf_dir}/events.parquet")
 
 
+def _streaming_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_gopher_filter
+
+    return streaming_gopher_filter(spark, f"{sf_dir}/documents.parquet")
+
+
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import streaming_dedup_events
 
@@ -261,6 +267,7 @@ QUERIES["streaming_stateful_sessions"] = _streaming_sessions
 QUERIES["streaming_interval_join"] = _streaming_interval_join
 QUERIES["streaming_session_windows"] = _streaming_session_windows
 QUERIES["streaming_dedup_events"] = _streaming_dedup
+QUERIES["streaming_gopher_filter"] = _streaming_gopher
 
 
 def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +308,7 @@ _CHANGED_THIS_ROUND = [
     "streaming_interval_join",
     "streaming_session_windows",
     "streaming_dedup_events",
+    "streaming_gopher_filter",
     "streaming_static_enrichment",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
@@ -1327,3 +1335,7 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+# the streaming gopher filter runs the IDENTICAL narrow projection as
+# the batch form on a finite replay — one oracle, two execution modes
+ORACLES["streaming_gopher_filter"] = ORACLES["gopher_rules"]

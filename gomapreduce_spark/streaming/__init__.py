@@ -1,5 +1,6 @@
 from .windows import (
     streaming_click_purchase_join,
+    streaming_gopher_filter,
     streaming_dedup_events,
     streaming_session_windows,
     streaming_static_enrichment,
@@ -11,6 +12,7 @@ from .windows import (
 
 __all__ = [
     "streaming_click_purchase_join",
+    "streaming_gopher_filter",
     "streaming_dedup_events",
     "streaming_session_windows",
     "streaming_static_enrichment",

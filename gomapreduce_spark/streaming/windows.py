@@ -20,6 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Generic parquet file-stream reader: accepts a single file or a
+    directory, probes the footer with a batch read (metadata only — no
+    data scan) for the exact on-disk schema ``readStream`` requires,
+    and fails loudly on a missing path (which would otherwise stream 0
+    files and "complete" with an empty result)."""
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    if os.path.isfile(path):  # single file: glob it within its dir
+        d, base = os.path.split(path)
+        glob, stream_dir = base, d
+    elif os.path.isdir(path):
+        glob, stream_dir = None, path
+    else:
+        raise FileNotFoundError(f"stream path is neither file nor directory: {path}")
+
+    # honoring nanosAsLong etc. exactly as the batch reader resolves it
+    disk_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(disk_schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(stream_dir)
+
+
 def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Encoding-adaptive streaming read of the events table.
 
@@ -41,27 +66,8 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     on the batch side; ``tests/test_streaming.py`` parity tests pin the
     two paths together.
     """
-    from ..session import apply_runtime_confs
-
-    apply_runtime_confs(spark)
-    if os.path.isfile(events_path):  # single file: glob it within its dir
-        d, base = os.path.split(events_path)
-        glob, stream_dir = base, d
-    elif os.path.isdir(events_path):
-        glob, stream_dir = None, events_path
-    else:
-        # fail loudly: a missing path (or a misnamed dataset) would
-        # otherwise stream 0 files and "complete" with an empty result
-        raise FileNotFoundError(f"events path is neither file nor directory: {events_path}")
-
-    # Footer probe: the batch reader resolves the exact on-disk schema
-    # (honoring nanosAsLong for legacy nanos data) without reading rows.
-    disk_schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(disk_schema)
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    stream = reader.parquet(stream_dir)
-    ts_type = disk_schema["ts"].dataType
+    stream = _read_parquet_stream(spark, events_path)
+    ts_type = stream.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
@@ -317,6 +323,23 @@ def streaming_upsert_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_gopher_filter(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming corpus hygiene: the batch ``gopher_rules`` filter —
+    unchanged — applied to a DOCUMENTS stream. Narrow projections are
+    streaming-agnostic in Spark: the exact same Column expressions plan
+    incrementally over micro-batches with zero state, which is the
+    whole point of declaring filters declaratively (an arriving-files
+    corpus drop gets hygiene-scored as it lands, no batch recompute).
+
+    Row-level and deterministic, so it carries the SAME full value-hash
+    DuckDB oracle as the batch form; batch parity is additionally
+    asserted in tests."""
+    from ..operators.text import gopher_rules
+
+    stream = _read_parquet_stream(spark, docs_path)
+    return _run_to_memory(gopher_rules(stream), "append")
 
 
 def streaming_static_enrichment(

@@ -217,3 +217,15 @@ def test_streaming_upsert_sink_incremental_batch_keeps_siblings(spark, tmp_path)
             spark.read.parquet(out).select("hour", "event_type", "n_events").collect())}
     assert ("typeB", 1) in got2, "incremental batch deleted the sibling event type"
     assert ("typeA", 2) in got2
+
+
+def test_streaming_gopher_filter_matches_batch(spark, sf_small):
+    """The streaming corpus-hygiene filter must equal the batch
+    gopher_rules projection row-for-row on a static replay."""
+    from gomapreduce_spark.operators.text import gopher_rules
+    from gomapreduce_spark.streaming import streaming_gopher_filter
+
+    batch = gopher_rules(load_table(spark, sf_small, "documents"))
+    stream = streaming_gopher_filter(spark, f"{sf_small}/documents.parquet")
+    got, want = _as_set(stream.select(*batch.columns)), _as_set(batch)
+    assert got == want and len(got) > 0
