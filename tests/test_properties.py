@@ -224,9 +224,10 @@ def test_chunk_documents_invariants(spark, n_tokens, chunk_size, overlap_frac):
     for _, c in out:
         assert len(c) <= chunk_size
     for _, c in out[:-1]:
-        # a non-last chunk always extends past the next chunk's start,
-        # so it holds strictly more than the shared overlap
-        assert len(c) > overlap
+        # a non-last chunk spans at least to the next start (stride
+        # tokens), plus one more when chunks overlap at all — but never
+        # more than chunk_size
+        assert len(c) >= min(chunk_size, stride + 1)
 
 
 @given(
