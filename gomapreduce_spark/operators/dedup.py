@@ -303,10 +303,14 @@ def connected_components(
     automatically; both paths produce identical labels
     (tests/test_operators.py parity-checks them on the same graph).
     """
-    n_edges = edges.count()
-    if n_edges <= driver_cap:
-        rows = [(r[0], r[1]) for r in edges.collect()]
-        labels = _driver_union_find(rows)
+    # ONE job decides the regime AND fetches the data: limit(cap+1)
+    # short-circuits the scan, and a (cap+1)-th row proves we must go
+    # distributed without having collected more than the cap + 1 rows.
+    # (A separate count() would execute the whole upstream pair
+    # pipeline twice.)
+    probe = edges.limit(driver_cap + 1).collect()
+    if len(probe) <= driver_cap:
+        labels = _driver_union_find([(r[0], r[1]) for r in probe])
         spark = edges.sparkSession
         out = spark.createDataFrame(
             list(labels.items()), "doc_id long, cluster_id long"
@@ -430,11 +434,14 @@ def leakage_safe_split(
     Scale shape: clusters come from the banded-LSH pipeline, the join
     back to docs is one keyed shuffle, the hash is a narrow projection.
     """
-    clusters = dedup_clusters(docs, threshold).select("doc_id", "cluster_id")
+    # connected components directly — dedup_clusters would also compute
+    # per-cluster sizes this query never reads
+    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= threshold)
+    labels, _ = connected_components(pairs.select("doc_a", "doc_b"))
     base = (
         docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        .join(labels.withColumnRenamed("cluster_id", "cid"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cid", F.col("doc_id")).alias("cluster_id"))
     )
     bucket = F.pmod(h64(F.col("cluster_id"), seed="split:"), F.lit(100))
     split = (

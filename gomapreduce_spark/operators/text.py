@@ -573,8 +573,14 @@ def chunk_documents(
     stride = chunk_size - overlap
     assert stride > 0, "overlap must be smaller than chunk_size"
     base = docs.select("doc_id", tokenize("text").alias("toks"))
+    # start grid stops at n - overlap - 1: a later start would yield a
+    # chunk wholly CONTAINED in its predecessor (pure duplicate rows
+    # downstream); the last emitted chunk still reaches the final token
+    # because n - s_max <= chunk_size by construction.
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size("toks") - (overlap + 1), F.lit(0)),
+        F.lit(stride),
     )
     chunked = base.select("doc_id", "toks", F.explode(starts).alias("start"))
     chunk = F.slice("toks", F.col("start") + 1, chunk_size)
@@ -612,6 +618,11 @@ def pack_training_sequences(
 
     Output: one row per packed sequence (shard, seq_id, n_docs,
     seq_tokens, first_doc, last_doc).
+
+    Domain note: doc_id must be non-negative (true for every fixture
+    and any sane corpus id) — Spark's ``div`` truncates toward zero
+    while the DuckDB oracle's ``//`` floors, and the two only agree on
+    non-negative operands.
     """
     base = docs.select(
         "doc_id",

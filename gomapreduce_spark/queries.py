@@ -932,12 +932,20 @@ ORACLES: dict[str, str] = {
                  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                  count(*) AS n_events,
                  (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS dur_s,
-                 max(epoch_us(ts)) AS last_us
+                 max(epoch_us(ts)) AS last_us,
+                 max(max(epoch_us(ts))) OVER (PARTITION BY user_id) AS user_last_us
           FROM s GROUP BY user_id, session_id
         )
+        -- emitted iff closed by a later event of the same user (every
+        -- non-final session), OR flushed by the event-time timeout:
+        -- Spark fires a timeout when the MS-TRUNCATED watermark is
+        -- STRICTLY past the ms-truncated timeout timestamp — mirror
+        -- that exactly so boundary sessions can't diverge
         SELECT user_id, session_start, n_events, dur_s
         FROM per
-        WHERE last_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM events)
+        WHERE last_us < user_last_us
+           OR (SELECT max(epoch_us(ts)) FROM events) // 1000
+              > (last_us + 1800000000) // 1000
     """,
     "streaming_interval_join": """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
@@ -947,10 +955,14 @@ ORACLES: dict[str, str] = {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
     "streaming_session_windows": """
+        -- session_window merges events only when windows OVERLAP
+        -- ([ts, ts+gap) touching at exactly gap does NOT merge), so the
+        -- break condition is >= gap — unlike the stateful sessionizer's
+        -- strictly-greater contract above
         WITH x AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
           SELECT user_id,
@@ -1156,7 +1168,8 @@ ORACLES: dict[str, str] = {
         WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         s AS (
           SELECT doc_id, t,
-                 unnest(range(0, greatest(len(t), 1), {text.CHUNK_SIZE - text.CHUNK_OVERLAP})) AS start
+                 unnest(range(0, greatest(len(t) - {text.CHUNK_OVERLAP}, 1),
+                              {text.CHUNK_SIZE - text.CHUNK_OVERLAP})) AS start
           FROM t
         )
         SELECT doc_id,

@@ -736,8 +736,10 @@ def test_chunk_documents_coverage_and_overlap(spark):
         ((r["doc_id"], r["chunk_id"], r["chunk_text"].split(" ")) for r in out.collect()),
     )
     d1 = [(cid, c) for did, cid, c in rows if did == 1]
-    # stride 12 over 50 tokens -> starts 0,12,24,36,48 -> 5 chunks
-    assert [cid for cid, _ in d1] == [0, 1, 2, 3, 4]
+    # stride 12 over 50 tokens, start grid capped at n - overlap - 1 =
+    # 45 -> starts 0,12,24,36 (a chunk at 48 would be contained in the
+    # one at 36) -> 4 chunks
+    assert [cid for cid, _ in d1] == [0, 1, 2, 3]
     covered = [t for _, c in d1 for t in c]
     assert set(covered) == set(toks)
     for (_, a), (_, b) in zip(d1, d1[1:]):

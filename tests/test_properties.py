@@ -224,10 +224,9 @@ def test_chunk_documents_invariants(spark, n_tokens, chunk_size, overlap_frac):
     for _, c in out:
         assert len(c) <= chunk_size
     for _, c in out[:-1]:
-        # a non-last chunk spans at least to the next start (stride
-        # tokens), plus one more when chunks overlap at all — but never
-        # more than chunk_size
-        assert len(c) >= min(chunk_size, stride + 1)
+        # the start grid stops at n - overlap - 1, which makes every
+        # non-last chunk exactly full (n - s >= chunk_size + 1 there)
+        assert len(c) == chunk_size
 
 
 @given(

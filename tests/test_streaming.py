@@ -50,20 +50,30 @@ def test_streaming_stateful_sessions_match_batch(spark, sf_small):
     from gomapreduce_spark.operators.events import session_rows
     from gomapreduce_spark.streaming import streaming_stateful_sessions
 
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_small, "events")
     max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
     gap_us = 30 * 60 * 1_000_000
+    # Spark-exact flush semantics: a session is emitted iff it was
+    # closed by a later event of the same user (every non-final
+    # session) OR its event-time timeout fired — and timeouts fire only
+    # when the MS-TRUNCATED watermark is STRICTLY past the ms-truncated
+    # timeout timestamp. Mirroring that here (instead of a micros <=)
+    # makes the parity exact at the boundary, not just off-by-one-safe.
+    user_last = F.max("last_us").over(W.partitionBy("user_id"))
     batch = (
         session_rows(ev)
-        .where(F.col("last_us") + gap_us <= max_us)
+        .withColumn("user_last_us", user_last)
+        .where(
+            (F.col("last_us") < F.col("user_last_us"))
+            | (F.lit(max_us // 1000) > F.expr(f"(last_us + {gap_us}) div 1000"))
+        )
         .select("user_id", "session_start", "n_events", "dur_s")
     )
     stream = streaming_stateful_sessions(spark, f"{sf_small}/events.parquet")
     got = _as_set(stream.select("user_id", "session_start", "n_events", "dur_s"))
     want = _as_set(batch)
-    # the streaming flush boundary may be off-by-one session per user at
-    # the watermark edge depending on strict/non-strict comparison; demand
-    # exact equality — if this flaps, the boundary semantics changed.
     assert got == want
 
 
