@@ -22,8 +22,20 @@ from gomapreduce_spark.sources.registry import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q1_pricing_summary(load_table(spark, "/root/testdata/sf0.001", "lineitem"))
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Also the timestamp-encoding canary: if a testdata regeneration
+    ships a new ts encoding that slips past
+    ``sources.registry.normalize_timestamps``, fail the smoke gate HERE
+    — loudly and first — rather than letting event-time queries compute
+    on garbage mid-run (the round-3 failure mode)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ts_dtype = dict(load_table(spark, sf_dir, "events").dtypes)["ts"]
+    assert ts_dtype == "timestamp", (
+        f"events.ts arrived as {ts_dtype!r}, not 'timestamp' — new testdata "
+        "encoding slipped past sources.registry.normalize_timestamps"
+    )
+    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -32,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; approximate/streaming ops are
-    intentionally absent (rows-only check)."""
+    """DuckDB-equivalent SQL per query; the five approximate ops are
+    intentionally absent (rows-only check + error-bound/recall tests);
+    every streaming query IS present (deterministic on finite replay)."""
     return dict(_q.ORACLES)
