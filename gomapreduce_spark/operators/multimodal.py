@@ -1,12 +1,19 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed in Arrow batches via ``mapInPandas``.
 
-Driver-mandated extension. The image/audio codecs are NOT in this
-container, so the decode step is stubbed (``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``); everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real and
-tested. The deterministic fake "decoder" derives metadata from the
-payload bytes so results remain oracle-checkable.
+Driver-mandated extension. Codec status, honestly:
+
+- UNCOMPRESSED formats decode FOR REAL, pure numpy, no external libs:
+  binary PPM (P6) images (:func:`decode_ppm`, with a real
+  nearest-neighbor :func:`resize_rgb`) and PCM RIFF/WAVE audio
+  (:func:`decode_wav`). Exercised end-to-end through mapInPandas by
+  :func:`ppm_image_stats` / :func:`wav_audio_features` with exact
+  numpy-reference tests.
+- COMPRESSED codecs (JPEG/PNG/MP3/FLAC) need PIL/libvips/ffmpeg — not
+  in this container — so those paths raise ``NotImplementedError``
+  unless ``fake=True``, whose deterministic byte-derived metadata keeps
+  the Spark-side plumbing (schema, batch iteration, partitioning, UDF
+  signatures) testable and oracle-checkable.
 
 At 100 TB: binary payloads ride in their own column (parquet keeps them
 out of unrelated scans via column pruning); decode work is
@@ -63,13 +70,116 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """STUB: real image decode needs PIL/libvips — not in this container.
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM (P6) — pure numpy, no codec
+    library: parse the ASCII header (magic, optional ``#`` comments,
+    width, height, maxval), then view the raw RGB bytes as an
+    (h, w, 3) uint8 array. Raises ValueError on anything that is not a
+    well-formed 8-bit P6 payload."""
+    import numpy as np
 
-    ``fake=True`` derives deterministic dimensions from the byte length,
-    keeping the pipeline testable end-to-end."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (w={w}, h={h}, maxval={maxval})")
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    if len(payload) - i < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    return w, h, px
+
+
+def encode_ppm(px) -> bytes:
+    """Inverse of :func:`decode_ppm` (used by tests and the resize
+    round-trip): (h, w, 3) uint8 array → P6 bytes."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+
+def resize_rgb(px, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize — pure numpy index striding (the
+    same kernel every image library bottoms out in for NEAREST)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return px[yi][:, xi]
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for PCM RIFF/WAVE — pure numpy: walk the RIFF
+    chunks, parse ``fmt ``, view ``data`` as int16 (or uint8) samples,
+    reshape per channel. Raises ValueError for non-WAV payloads and
+    NotImplementedError for compressed (non-PCM) WAV."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = bits = channels = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV decodes natively (no ffmpeg here)")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    if channels and channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(-1, channels)
+    return rate, samples
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Image dimensions. P6 PPM payloads decode FOR REAL (numpy);
+    compressed formats need PIL/libvips — absent here — so they raise
+    unless ``fake=True``, which derives deterministic dimensions from
+    the byte length to keep the pipeline testable end-to-end."""
+    if payload.startswith(b"P6"):
+        try:
+            w, h, _ = decode_ppm(payload)
+            return w, h
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment; use fake=True")
+        raise NotImplementedError(
+            "compressed image codecs unavailable in this environment; "
+            "P6 PPM decodes natively, or use fake=True"
+        )
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
 
@@ -205,6 +315,100 @@ def chunk_audio(mm: DataFrame, chunk_bytes: int = 64, fake: bool = True) -> Data
             ).astype({"chunk_idx": "int32", "start_byte": "int32", "n_bytes": "int32"})
 
     return mm.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
+PPM_STATS_SCHEMA = "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+
+
+def ppm_image_stats(mm: DataFrame) -> DataFrame:
+    """REAL image featurization — no fake path: decode each P6 PPM
+    payload with numpy inside an Arrow batch and emit dimensions +
+    per-channel means. Rows that are not valid PPM are dropped (the
+    standard corrupt-sample filter in a media pipeline). Tests assert
+    exact values against an independent numpy reference."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_ppm(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
+
+    return mm.mapInPandas(batches, PPM_STATS_SCHEMA)
+
+
+def resize_ppm_images(mm: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """REAL decode → resize → re-encode round trip: P6 in, smaller P6
+    out, nearest-neighbor kernel, all numpy. The binary-in/binary-out
+    shape of :func:`resize_images` with an actual image transform."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, thumbs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, _, px = decode_ppm(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(doc_id)
+                thumbs.append(encode_ppm(resize_rgb(px, width, height)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": width, "height": height, "thumb": thumbs}
+            ).astype({"width": "int32", "height": "int32"})
+
+    return mm.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, n_channels int, rms double, zero_cross_rate double"
+)
+
+
+def wav_audio_features(mm: DataFrame) -> DataFrame:
+    """REAL audio featurization — no fake path: decode PCM WAV payloads
+    with numpy and emit sample rate, length, RMS amplitude, and
+    zero-crossing rate (the two features every audio-quality filter
+    starts with). Non-WAV rows are dropped; multi-channel audio is
+    downmixed by channel mean before the features."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("doc_id", "sample_rate", "n_samples", "n_channels", "rms", "zero_cross_rate")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                n_channels = samples.shape[1] if samples.ndim == 2 else 1
+                mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype("float64")
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono.astype("float64") ** 2))) if n else 0.0
+                zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["n_channels"].append(n_channels)
+                rows["rms"].append(rms)
+                rows["zero_cross_rate"].append(zcr)
+            yield pd.DataFrame(rows).astype(
+                {"sample_rate": "int32", "n_samples": "int64", "n_channels": "int32"}
+            )
+
+    return mm.mapInPandas(batches, WAV_FEATURES_SCHEMA)
 
 
 def audio_chunk_stats(docs: DataFrame) -> DataFrame:
