@@ -36,19 +36,36 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    warm(QUERIES, spark, sf_dir)
-    times: dict[str, float] = {
-        name: time_query(QUERIES, name, spark, sf_dir) for name in bench_queries(QUERIES)
-    }
+    try:
+        warm(QUERIES, spark, sf_dir)
+    except Exception:  # noqa: BLE001 — warmup is best-effort; per-query
+        pass           # isolation below reports the real failures
+    # Per-query isolation: one broken query must not kill the whole
+    # run with zero numbers (the round-3 failure mode — an ingestion
+    # change crashed the first event-time query and the harness died
+    # before timing anything). Failures are recorded, the JSON line
+    # still prints, and the exit code still flags the run as red.
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in bench_queries(QUERIES):
+        try:
+            times[name] = time_query(QUERIES, name, spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — record and keep timing the rest
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "bench_total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
