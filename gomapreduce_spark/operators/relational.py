@@ -245,6 +245,91 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
     )
 
 
+def q14_promo_revenue(
+    lineitem: DataFrame, part: DataFrame, start: str = "1997-01-01", end: str = "1998-01-01"
+) -> DataFrame:
+    """TPC-H Q14-style: share of revenue from promotional parts in a
+    ship-date window. Conditional aggregation (CASE inside SUM) over a
+    broadcast part join — one fact scan, no shuffle besides the final
+    single-row aggregate; the date range is pushed to the parquet scan."""
+    price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", price).otherwise(F.lit(0.0))) / F.sum(price),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_volume_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: float = 300.0, k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-style: top-k largest orders by total line-item quantity
+    (HAVING-filtered aggregate subquery). The quantity rollup shuffles
+    lineitem once on orderkey and the HAVING filter drops ~99% of groups
+    BEFORE the orders join, so the join probe side is tiny; customer is
+    a broadcast dim; top-k is TakeOrderedAndProject (per-partition
+    partial top-k, never the full order set through one task)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    order = [F.col("total_qty").desc(), F.col("o_orderkey").asc()]
+    return (
+        joined.orderBy(*order)
+        .limit(k)  # TakeOrderedAndProject: distributed partial top-k
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+            "rk",
+        )
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style: revenue from three OR'd brand/size/quantity
+    bands. Exercises disjunctive predicate handling — the shared
+    equi-key (partkey) keeps this a single BroadcastHashJoin with the
+    disjunction evaluated as a post-join filter; no plan split, no
+    nested-loop fallback. Catalyst extracts the common l_quantity
+    bounds (1..30) as a pushable conjunct from the OR."""
+    price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(cond)
+        .agg(
+            F.round(F.sum(price), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def date_funcs_showcase(orders: DataFrame) -> DataFrame:
     """The date/time scalar surface (absent in the reference, SURVEY
     §2.2) rolled up per (year, quarter): extraction (year/quarter/

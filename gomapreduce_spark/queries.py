@@ -207,6 +207,15 @@ QUERIES: dict[str, QueryFn] = {
     "date_funcs_showcase": lambda s, d: relational.date_funcs_showcase(load_table(s, d, "orders")),
     "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
+    "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "q18_large_orders": lambda s, d: relational.q18_large_volume_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "q19_disjunctive_revenue": lambda s, d: relational.q19_disjunctive_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
 }
 
 
@@ -1346,6 +1355,37 @@ ORACLES: dict[str, str] = {
                (octet_length(encode(text)) % 480 + 1)::INT AS fake_height,
                substr(text, 1, 8) AS header
         FROM documents
+    """,
+    "q14_promo_revenue": """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(total_qty, 2) AS total_qty,
+               (row_number() OVER (ORDER BY total_qty DESC, o_orderkey ASC))::BIGINT AS rk
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        QUALIFY rk <= 20
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
     """,
 }
 

@@ -118,6 +118,26 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q14_promo_revenue": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["l_shipdate"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q18_large_orders": {
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "partial_agg": True,  # quantity rollup combines map-side
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
+    # the OR'd brand/size/quantity bands must stay ONE equi-join on
+    # partkey with the disjunction as a filter — never a plan split or
+    # nested-loop fallback
+    "q19_disjunctive_revenue": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["l_quantity"],  # common 1..30 conjunct extracted from the OR
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # the sketch-decile scale path must never fall back to the exact
     # form's global sort: no window, no full-data sort anywhere (the
     # only single-partition exchange is the one-sketch-row-per-partition
