@@ -330,6 +330,28 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q16_supplier_part_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers able to supply each
+    (brand, type, size) bucket, for selected sizes and excluding one
+    brand (the fixture has no partsupp table, so lineitem's
+    (partkey, suppkey) pairs stand in as the observed supply relation).
+
+    COUNT(DISTINCT) after a broadcast join: Catalyst plans the standard
+    two-phase distinct aggregate — partial dedup keyed on
+    (group, suppkey) BEFORE the shuffle, then partial/final distinct
+    count — so no distinct-set ever materializes per group."""
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22]
+    p = part.where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def date_funcs_showcase(orders: DataFrame) -> DataFrame:
     """The date/time scalar surface (absent in the reference, SURVEY
     §2.2) rolled up per (year, quarter): extraction (year/quarter/

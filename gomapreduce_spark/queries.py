@@ -216,6 +216,9 @@ QUERIES: dict[str, QueryFn] = {
     "q19_disjunctive_revenue": lambda s, d: relational.q19_disjunctive_revenue(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
+    "q16_supplier_parts": lambda s, d: relational.q16_supplier_part_counts(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
 }
 
 
@@ -1386,6 +1389,12 @@ ORACLES: dict[str, str] = {
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q16_supplier_parts": """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        GROUP BY p_brand, p_type, p_size
     """,
 }
 

@@ -138,6 +138,15 @@ AUDITS: dict[str, dict] = {
         "pushed_filters": ["l_quantity"],  # common 1..30 conjunct extracted from the OR
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
+    # partial dedup on (group, suppkey) BEFORE the shuffle, then the
+    # distinct count — never a per-group collect_set. (Expand would
+    # only appear with mixed distinct/non-distinct aggregates.)
+    "q16_supplier_parts": {
+        "require": ["BroadcastHashJoin", "partial_count(distinct"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "collect_set"],
+    },
     # the sketch-decile scale path must never fall back to the exact
     # form's global sort: no window, no full-data sort anywhere (the
     # only single-partition exchange is the one-sketch-row-per-partition
