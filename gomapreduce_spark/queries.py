@@ -127,6 +127,19 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "canonical_docs": lambda s, d: dedup.canonical_docs(load_table(s, d, "documents")),
     "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(load_table(s, d, "documents")),
+    # -- round-4 relational widening: inside the driver's check budget --
+    "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "q18_large_orders": lambda s, d: relational.q18_large_volume_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "q19_disjunctive_revenue": lambda s, d: relational.q19_disjunctive_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "q16_supplier_parts": lambda s, d: relational.q16_supplier_part_counts(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
@@ -212,12 +225,6 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "q18_large_orders": lambda s, d: relational.q18_large_volume_orders(
         load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    ),
-    "q19_disjunctive_revenue": lambda s, d: relational.q19_disjunctive_revenue(
-        load_table(s, d, "lineitem"), load_table(s, d, "part")
-    ),
-    "q16_supplier_parts": lambda s, d: relational.q16_supplier_part_counts(
-        load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
 }
 
@@ -322,6 +329,11 @@ _CHANGED_THIS_ROUND = [
     "streaming_dedup_events",
     "streaming_gopher_filter",
     "streaming_static_enrichment",
+    # late-round relational widening (new this round)
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q16_supplier_parts",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
