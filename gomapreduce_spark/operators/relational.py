@@ -352,6 +352,123 @@ def q16_supplier_part_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style custdist: distribution of customers by how many
+    qualifying orders they placed, INCLUDING zero-order customers (the
+    left outer join is the point of the query shape). The fixture has no
+    o_comment, so the 'not special requests' exclusion becomes a
+    priority exclusion.
+
+    Scale shape: orders are pre-aggregated to one row per custkey BEFORE
+    the outer join, so the join probe carries |customers-with-orders|
+    aggregated rows, not |orders| raw rows; the count-of-counts
+    re-aggregation shuffles only |distinct c_count| ≤ a few hundred
+    rows. No broadcast of the fact side at scale — the custkey join
+    shuffles both sides on the key once."""
+    qualifying = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = qualifying.groupBy("o_custkey").agg(F.count("*").alias("c_count"))
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q21_suppliers_kept_waiting(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    grace_days: int = 60,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. The fixture lacks commit/receipt
+    dates, so 'late' is shipdate > orderdate + grace (same contract as
+    q4_late_shipments); the original's single-nation filter becomes a
+    three-nation IN over the synthetic nations.
+
+    The two correlated subqueries (EXISTS another supplier on the order,
+    NOT EXISTS another LATE supplier on the order) are decorrelated into
+    per-order distinct-supplier counts — the standard rewrite: for a
+    late (order, supplier) pair, 'another supplier exists' ⇔
+    n_suppliers ≥ 2 and 'no other late supplier' ⇔ n_late_suppliers = 1.
+    One lineitem⋈orders shuffle on orderkey feeds both counts and the
+    late-pair set; supplier⋈nation is a broadcast dim; top-k is
+    TakeOrderedAndProject."""
+    o_f = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = l.join(o_f, l.l_orderkey == o_f.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + grace_days * 86_400_000_000
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_suppliers"),
+    )
+    late_pairs = lines.where(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    sole_late = (
+        late_pairs.join(per_order, "l_orderkey")
+        .where((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1))
+    )
+    nat = nation.where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    sup = (
+        supplier.join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    numwait = (
+        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    order = [F.col("numwait").desc(), F.col("s_name").asc()]
+    return (
+        numwait.orderBy(*order)
+        .limit(k)  # TakeOrderedAndProject: distributed partial top-k
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
+        .select("s_name", "numwait", "rk")
+    )
+
+
+def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-style: per 'country code' bucket, the count and total
+    balance of above-average-balance customers who never placed an
+    order. The fixture has no c_phone, so the code is the last digit of
+    c_name ('Customer#%09d' → position 18), filtered to the odd digits.
+
+    The global scalar-avg subquery is decorrelated into a 1-row
+    aggregate broadcast-crossed into the probe (the plan Catalyst
+    produces for an uncorrelated scalar subquery); NOT EXISTS is a
+    left-anti join against the bare orders key column. One customer
+    scan feeds both the avg and the probe; the anti join shuffles on
+    custkey (orders side is key-only and column-pruned)."""
+    coded = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.substring("c_name", 18, 1).alias("cntrycode"),
+    ).where(F.col("cntrycode").isin("1", "3", "5", "7", "9"))
+    avg_bal = coded.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        coded.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def date_funcs_showcase(orders: DataFrame) -> DataFrame:
     """The date/time scalar surface (absent in the reference, SURVEY
     §2.2) rolled up per (year, quarter): extraction (year/quarter/

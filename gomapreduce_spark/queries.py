@@ -220,12 +220,6 @@ QUERIES: dict[str, QueryFn] = {
     "date_funcs_showcase": lambda s, d: relational.date_funcs_showcase(load_table(s, d, "orders")),
     "window_rank_showcase": lambda s, d: events.window_rank_showcase(load_table(s, d, "events")),
     "salted_user_counts": lambda s, d: salted_counts(load_table(s, d, "events"), "user_id"),
-    "q14_promo_revenue": lambda s, d: relational.q14_promo_revenue(
-        load_table(s, d, "lineitem"), load_table(s, d, "part")
-    ),
-    "q18_large_orders": lambda s, d: relational.q18_large_volume_orders(
-        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    ),
 }
 
 

@@ -135,7 +135,9 @@ AUDITS: dict[str, dict] = {
     # nested-loop fallback
     "q19_disjunctive_revenue": {
         "require": ["BroadcastHashJoin"],
-        "pushed_filters": ["l_quantity"],  # common 1..30 conjunct extracted from the OR
+        # CNF extraction (PushExtraPredicateThroughJoin) pushes the
+        # per-band disjunction (1..11 OR 10..20 OR 20..30) on l_quantity
+        "pushed_filters": ["l_quantity"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
