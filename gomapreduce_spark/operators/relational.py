@@ -437,18 +437,25 @@ def q21_suppliers_kept_waiting(
     )
 
 
-def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, since: str = "1998-01-01"
+) -> DataFrame:
     """TPC-H Q22-style: per 'country code' bucket, the count and total
-    balance of above-average-balance customers who never placed an
-    order. The fixture has no c_phone, so the code is the last digit of
-    c_name ('Customer#%09d' → position 18), filtered to the odd digits.
+    balance of above-average-balance customers with no RECENT orders.
+    Two fixture adaptations: no c_phone, so the code is the last digit
+    of c_name ('Customer#%09d' → position 18) filtered to the odd
+    digits; and every fixture customer has at least one order, so the
+    original's 'never ordered' becomes 'no order since the cutoff'
+    (same lapsed-customer contract as customers_without_orders — the
+    plain NOT EXISTS would be vacuously empty).
 
     The global scalar-avg subquery is decorrelated into a 1-row
     aggregate broadcast-crossed into the probe (the plan Catalyst
     produces for an uncorrelated scalar subquery); NOT EXISTS is a
-    left-anti join against the bare orders key column. One customer
-    scan feeds both the avg and the probe; the anti join shuffles on
-    custkey (orders side is key-only and column-pruned)."""
+    left-anti join against the date-filtered orders key column. One
+    customer scan feeds both the avg and the probe; the anti join
+    shuffles on custkey (orders side is key-only and column-pruned,
+    with the date filter pushed to its scan)."""
     coded = customer.select(
         "c_custkey",
         "c_acctbal",
@@ -457,10 +464,11 @@ def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> Data
     avg_bal = coded.where(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
     return (
         coded.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),

@@ -140,6 +140,19 @@ QUERIES: dict[str, QueryFn] = {
     "q16_supplier_parts": lambda s, d: relational.q16_supplier_part_counts(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
+    # -- round-5 relational widening: the last three distinctive TPC-H
+    # -- shapes (grouped outer-join distribution, double-correlated
+    # -- EXISTS/NOT-EXISTS, substring bucket + anti join + scalar avg) --
+    "q13_customer_distribution": lambda s, d: relational.q13_customer_distribution(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
+    "q21_suppliers_kept_waiting": lambda s, d: relational.q21_suppliers_kept_waiting(
+        load_table(s, d, "supplier"), load_table(s, d, "nation"),
+        load_table(s, d, "orders"), load_table(s, d, "lineitem"),
+    ),
+    "q22_global_sales_opportunity": lambda s, d: relational.q22_global_sales_opportunity(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
@@ -1401,6 +1414,58 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
         GROUP BY p_brand, p_type, p_size
+    """,
+    "q13_customer_distribution": """
+        WITH per AS (
+          SELECT o_custkey, count(*) AS c_count
+          FROM orders WHERE o_orderpriority <> '1-URGENT'
+          GROUP BY o_custkey
+        )
+        SELECT coalesce(p.c_count, 0)::BIGINT AS c_count, count(*) AS custdist
+        FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+        GROUP BY 1
+    """,
+    # the oracle keeps the ORIGINAL correlated EXISTS / NOT EXISTS shape
+    # so the decorrelated Spark rewrite is checked against the textbook
+    # formulation, not against itself
+    "q21_suppliers_kept_waiting": """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 epoch_us(l_shipdate) > epoch_us(o_orderdate) + 5184000000000 AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late),
+        w AS (
+          SELECT s_name, count(*) AS numwait
+          FROM cand c
+          JOIN supplier ON s_suppkey = c.l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            AND EXISTS (SELECT 1 FROM lo l2
+                        WHERE l2.l_orderkey = c.l_orderkey
+                          AND l2.l_suppkey <> c.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lo l3
+                            WHERE l3.l_orderkey = c.l_orderkey
+                              AND l3.l_suppkey <> c.l_suppkey AND l3.is_late)
+          GROUP BY s_name
+        )
+        SELECT s_name, numwait,
+               (row_number() OVER (ORDER BY numwait DESC, s_name ASC))::BIGINT AS rk
+        FROM w QUALIFY rk <= 100
+    """,
+    "q22_global_sales_opportunity": """
+        WITH coded AS (
+          SELECT c_custkey, c_acctbal, substr(c_name, 18, 1) AS cntrycode
+          FROM customer
+          WHERE substr(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        )
+        SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM coded c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM coded WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-01-01')
+        GROUP BY cntrycode
     """,
 }
 

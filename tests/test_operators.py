@@ -29,6 +29,62 @@ def test_topk_per_group_bounds(spark, sf_small):
     assert tops == maxes
 
 
+def test_q13_counts_zero_order_customers(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,), (4,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, "5-LOW"), (11, 1, "5-LOW"), (12, 2, "1-URGENT"), (13, 3, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {r["c_count"]: r["custdist"] for r in relational.q13_customer_distribution(cust, orders).collect()}
+    # cust 1 → 2 qualifying orders; cust 3 → 1; cust 2 (urgent-only) and
+    # cust 4 (no orders) → 0 — the left-outer zero bucket must hold both
+    assert got == {2: 1, 1: 1, 0: 2}
+
+
+def test_q21_sole_late_supplier_semantics(spark):
+    sup = spark.createDataFrame(
+        [(1, "S1", 100), (2, "S2", 100), (3, "S3", 100)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    nat = spark.createDataFrame([(100, "NATION_1")], "n_nationkey long, n_name string")
+    orders = spark.createDataFrame(
+        [(10, "2020-01-01", "F"), (11, "2020-01-01", "F"),
+         (12, "2020-01-01", "F"), (13, "2020-01-01", "O")],
+        "o_orderkey long, o_orderdate string, o_orderstatus string",
+    ).select("o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderstatus")
+    late, ontime = "2020-06-01", "2020-01-02"
+    li = spark.createDataFrame(
+        [
+            (10, 1, late), (10, 2, ontime),   # order 10: S1 sole-late, S2 present → S1 counts
+            (11, 1, late), (11, 2, late),     # order 11: two late suppliers → nobody counts
+            (12, 3, late),                    # order 12: single-supplier → no 'other supplier'
+            (13, 1, late),                    # order 13: status O → excluded
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate string",
+    ).select("l_orderkey", "l_suppkey", F.col("l_shipdate").cast("timestamp").alias("l_shipdate"))
+    got = {r["s_name"]: r["numwait"] for r in
+           relational.q21_suppliers_kept_waiting(sup, nat, orders, li, grace_days=60).collect()}
+    assert got == {"S1": 1}
+
+
+def test_q22_avg_cutoff_and_lapsed_filter(spark):
+    # names end in odd digits → buckets '1'/'3'; c4 ends in '2' → dropped
+    cust = spark.createDataFrame(
+        [(1, "Customer#000000001", 100.0), (2, "Customer#000000011", 900.0),
+         (3, "Customer#000000003", 800.0), (4, "Customer#000000002", 999.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(2, "1998-06-01")], "o_custkey long, o_orderdate string"
+    ).select("o_custkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+    # avg over coded positive balances = (100+900+800)/3 = 600; above-avg
+    # are c2 (bucket '1') and c3 (bucket '3'); c2 has a recent order →
+    # only c3 survives the anti join
+    got = {r["cntrycode"]: (r["numcust"], r["totacctbal"]) for r in
+           relational.q22_global_sales_opportunity(cust, orders, since="1998-01-01").collect()}
+    assert got == {"3": (1, 800.0)}
+
+
 def test_sessionize_event_conservation(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     out = events.sessionize(ev)

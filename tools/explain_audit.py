@@ -140,6 +140,35 @@ AUDITS: dict[str, dict] = {
         "pushed_filters": ["l_quantity"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # the outer join must stay an equi-join on custkey with the orders
+    # side PRE-AGGREGATED (count per custkey before the join), and both
+    # count layers must combine map-side
+    "q13_customer_distribution": {
+        "pushed_filters": ["o_orderpriority"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # the double-correlated EXISTS/NOT-EXISTS is decorrelated into
+    # per-order distinct-supplier counts: one orderkey equi-join chain,
+    # supplier⋈nation broadcast, distributed top-k — never a correlated
+    # re-scan per row, never a nested loop
+    "q21_suppliers_kept_waiting": {
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "pushed_filters": ["o_orderstatus"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
+    # the scalar-avg subquery is a 1-row broadcast cross (the ONE place
+    # BroadcastNestedLoopJoin is the correct plan — its build side is a
+    # single aggregate row); the NOT EXISTS must be a LeftAnti equi-join
+    # with the date filter pushed to the orders scan
+    "q22_global_sales_opportunity": {
+        "require": ["LeftAnti"],
+        "pushed_filters": ["o_orderdate"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
     # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
     # partial dedup on (group, suppkey) BEFORE the shuffle, then the
     # distinct count — never a per-group collect_set. (Expand would
