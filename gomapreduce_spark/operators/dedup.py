@@ -53,6 +53,54 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+PARA_SEP = r"\n\s*\n"
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = PARA_SEP) -> DataFrame:
+    """Paragraph-level exact dedup — the within-corpus hygiene step
+    between doc-level exact dedup and fuzzy dedup (boilerplate headers,
+    license blocks, and navigation chrome repeat verbatim across
+    documents long before whole docs do).
+
+    Split on blank lines, trim, drop empties, hash each paragraph, and
+    emit a keep-first manifest per distinct paragraph: the
+    lexicographically smallest (doc_id, para_idx) occurrence plus the
+    copy count. Downstream, a join of the manifest against the exploded
+    paragraphs reconstructs documents minus repeated boilerplate.
+
+    Scale shape: the explode is a narrow per-row fan-out (no shuffle);
+    the only shuffle is the groupBy on the 60-bit paragraph hash, and
+    map-side partial aggregation means each executor ships one
+    (hash, min-struct, count) triple per distinct local paragraph —
+    never the paragraph text itself."""
+    paras = (
+        docs.select("doc_id", F.posexplode(F.split("text", sep)).alias("para_idx", "para"))
+        .select("doc_id", "para_idx", F.trim(F.col("para")).alias("para"))
+        .where(F.length("para") > 0)
+    )
+    # min(struct) carries a struct aggregation buffer, which
+    # HashAggregate cannot hold — Spark plans partial+final
+    # SortAggregate instead. That still combines map-side (each
+    # executor ships one triple per distinct local paragraph); the
+    # sort keys are 60-bit hashes, not text. Packing (doc_id,
+    # para_idx) into one primitive long would restore hash
+    # aggregation but silently caps doc_id at 2^31 — not worth the
+    # constant factor.
+    return (
+        paras.groupBy(h64(F.col("para")).alias("para_hash"))
+        .agg(
+            F.min(F.struct("doc_id", "para_idx")).alias("keep"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "para_hash",
+            F.col("keep.doc_id").alias("keep_doc"),
+            F.col("keep.para_idx").cast("long").alias("keep_para"),
+            "n_copies",
+        )
+    )
+
+
 def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingles: array<string>) — the distinct word n-gram
     shingles of each document, one narrow Arrow pass (zero shuffle).

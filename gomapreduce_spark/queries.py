@@ -153,6 +153,8 @@ QUERIES: dict[str, QueryFn] = {
     "q22_global_sales_opportunity": lambda s, d: relational.q22_global_sales_opportunity(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
+    # -- round-5 corpus hygiene: paragraph-level exact dedup manifest --
+    "paragraph_dedup": lambda s, d: dedup.paragraph_dedup(load_table(s, d, "documents")),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
@@ -1414,6 +1416,26 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
         GROUP BY p_brand, p_type, p_size
+    """,
+    # keep-first = lexicographic min over (doc_id, para_idx), expressed
+    # as min(struct) in Spark and a row_number window here
+    "paragraph_dedup": rf"""
+        WITH p AS (
+          SELECT doc_id, u.i - 1 AS para_idx, trim(parts[u.i]) AS para
+          FROM (SELECT doc_id, regexp_split_to_array(text, '\n\s*\n') AS parts
+                FROM documents),
+               unnest(range(1, len(parts) + 1)) AS u(i)
+        ),
+        np AS (SELECT * FROM p WHERE strlen(para) > 0),
+        r AS (
+          SELECT {_H.format(s='para')} AS para_hash, doc_id, para_idx,
+                 row_number() OVER (PARTITION BY {_H.format(s='para')}
+                                    ORDER BY doc_id, para_idx) AS rn,
+                 count(*) OVER (PARTITION BY {_H.format(s='para')}) AS n_copies
+          FROM np
+        )
+        SELECT para_hash, doc_id AS keep_doc, para_idx::BIGINT AS keep_para, n_copies
+        FROM r WHERE rn = 1
     """,
     "q13_customer_distribution": """
         WITH per AS (

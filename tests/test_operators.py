@@ -99,6 +99,25 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     assert by_keep == {1: 3, 2: 1}
 
 
+def test_paragraph_dedup_keep_first_manifest(spark):
+    boiler = "copyright notice all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\nunique body one"),
+            (2, f"{boiler}\n\t \nunique body two\n\n{boiler}"),  # blank line with whitespace
+            (3, "unique body three"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.paragraph_dedup(docs).collect()
+    by_keep = {(r["keep_doc"], r["keep_para"]): r["n_copies"] for r in rows}
+    # boilerplate appears 3x (docs 1, 2, 2-again) and keeps its first
+    # occurrence (doc 1, para 0); each unique body keeps itself
+    assert by_keep[(1, 0)] == 3
+    assert by_keep[(1, 1)] == 1 and by_keep[(2, 1)] == 1 and by_keep[(3, 0)] == 1
+    assert len(rows) == 4  # 3 unique bodies + 1 boilerplate
+
+
 def test_ngram_jaccard_planted_near_dup(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")

@@ -86,6 +86,15 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 2,  # content-hash shuffle (+ rebalance)
         "forbid": ["CartesianProduct"],
     },
+    # min(struct) has a struct aggregation buffer → Spark can only plan
+    # SortAggregate; partial+final sort-agg still combines map-side,
+    # which is the invariant that matters (see the operator docstring)
+    "paragraph_dedup": {
+        "partial_agg": True,
+        "partial_agg_kind": "sort",
+        "max_exchanges": 2,  # paragraph-hash shuffle (+ rebalance)
+        "forbid": ["CartesianProduct"],
+    },
     "simhash": {
         "partial_agg": True,
         "max_exchanges": 2,  # (doc_id, 48 votes) shuffle (+ rebalance)
@@ -321,10 +330,16 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
     if exp.get("partial_agg"):
         # count numbered DETAIL nodes only — formatted explain renders
         # every node twice (tree + detail), so a bare substring count
-        # can never distinguish final-only from partial+final
-        n_agg = len(re.findall(r"\(\d+\) \w*HashAggregate", plan))
+        # can never distinguish final-only from partial+final.
+        # partial_agg_kind "sort" opts in to SortAggregate pairs for the
+        # rare aggregates whose buffer HashAggregate cannot hold (e.g.
+        # min-of-struct); the default rejects them so an accidental
+        # sort-agg fallback on a primitive aggregate still fails loudly.
+        kind = exp.get("partial_agg_kind", "hash")
+        pat = r"\(\d+\) SortAggregate" if kind == "sort" else r"\(\d+\) \w*HashAggregate"
+        n_agg = len(re.findall(pat, plan))
         if n_agg < 2:
-            fails.append(f"expected partial+final HashAggregate, found {n_agg} aggregate nodes")
+            fails.append(f"expected partial+final {kind} aggregate, found {n_agg} aggregate nodes")
     if "max_exchanges" in exp:
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
         # AQE wraps plans; count physical Exchange nodes only
