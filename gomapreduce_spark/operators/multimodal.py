@@ -163,11 +163,151 @@ def decode_wav(payload: bytes):
     return rate, samples
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA
+
+
+def decode_png(payload: bytes):
+    """REAL image decode for non-interlaced 8-bit greyscale/RGB/RGBA
+    PNG — stdlib ``zlib`` + numpy, no PIL: walk the IHDR/IDAT chunks,
+    inflate, and un-filter the scanlines (all five PNG filter types:
+    None/Sub/Up/Average/Paeth). Returns (w, h, (h, w, channels) uint8
+    array). Raises ValueError for malformed payloads and
+    NotImplementedError for valid-but-unsupported PNG variants
+    (16-bit, palette, interlaced — the formats that genuinely need a
+    codec library)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    header = None
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + size]
+        if len(data) < size:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + data + crc32
+    if header is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, bit_depth, color_type, compression, filter_method, interlace = header
+    if w <= 0 or h <= 0 or compression != 0 or filter_method != 0:
+        raise ValueError(f"malformed IHDR (w={w}, h={h})")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit grey/RGB/RGBA PNG decodes natively "
+            f"(bit_depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, line = int(arr[y, 0]), arr[y, 1:]
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp] → per-lane
+            # cumulative sum; uint8 cast applies the mod-256 wrap
+            cur = (
+                np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.uint32)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif f == 3:  # Average — sequential in x (left is reconstructed)
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        recon[y] = cur
+        prev = cur
+    return w, h, recon.reshape(h, w, bpp)
+
+
+def encode_png(px) -> bytes:
+    """Inverse of :func:`decode_png` (tests + thumbnail round trips):
+    (h, w[, channels]) uint8 array → non-interlaced 8-bit PNG with
+    filter-0 scanlines, stdlib zlib CRC/deflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_rgb(payload: bytes):
+    """Format-sniffing decode to an RGB array: P6 PPM or 8-bit PNG
+    (greyscale broadcast to 3 channels, RGBA alpha dropped). The shared
+    entry point for the image stats/resize pipelines."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    w, h, px = decode_png(payload)
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif px.shape[2] == 4:
+        px = px[:, :, :3]
+    return w, h, px
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Image dimensions. P6 PPM payloads decode FOR REAL (numpy);
-    compressed formats need PIL/libvips — absent here — so they raise
-    unless ``fake=True``, which derives deterministic dimensions from
-    the byte length to keep the pipeline testable end-to-end."""
+    """Image dimensions. P6 PPM and 8-bit PNG payloads decode FOR REAL
+    (numpy; stdlib zlib for PNG); the remaining compressed formats
+    (JPEG, WebP, 16-bit/palette/interlaced PNG) need PIL/libvips —
+    absent here — so they raise unless ``fake=True``, which derives
+    deterministic dimensions from the byte length to keep the pipeline
+    testable end-to-end."""
     if payload.startswith(b"P6"):
         try:
             w, h, _ = decode_ppm(payload)
@@ -175,10 +315,17 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
         except ValueError:
             if not fake:
                 raise
+    elif payload.startswith(PNG_SIG):
+        try:
+            w, h, _ = decode_png(payload)
+            return w, h
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "compressed image codecs unavailable in this environment; "
-            "P6 PPM decodes natively, or use fake=True"
+            "P6 PPM and 8-bit PNG decode natively, or use fake=True"
         )
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
@@ -321,18 +468,18 @@ PPM_STATS_SCHEMA = "doc_id long, width int, height int, mean_r double, mean_g do
 
 
 def ppm_image_stats(mm: DataFrame) -> DataFrame:
-    """REAL image featurization — no fake path: decode each P6 PPM
-    payload with numpy inside an Arrow batch and emit dimensions +
-    per-channel means. Rows that are not valid PPM are dropped (the
-    standard corrupt-sample filter in a media pipeline). Tests assert
-    exact values against an independent numpy reference."""
+    """REAL image featurization — no fake path: decode each P6 PPM or
+    8-bit PNG payload with numpy inside an Arrow batch and emit
+    dimensions + per-channel means. Rows that are neither are dropped
+    (the standard corrupt-sample filter in a media pipeline). Tests
+    assert exact values against an independent numpy reference."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, px = decode_ppm(bytes(payload))
+                    w, h, px = decode_rgb(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 means = px.reshape(-1, 3).mean(axis=0)
@@ -348,16 +495,17 @@ def ppm_image_stats(mm: DataFrame) -> DataFrame:
 
 
 def resize_ppm_images(mm: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
-    """REAL decode → resize → re-encode round trip: P6 in, smaller P6
-    out, nearest-neighbor kernel, all numpy. The binary-in/binary-out
-    shape of :func:`resize_images` with an actual image transform."""
+    """REAL decode → resize → re-encode round trip: P6 PPM or 8-bit
+    PNG in, smaller P6 out, nearest-neighbor kernel, all numpy. The
+    binary-in/binary-out shape of :func:`resize_images` with an actual
+    image transform."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, thumbs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    _, _, px = decode_ppm(bytes(payload))
+                    _, _, px = decode_rgb(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 ids.append(doc_id)

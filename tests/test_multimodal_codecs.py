@@ -125,6 +125,141 @@ def test_wav_features_end_to_end(spark, tmp_path):
     assert r["zero_cross_rate"] == pytest.approx(want_zcr, rel=1e-12)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(px: np.ndarray, filter_types: list[int]) -> bytes:
+    """Independent PNG writer: filters each scanline per the PNG spec
+    (computed on ORIGINAL bytes, exactly as RFC 2083 defines them) so
+    the decoder's un-filtering is checked against the spec, not against
+    our own encoder."""
+    import zlib
+
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw_rows = px.reshape(h, w * ch).astype(int)
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=int)
+    for y, ft in zip(range(h), filter_types):
+        line = raw_rows[y]
+        left = np.concatenate([np.zeros(ch, int), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, int), prev[:-ch]])
+        if ft == 0:
+            f = line
+        elif ft == 1:
+            f = line - left
+        elif ft == 2:
+            f = line - prev
+        elif ft == 3:
+            f = line - (left + prev) // 2
+        elif ft == 4:
+            f = np.empty_like(line)
+            for x in range(len(line)):
+                a, b, c = left[x], prev[x], upleft[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f[x] = line[x] - pred
+        out += bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        mm.PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_rgb_rgba_grey():
+    px = _gradient_px(6, 4)
+    w, h, got = mm.decode_png(mm.encode_png(px))
+    assert (w, h) == (6, 4) and np.array_equal(got, px)
+    rgba = np.dstack([px, ((px[:, :, 0] + 7) % 256).astype(np.uint8)])
+    _, _, got4 = mm.decode_png(mm.encode_png(rgba))
+    assert got4.shape == (4, 6, 4) and np.array_equal(got4, rgba)
+    grey = px[:, :, 0]
+    _, _, got1 = mm.decode_png(mm.encode_png(grey))
+    assert got1.shape == (4, 6, 1) and np.array_equal(got1[:, :, 0], grey)
+
+
+def test_png_unfilters_all_five_filter_types():
+    px = _gradient_px(7, 5)
+    # one scanline per filter type (0..4) — each must invert exactly
+    _, _, got = mm.decode_png(_png_bytes(px, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+    # and with the row order shuffled so every type also follows Paeth
+    _, _, got2 = mm.decode_png(_png_bytes(px, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got2, px)
+    rgba = np.dstack([px, ((px[:, :, 1] * 3) % 256).astype(np.uint8)])
+    _, _, got3 = mm.decode_png(_png_bytes(rgba, [4, 4, 4, 4, 4]))
+    assert np.array_equal(got3, rgba)
+
+
+def test_png_rejects_malformed_and_unsupported():
+    px = _gradient_px(4, 3)
+    good = mm.encode_png(px)
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    with pytest.raises(ValueError):
+        mm.decode_png(good[:30])  # truncated chunk
+    # 16-bit depth is valid PNG but honestly unsupported (needs PIL)
+    bad_depth = bytearray(good)
+    assert bad_depth[24] == 8  # IHDR bit-depth byte
+    bad_depth[24] = 16
+    type_and_data = bytes(bad_depth[12:29])  # chunk type + 13 IHDR bytes
+    import zlib
+
+    rebuilt = (
+        mm.PNG_SIG
+        + struct.pack(">I", 13)
+        + type_and_data
+        + struct.pack(">I", zlib.crc32(type_and_data) & 0xFFFFFFFF)
+        + good[33:]
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(rebuilt)
+
+
+def test_png_pipeline_end_to_end(spark, tmp_path):
+    """PNG files flow through the same stats/resize pipelines as PPM."""
+    d = tmp_path / "pngs"
+    d.mkdir()
+    imgs = {"a.png": _gradient_px(6, 4), "b.png": _gradient_px(3, 5)}
+    for name, px in imgs.items():
+        (d / name).write_bytes(mm.encode_png(px))
+    (d / "c.ppm").write_bytes(mm.encode_ppm(_gradient_px(2, 2)))
+    (d / "junk.bin").write_bytes(b"not an image")
+
+    stats = mm.ppm_image_stats(mm.read_binary_dir(spark, str(d))).collect()
+    assert len(stats) == 3  # 2 PNG + 1 PPM, junk dropped
+    by_dims = {(r["width"], r["height"]): r for r in stats}
+    for px in imgs.values():
+        h, w = px.shape[:2]
+        want = px.reshape(-1, 3).mean(axis=0)
+        r = by_dims[(w, h)]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(want)
+
+    thumbs = mm.resize_ppm_images(mm.read_binary_dir(spark, str(d)), 3, 2).collect()
+    assert len(thumbs) == 3
+    for t in thumbs:
+        w, h, _ = mm.decode_ppm(bytes(t["thumb"]))
+        assert (w, h) == (3, 2)
+
+
+def test_decode_image_handles_png():
+    px = _gradient_px(11, 6)
+    assert mm.decode_image(mm.encode_png(px)) == (11, 6)
+
+
 def test_decode_image_prefers_real_ppm():
     px = _gradient_px(7, 9)
     assert mm.decode_image(mm.encode_ppm(px)) == (7, 9)
