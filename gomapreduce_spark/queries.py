@@ -314,6 +314,15 @@ def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checked only if the driver's cap allows.
 QUERIES["streaming_static_enrichment"] = _streaming_enrichment
 
+
+def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_left_outer_interval_join
+
+    return streaming_left_outer_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["streaming_left_outer_join"] = _streaming_left_outer_join
+
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so entries whose BEHAVIOR changed this round
 # (their previous rows no longer vouch for the current code) move to
@@ -986,6 +995,40 @@ ORACLES: dict[str, str] = {
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    # LEFT OUTER adds null-padded rows for unmatched clicks, but ONLY
+    # those whose match window fully closed before the final watermark:
+    # wm = min(max click ts, max purchase ts, each ms-truncated) - the
+    # 1-hour delay; a click null-pads iff click_ts + 60min < wm (later
+    # unmatched clicks stay in state at end-of-stream, un-emitted).
+    # Verified empirically at sf0.001 and sf0.01 (boundary bracketed to
+    # a 7-minute window containing exactly this threshold) and pinned by
+    # the three-way parity test in tests/test_streaming.py.
+    "streaming_left_outer_join": """
+        WITH clicks AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+          SELECT least(
+            (SELECT date_trunc('milliseconds', max(click_ts)) FROM clicks),
+            (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM purchases)
+          ) - INTERVAL 1 HOUR AS w
+        ), matched AS (
+          SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts
+          FROM clicks c JOIN purchases p
+            ON c.user_id = p.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+        )
+        SELECT user_id, click_id, purchase_id FROM matched
+        UNION ALL
+        SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+        FROM clicks c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+          AND c.click_ts + INTERVAL 60 MINUTE < wm.w
     """,
     "streaming_session_windows": """
         -- session_window merges events only when windows OVERLAP

@@ -2,6 +2,7 @@ from .windows import (
     streaming_click_purchase_join,
     streaming_gopher_filter,
     streaming_dedup_events,
+    streaming_left_outer_interval_join,
     streaming_session_windows,
     streaming_static_enrichment,
     streaming_sliding_counts,
@@ -14,6 +15,7 @@ __all__ = [
     "streaming_click_purchase_join",
     "streaming_gopher_filter",
     "streaming_dedup_events",
+    "streaming_left_outer_interval_join",
     "streaming_session_windows",
     "streaming_static_enrichment",
     "streaming_sliding_counts",

@@ -262,6 +262,59 @@ def streaming_click_purchase_join(
     return _run_to_memory(joined, "append")
 
 
+def streaming_left_outer_interval_join(
+    spark: SparkSession, events_path: str, within_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click row is
+    emitted — matched to same-user purchases in the following
+    ``within_minutes`` when they exist, null-padded otherwise. The
+    production-critical difference from the inner join above is WHEN the
+    null-padded rows appear: Spark can only declare "no match will ever
+    arrive" once the watermark passes the end of a click's match window
+    (click_ts + interval + the 1-hour watermark delay), at which point
+    the click's state is evicted and the null row emitted. Clicks whose
+    match window is still open at end-of-stream stay in state, un-emitted
+    — exactly the same flush contract as the stateful sessionizer's
+    timeout (see ``streaming_stateful_sessions``).
+
+    On a finite availableNow replay the final watermark is
+    max(event time) − 1 hour (ms-truncated), so the result is a
+    deterministic function of the input: all inner matches, plus a null
+    row for every unmatched click with
+    ``click_ts + interval < final watermark``. That determinism is what
+    makes this hash-oracleable; ``tests/test_streaming.py`` additionally
+    asserts the three-way batch parity (stream == watermark-filtered
+    batch left join).
+    """
+    stream = _read_events_stream(spark, events_path)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
 def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (session_window) — the streaming
     counterpart of operators.events.sessionize."""

@@ -141,6 +141,47 @@ def test_streaming_interval_join_matches_batch(spark, sf_small):
     assert got == want
 
 
+def test_streaming_left_outer_join_matches_watermark_filtered_batch(spark, sf_small):
+    """LEFT OUTER stream-stream join: all inner matches, plus a
+    null-padded row for exactly the unmatched clicks whose match window
+    closed before the final watermark (min of both sides' ms-truncated
+    max event time, minus the 1-hour delay). Pins the eviction predicate
+    the hash oracle encodes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_left_outer_interval_join
+
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    inner = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+    mx_c, mx_p = clicks.agg(F.max("click_ts")).first()[0], purchases.agg(F.max("purchase_ts")).first()[0]
+    trunc = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)
+    wm = min(trunc(mx_c), trunc(mx_p)) - datetime.timedelta(hours=1)
+    nullpad = (
+        clicks.join(inner.select("click_id").distinct(), "click_id", "left_anti")
+        .where(F.col("click_ts") + F.expr("INTERVAL 60 MINUTES") < F.lit(wm))
+        .select(F.col("c_user").alias("user_id"), "click_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    want = _as_set(inner) | _as_set(nullpad)
+
+    got = _as_set(streaming_left_outer_interval_join(spark, f"{sf_small}/events.parquet"))
+    assert len(want) > len(_as_set(inner)), "vacuous: no null-padded rows in fixture"
+    assert got == want
+
+
 def test_streaming_upsert_sink_matches_batch_and_is_idempotent(spark, sf_small, tmp_path):
     """foreachBatch partition-overwrite sink: the parquet table equals
     the batch aggregation, and re-running the stream over the same
