@@ -477,6 +477,345 @@ def q22_global_sales_opportunity(
     )
 
 
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+    max_size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-style: for each qualifying part, the regional supplier(s)
+    offering the minimum cost, with the correlated MIN subquery
+    decorrelated into a per-part window min. The fixture has no partsupp
+    table, so 'supply cost' is the minimum extended price the supplier
+    ever charged for the part in lineitem — an exact double (no float
+    arithmetic), so the min-equality filter is bit-stable across engines.
+
+    Scale shape: the (partkey, suppkey) cost rollup is one partial-agg
+    shuffle over lineitem; supplier⋈nation⋈region is a broadcast dim
+    chain (region prunes BEFORE the fact join, so non-regional suppliers
+    never enter the shuffle); the per-part min is a window over the
+    already-aggregated pair rows (|pairs| ≪ |lineitem|), and top-k is
+    TakeOrderedAndProject — no global sort."""
+    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    reg = region.where(F.col("r_name") == region_name)
+    regsup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.where((F.col("p_type") == p_type) & (F.col("p_size") <= max_size)).select(
+        "p_partkey", "p_brand"
+    )
+    pairs = (
+        cost.join(F.broadcast(parts), cost.l_partkey == parts.p_partkey)
+        .join(F.broadcast(regsup), cost.l_suppkey == regsup.s_suppkey)
+        .withColumn("mincost", F.min("cost").over(W.partitionBy("p_partkey")))
+        .where(F.col("cost") == F.col("mincost"))
+    )
+    order = [
+        F.col("s_acctbal").desc(),
+        F.col("n_name").asc(),
+        F.col("s_name").asc(),
+        F.col("p_partkey").asc(),
+    ]
+    return (
+        pairs.orderBy(*order)
+        .limit(k)
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("cost", 2).alias("cost"),
+            "rk",
+        )
+    )
+
+
+def q7_nation_volume_shipping(
+    supplier: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year, in
+    both directions — the double-nation-join shape (supplier nation via
+    lineitem, customer nation via orders) with the symmetric pair filter.
+
+    Scale shape: both nation joins are broadcast (supplier and customer
+    dims are each pre-filtered to the two nations BEFORE touching the
+    facts, so the fact shuffles carry only pair-relevant rows); the
+    lineitem⋈orders equi-join on orderkey is the one fact-fact shuffle;
+    the final group-by is 2 nations × years — tiny."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b))
+    sup = (
+        supplier.join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(F.broadcast(nat), customer.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = lineitem.where(
+        F.col("l_shipdate").between("1995-01-01", "1997-12-31 23:59:59")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    p_type: str = "ECONOMY",
+    target_nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8-style national market share: the target nation's share
+    of regional sales volume for one part type, per order year — the
+    conditional-aggregate-ratio shape over a five-table join.
+
+    Scale shape: part (type-filtered), supplier⋈nation, and
+    customer⋈nation⋈region are all broadcast dims; the part filter
+    reaches the lineitem join before the orders join, so the fact-fact
+    orderkey shuffle carries only the type's lines. The ratio is
+    computed inside one aggregate pass (sum of CASE over sum), per year
+    — no second scan, no self-join."""
+    parts = part.where(F.col("p_type") == p_type).select("p_partkey")
+    sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    reg = region.where(F.col("r_name") == region_name)
+    cust = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_word: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year.
+    No partsupp in the fixture, so unit cost is p_retailprice (profit =
+    discounted revenue − retailprice × quantity); the part-name LIKE
+    filter and the nation × year rollup keep the original's shape.
+
+    Scale shape: part (name-filtered) and supplier⋈nation broadcast;
+    lineitem⋈orders shuffles on orderkey once; the grouped result is
+    |nations| × |years|. The LIKE filter lands in PushedFilters as a
+    StringContains on the part scan."""
+    parts = part.where(F.col("p_name").contains(name_word)).select("p_partkey", "p_retailprice")
+    sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    # the subtraction makes this sum land near cent boundaries more often
+    # than the pure-revenue queries, and a double sum is order-dependent
+    # in its last bits — so accumulate in exact decimal (associative,
+    # engine-order-independent) and round the exact total
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,6)")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        # round the EXACT decimal (half-away-from-zero in both engines),
+        # THEN cast: rounding after a double cast re-introduces the
+        # boundary problem (a .725 total has no exact double)
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose sales value through
+    one nation's suppliers exceeds a fraction of that nation's total —
+    the scalar-subquery-in-HAVING shape. No partsupp, so value is the
+    summed extended price of the nation's lineitem rows per part.
+
+    Scale shape: the nation's supplier keys broadcast into the lineitem
+    scan (filter before shuffle); one partial-agg shuffle on partkey;
+    the global total is a 1-row aggregate of the per-part rollup
+    broadcast-crossed into the HAVING filter — the same decorrelation
+    Catalyst applies to an uncorrelated scalar subquery, never a second
+    lineitem scan."""
+    nat = nation.where(F.col("n_name") == nation_name)
+    sup = supplier.join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    per_part = (
+        lineitem.join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > fraction * F.col("total_value"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+def q12_late_lines_by_returnflag(
+    orders: DataFrame, lineitem: DataFrame, grace_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12-style shipping-mode priority split: for late lines
+    (shipped past orderdate + grace — the fixture has no commit/receipt
+    dates or shipmode, so returnflag stands in as the mode group and
+    q4's lateness contract applies), count critical-priority vs other
+    orders per group. The CASE-WHEN conditional double count is the
+    shape.
+
+    Scale shape: one orderkey equi-join shuffle; the date-window filter
+    on l_shipdate is pushed to the scan; both counts come out of a
+    single aggregate pass (no per-priority re-scan)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        > F.unix_micros(F.col("o_orderdate").cast("timestamp")) + grace_days * 86_400_000_000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+    )
+
+
+def q15_top_supplier(
+    supplier: DataFrame, lineitem: DataFrame, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15-style top supplier: the revenue-view + scalar-MAX
+    subquery shape. Revenue per supplier over one quarter is rounded to
+    cents BEFORE the max/equality so the tie condition compares
+    identical values on both engines.
+
+    Scale shape: one partial-agg shuffle on suppkey builds the revenue
+    view; the max is a 1-row aggregate of that view broadcast-crossed
+    back (the view is computed once — Spark reuses the plan subtree,
+    never re-scans lineitem); supplier dim joins broadcast."""
+    rev = (
+        lineitem.where((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q20_excess_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    year: int = 1997,
+    share: float = 0.25,
+) -> DataFrame:
+    """TPC-H Q20-style excess-stock suppliers: suppliers who, for some
+    name-matched part, shipped more than ``share`` of that part's total
+    year volume — the nested-IN + correlated-half-sum shape, decorrelated
+    into a per-(part, supplier) rollup joined to its per-part total. No
+    partsupp, so 'availqty' is the supplier's shipped quantity; sums of
+    integral quantities are exact doubles, so the strict > is
+    cross-engine stable.
+
+    Scale shape: the name-prefix part keys broadcast into the year-
+    filtered lineitem scan; the pair rollup and its per-part total share
+    one partkey-partitioned shuffle (the total is a re-aggregation of
+    the pair rollup, not a second scan); the supplier set then
+    DISTINCTs on suppkey — rows ≪ lineitem throughout."""
+    parts = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    qty = (
+        lineitem.where(F.year("l_shipdate") == year)
+        .join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = qty.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("q").alias("tq"))
+    excess = (
+        qty.join(tot, qty.l_partkey == tot.t_partkey)
+        .where(F.col("q") > share * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, supplier.s_suppkey == excess.l_suppkey)
+        .select("s_name", "s_acctbal")
+    )
+
+
 def date_funcs_showcase(orders: DataFrame) -> DataFrame:
     """The date/time scalar surface (absent in the reference, SURVEY
     §2.2) rolled up per (year, quarter): extraction (year/quarter/

@@ -85,6 +85,82 @@ def test_q22_avg_cutoff_and_lapsed_filter(spark):
     assert got == {"3": (1, 800.0)}
 
 
+def test_q2_min_cost_ties_and_region_restriction(spark):
+    part = spark.createDataFrame(
+        [(1, "B1", "STANDARD", 5, 0.0), (2, "B2", "STANDARD", 5, 0.0), (3, "B3", "LARGE", 5, 0.0)],
+        "p_partkey long, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    sup = spark.createDataFrame(
+        [(1, "S1", 100, 10.0), (2, "S2", 100, 20.0), (3, "S3", 200, 30.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nat = spark.createDataFrame([(100, "N_EU", 1), (200, "N_AS", 2)],
+                                "n_nationkey int, n_name string, n_regionkey int")
+    reg = spark.createDataFrame([(1, "EUROPE"), (2, "ASIA")], "r_regionkey int, r_name string")
+    li = spark.createDataFrame(
+        # part 1: S1 and S2 both hit min 5.0 (tie → both rows); S3 is
+        # cheaper but non-EUROPE so its cost must not win or appear.
+        # part 3 is the wrong type; part 2 has only S2.
+        [(1, 1, 5.0), (1, 1, 7.0), (1, 2, 5.0), (1, 3, 1.0), (2, 2, 9.0), (3, 1, 2.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    out = relational.q2_min_cost_supplier(part, sup, nat, reg, li)
+    got = {(r["p_partkey"], r["s_name"]): r["cost"] for r in out.collect()}
+    assert got == {(1, "S1"): 5.0, (1, "S2"): 5.0, (2, "S2"): 9.0}
+
+
+def test_q11_threshold_is_fraction_of_nation_total(spark):
+    sup = spark.createDataFrame([(1, "NS", 100)], "s_suppkey long, s_name string, s_nationkey int")
+    nat = spark.createDataFrame([(100, "NATION_3")], "n_nationkey int, n_name string")
+    li = spark.createDataFrame(
+        # nation total = 1000; parts at 800/150/50 → fraction 0.1 keeps
+        # 800 and 150, drops 50
+        [(1, 1, 500.0), (1, 1, 300.0), (2, 1, 150.0), (3, 1, 50.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    out = relational.q11_important_parts(li, sup, nat, fraction=0.1)
+    got = {r["l_partkey"]: r["value"] for r in out.collect()}
+    assert got == {1: 800.0, 2: 150.0}
+
+
+def test_q15_max_revenue_ties_include_all(spark):
+    sup = spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    li = spark.createDataFrame(
+        # S1: 60+40=100, S2: 100 (tie → both), S3: 99; out-of-window row ignored
+        [(1, "1996-02-01", 60.0, 0.0), (1, "1996-03-01", 40.0, 0.0),
+         (2, "1996-02-15", 100.0, 0.0), (3, "1996-02-20", 99.0, 0.0),
+         (1, "1996-06-01", 500.0, 0.0)],
+        "l_suppkey long, l_shipdate string, l_extendedprice double, l_discount double",
+    ).select("l_suppkey", F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+             "l_extendedprice", "l_discount")
+    got = {r["s_name"]: r["total_revenue"] for r in relational.q15_top_supplier(sup, li).collect()}
+    assert got == {"S1": 100.0, "S2": 100.0}
+
+
+def test_q20_share_threshold_per_part(spark):
+    sup = spark.createDataFrame(
+        [(1, "S1", 0, 1.0), (2, "S2", 0, 2.0)], "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    )
+    nat = spark.createDataFrame([(0, "N")], "n_nationkey int, n_name string")
+    part = spark.createDataFrame(
+        [(1, "red widget", 0.0), (2, "blue widget", 0.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        # part 1 (red): S1 ships 30/100 (> 0.25 → in), S2 ships 70/100 (in)
+        # part 2 is not 'red%' → its dominant supplier must NOT qualify
+        [(1, 1, "1997-03-01", 30.0), (1, 2, "1997-04-01", 70.0), (2, 2, "1997-05-01", 500.0)],
+        "l_partkey long, l_suppkey long, l_shipdate string, l_quantity double",
+    ).select("l_partkey", "l_suppkey", F.col("l_shipdate").cast("timestamp").alias("l_shipdate"), "l_quantity")
+    got = {r["s_name"] for r in relational.q20_excess_suppliers(sup, nat, part, li, share=0.25).collect()}
+    assert got == {"S1", "S2"}
+    got_strict = {r["s_name"] for r in relational.q20_excess_suppliers(sup, nat, part, li, share=0.5).collect()}
+    assert got_strict == {"S2"}  # 30% ≤ 50% drops S1; 70% stays
+
+
 def test_sessionize_event_conservation(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     out = events.sessionize(ev)

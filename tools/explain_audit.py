@@ -178,6 +178,73 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct"],
     },
+    # the decorrelated min-cost subquery: pair rollup combines map-side,
+    # every dim (part, supplier⋈nation⋈region) broadcasts, and top-k is
+    # distributed — the window min runs over already-aggregated pairs
+    "q2_min_cost_supplier": {
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "pushed_filters": ["p_type"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # both nation dims broadcast pre-filtered; the only shuffle join is
+    # lineitem⋈orders on orderkey; shipdate window pushed to the scan
+    "q7_nation_volume": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["l_shipdate"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # five-table join where every dim side broadcasts (part pre-filtered
+    # by type, customer pre-joined to region); the conditional share
+    # ratio is ONE aggregate pass — no second scan of the join
+    "q8_market_share": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["p_type"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # name LIKE filter must reach the part scan (StringContains); dims
+    # broadcast; single orderkey shuffle; nation×year rollup partial
+    "q9_product_profit": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["p_name"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # the HAVING-over-global-total: per-part rollup partial-aggs, the
+    # total is a 1-row broadcast cross back into the filter (the one
+    # legitimate BroadcastNestedLoopJoin), never a lineitem re-scan
+    "q11_important_parts": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
+    # conditional double-count in one aggregate pass over one orderkey
+    # equi-join; the ship-window reaches the lineitem scan
+    "q12_late_by_returnflag": {
+        "pushed_filters": ["l_shipdate"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # revenue view computed ONCE (suppkey partial agg); scalar max is a
+    # 1-row broadcast cross; supplier dim equi-joins — no re-scan of
+    # lineitem for the max
+    "q15_top_supplier": {
+        "require": ["BroadcastHashJoin"],
+        "pushed_filters": ["l_shipdate"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
+    # nested-IN decorrelated: part keys broadcast into the year-filtered
+    # scan, pair rollup and per-part total share a partkey shuffle, and
+    # the supplier membership is an equi-(semi-)join — no correlated
+    # re-scan, no nested loop
+    "q20_excess_suppliers": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
     # partial dedup on (group, suppkey) BEFORE the shuffle, then the
     # distinct count — never a per-group collect_set. (Expand would
