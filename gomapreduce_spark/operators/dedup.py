@@ -542,39 +542,58 @@ def simhash_pairs(
     (band, band_value) → distinct → one bit_count(xor) per candidate.
     Shuffle volume is 4·|docs| rows; scored pairs are Σ_buckets |b|²
     over 12-bit band buckets, not |docs|²."""
-    assert bits % n_bands == 0 and max_hamming < n_bands
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
     # 16 B/doc fingerprint table, materialized once: the band self-join
     # would otherwise run the corpus-wide tokenize+vote pipeline twice
     # (AQE's exchange reuse does not dedup these sibling subtrees)
     sh = simhash(docs, bits).localCheckpoint()
-    bands = sh.select(
-        "doc_id",
-        "simhash",
+    return hamming_band_pairs(sh, "simhash", bits, n_bands, max_hamming)
+
+
+def hamming_band_pairs(
+    fingerprints: DataFrame,
+    hash_col: str,
+    bits: int,
+    n_bands: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Hamming-≤k pairs over any 64-bit-or-less fingerprint
+    column via lossless pigeonhole banding (shared by text SimHash and
+    image dHash): a pair within ``max_hamming`` flips agrees exactly on
+    ≥1 of ``n_bands`` bands, so the band equi-join is a complete
+    candidate filter. Shuffle is ``n_bands`` rows per input row;
+    scored candidates are Σ_buckets |b|², never N². Arithmetic
+    shiftright's sign extension is masked off per band, so a set top
+    bit (negative int64) cannot corrupt band values."""
+    assert bits % n_bands == 0 and max_hamming < n_bands
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = fingerprints.select(
+        id_col,
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
+                    F.shiftright(hash_col, i * band_bits).bitwiseAND(F.lit(mask)).alias("bv"),
                 )
                 for i in range(n_bands)
             ])
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{hash_col}").alias("sa"),
+            F.col(f"b.{hash_col}").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -559,6 +559,165 @@ def wav_audio_features(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(batches, WAV_FEATURES_SCHEMA)
 
 
+def grayscale(px):
+    """ITU-R BT.601 luma from an (h, w, 3) uint8 array → (h, w) float64
+    (the same weights every image library uses for L-mode conversion)."""
+    return px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+
+
+def image_dhash(px) -> int:
+    """REAL perceptual difference hash (dHash) — pure numpy: grayscale,
+    nearest-neighbor resize to 9×8, then one bit per horizontal
+    gradient sign (64 bits). Near-identical images (re-encodes, small
+    crops/noise) land within a few flipped bits; the industry-standard
+    cheap image near-dup signature. Returned as a signed int64 bit
+    pattern (Spark LongType-safe; Hamming via bit_count(xor) is
+    sign-agnostic)."""
+    import numpy as np
+
+    g = grayscale(px)
+    h, w = g.shape
+    yi = np.arange(8) * h // 8
+    xi = np.arange(9) * w // 9
+    small = g[yi][:, xi]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int(np.packbits(bits).view(">u8")[0].astype("int64"))
+
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash long"
+
+
+def image_dhashes(mm: DataFrame) -> DataFrame:
+    """Per-image dHash fingerprints over decodable payloads (P6 PPM or
+    8-bit PNG — both REAL decodes); undecodable rows are dropped, the
+    standard corrupt-sample filter. One narrow Arrow pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "width", "height", "dhash")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_rgb(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash"].append(image_dhash(px))
+            yield pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
+
+    return mm.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_dhash_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints → the SAME exact
+    pigeonhole Hamming banding the text SimHash dedup uses
+    (dedup.hamming_band_pairs, 64 bits / 4 bands) → bit_count(xor)
+    verification. The multimodal leg of the dedup family: candidate
+    generation is banded equi-join, never all-pairs; shuffle is 4 rows
+    per image. Proven on real images by the planted-near-dup test
+    (single-pixel corruption pairs, mirror image does not); the
+    registered query ships the fingerprint INDEX instead — dHash is a
+    perceptual signature, and text-derived synthetic images have no
+    perceptual neighborhood structure for pairs to be meaningful
+    over."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        image_dhashes(mm).localCheckpoint(), "dhash", 64, 4, max_hamming
+    )
+
+
+def synth_ppm_payloads(docs: DataFrame, width: int = 24, height: int = 16) -> DataFrame:
+    """Deterministic REAL-image corpus from the documents table: each
+    doc's utf-8 bytes tiled into a (height, width, 3) pixel array and
+    encoded as P6 PPM. Gives registered queries an actual image corpus
+    (decoded by the real codec path) without shipping binary fixtures;
+    similar texts yield similar images, so near-dup structure carries
+    through."""
+    import numpy as np
+
+    n = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                buf = (raw * (n // max(len(raw), 1) + 1))[:n]
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+
+
+def synth_wav_payloads(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Deterministic REAL-audio corpus from the documents table: each
+    doc's utf-8 bytes become int16 PCM samples wrapped in a RIFF/WAVE
+    container (decoded by the real codec path downstream)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                data = raw[: len(raw) - len(raw) % 2]
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                body += b"data" + struct.pack("<I", len(data)) + data
+                payloads.append(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+
+
+SPECTRAL_SCHEMA = (
+    "doc_id long, n_samples long, centroid_hz double, rolloff_hz double, flatness double"
+)
+
+
+def audio_spectral_features(mm: DataFrame) -> DataFrame:
+    """REAL spectral featurization — numpy rfft over decoded PCM WAV:
+    spectral centroid (power-weighted mean frequency), 85% rolloff,
+    and spectral flatness (geometric/arithmetic power mean — ~1 for
+    noise, →0 for tonal) — the trio behind every audio-quality /
+    speech-vs-music filter. Multi-channel is downmixed first;
+    undecodable rows are dropped. Embarrassingly parallel per Arrow
+    batch; no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_samples", "centroid_hz", "rolloff_hz", "flatness")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype("float64")
+                n = len(mono)
+                if n < 2:
+                    continue
+                power = np.abs(np.fft.rfft(mono)) ** 2
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                total = power.sum()
+                if total <= 0:
+                    continue
+                centroid = float((freqs * power).sum() / total)
+                rolloff = float(freqs[np.searchsorted(np.cumsum(power), 0.85 * total)])
+                flatness = float(np.exp(np.mean(np.log(power + 1e-12))) / (total / len(power)))
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n)
+                rows["centroid_hz"].append(centroid)
+                rows["rolloff_hz"].append(rolloff)
+                rows["flatness"].append(flatness)
+            yield pd.DataFrame(rows).astype({"n_samples": "int64"})
+
+    return mm.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
 def audio_chunk_stats(docs: DataFrame) -> DataFrame:
     """Queryable rollup of the audio chunker: chunk count, byte total,
     and last-chunk accounting per doc — pure arithmetic in the payload

@@ -247,6 +247,106 @@ def bigram_stats(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet-style quality signal:
+    estimate a per-language bigram language model from the corpus
+    itself, then score every document by its mean bigram log-probability
+    (and the equivalent perplexity). Low-probability documents are the
+    out-of-distribution / noisy candidates a training pipeline down-
+    weights or drops.
+
+    p(w2|w1) is the MLE ratio of exact counts (bigram count over
+    prefix count, both from one aggregation — prefix counts are a
+    re-aggregation of the bigram table, not a second scan), so every
+    probability is the same double in any engine.
+
+    Scale shape: bigram occurrences are two slices of one tokenize
+    zipped (linear, the bigram_stats pattern — not the O(tokens²)
+    higher-order-lambda trap); the LM build is one partial-agg shuffle
+    keyed (lang, bigram); scoring joins occurrences back to the LM on
+    the same key — at 100 TB that is the canonical score-corpus-
+    against-model shuffle join (broadcast it instead when the LM fits),
+    and the per-doc mean is a second partial agg. Nothing is ever
+    collected."""
+    t = docs.select("doc_id", "lang", tokenize("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = t.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+    lm = occ.groupBy("lang", "bigram").agg(F.count("*").alias("c2"))
+    prefix = (
+        lm.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .groupBy("lang", "w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    logp = (
+        lm.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(prefix, ["lang", "w1"])
+        .select("lang", "bigram", F.log(F.col("c2") / F.col("c1")).alias("logp"))
+    )
+    return (
+        occ.join(logp, ["lang", "bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 3).alias("ppl"),
+        )
+    )
+
+
+def boilerplate_spans(docs: DataFrame, n: int = 3, min_docs: int = 4) -> DataFrame:
+    """Frequent-span boilerplate audit — the RefinedWeb/C4 hygiene step
+    that flags token spans recurring across many documents (nav bars,
+    cookie banners, license footers) so they can be stripped before
+    training. A span is an ``n``-token shingle appearing in ≥
+    ``min_docs`` DISTINCT documents; the output manifest gives each
+    document its span count, how many are boilerplate, and the
+    boilerplate fraction — the drop/clean decision input.
+
+    Scale shape: shingle occurrences are zipped slices of one tokenize
+    (linear, no higher-order-lambda quadratic trap); the distinct-doc
+    frequency table is exploded-distinct → one partial-agg shuffle on
+    the span; the occurrence→frequency join shuffles on the same key
+    (broadcast when the frequent-span table fits — it is tiny by
+    construction at any scale, |spans with DF ≥ m| ≪ |spans|); per-doc
+    rollup partial-aggs. Exact integer counts throughout — hash-stable
+    across engines."""
+    t = docs.select("doc_id", tokenize("text").alias("t")).where(F.size("t") >= n)
+    spans = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 2),
+            F.slice("t", 2, F.size("t") - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice("t", 3, F.size("t") - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    occ = t.select("doc_id", F.explode(spans).alias("span"))
+    freq = (
+        occ.distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    flagged = occ.join(F.broadcast(freq), "span", "left_semi")
+    per_doc_boiler = flagged.groupBy("doc_id").agg(F.count("*").alias("n_boiler"))
+    return (
+        occ.groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"))
+        .join(per_doc_boiler, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(F.coalesce("n_boiler", F.lit(0)) / F.col("n_spans"), 4).alias("boiler_frac"),
+        )
+    )
+
+
 def stratified_sample(docs: DataFrame, target_per_stratum: int = 50) -> DataFrame:
     """Deterministic stratified sampling: every (lang, source) stratum
     is downsampled toward ``target_per_stratum`` docs by a per-stratum

@@ -7,12 +7,15 @@ aliases its computed columns to the same names as its oracle; integer
 outputs are cast to BIGINT on both sides; float aggregates are rounded
 identically; timestamps are emitted as formatted UTC strings.
 
-Queries without an oracle entry (approximate ops only) get the driver's
-weaker rows-only check by design:
+Queries without an oracle entry (approximate or non-SQL ops only) get
+the driver's weaker rows-only check by design:
   - knn_lsh, knn_ivf (approximate; recall vs knn_bruteforce in tests)
   - approx_distinct_users (HLL sketch; error bound asserted in tests)
   - value_deciles_approx, heavy_hitters_approx (sketch twins; error
     bounds asserted in tests)
+  - image_dhash_index, audio_spectral (real numpy codec/FFT work — not
+    SQL-expressible; exact-reference + planted-near-dup tests in
+    tests/test_multimodal_codecs.py)
 
 Every streaming query IS hash-oracled: on a finite availableNow replay
 the streaming results are deterministic functions of the input (windows,
@@ -155,6 +158,22 @@ QUERIES: dict[str, QueryFn] = {
     ),
     # -- round-5 corpus hygiene: paragraph-level exact dedup manifest --
     "paragraph_dedup": lambda s, d: dedup.paragraph_dedup(load_table(s, d, "documents")),
+    # -- round-5 quality signals: corpus-self-trained bigram-LM doc
+    # -- scoring and frequent-span boilerplate audit --
+    "lm_perplexity": lambda s, d: text.lm_perplexity(load_table(s, d, "documents")),
+    "boilerplate_spans": lambda s, d: text.boilerplate_spans(load_table(s, d, "documents")),
+    # -- round-5 real-codec multimodal: dHash fingerprint index over a
+    # -- synthesized-but-really-decoded P6 corpus, and numpy-rfft
+    # -- spectral features over a synthesized PCM WAV corpus. Rows-only
+    # -- by design (perceptual hashing and FFTs are not SQL); the real
+    # -- work is pinned by exact-reference and planted-near-dup tests
+    # -- in tests/test_multimodal_codecs.py --
+    "image_dhash_index": lambda s, d: multimodal.image_dhashes(
+        multimodal.synth_ppm_payloads(load_table(s, d, "documents"))
+    ),
+    "audio_spectral": lambda s, d: multimodal.audio_spectral_features(
+        multimodal.synth_wav_payloads(load_table(s, d, "documents"))
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -377,6 +396,10 @@ _CHANGED_THIS_ROUND = [
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "paragraph_dedup",
+    "lm_perplexity",
+    "boilerplate_spans",
+    "image_dhash_index",
+    "audio_spectral",
     "streaming_left_outer_join",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
@@ -1110,6 +1133,52 @@ ORACLES: dict[str, str] = {
         counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
         SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
         FROM counts ORDER BY cnt DESC, token LIMIT 25
+    """,
+    "lm_perplexity": f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+        occ AS (
+          SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bigram
+          FROM t, unnest(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        lm AS (SELECT lang, bigram, count(*) AS c2 FROM occ GROUP BY 1, 2),
+        pre AS (
+          SELECT lang, split_part(bigram, ' ', 1) AS w1, sum(c2) AS c1
+          FROM lm GROUP BY 1, 2
+        ),
+        lp AS (
+          SELECT lm.lang, lm.bigram, ln(c2 / c1) AS logp
+          FROM lm JOIN pre ON lm.lang = pre.lang
+                          AND split_part(lm.bigram, ' ', 1) = pre.w1
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(logp), 4) AS avg_logp,
+               round(exp(-avg(logp)), 3) AS ppl
+        FROM occ JOIN lp ON occ.lang = lp.lang AND occ.bigram = lp.bigram
+        GROUP BY doc_id
+    """,
+    "boilerplate_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        occ AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS span
+          FROM t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+          WHERE len(t) >= 3
+        ),
+        freq AS (
+          SELECT span FROM (
+            SELECT span, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1
+          ) WHERE n_docs >= 4
+        ),
+        boiler AS (
+          SELECT doc_id, count(*) AS n_boiler
+          FROM occ WHERE span IN (SELECT span FROM freq)
+          GROUP BY 1
+        )
+        SELECT o.doc_id, count(*)::BIGINT AS n_spans,
+               coalesce(any_value(b.n_boiler), 0)::BIGINT AS n_boiler,
+               round(coalesce(any_value(b.n_boiler), 0) / count(*), 4) AS boiler_frac
+        FROM occ o LEFT JOIN boiler b ON o.doc_id = b.doc_id
+        GROUP BY o.doc_id
     """,
     "bigram_stats": f"""
         WITH t AS (SELECT lang, {_TOKS} AS t FROM documents),

@@ -268,3 +268,87 @@ def test_decode_image_prefers_real_ppm():
     assert fake == ((19 % 640) + 1, (19 % 480) + 1)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG compressed")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dHash + spectral features (round 5)
+# ---------------------------------------------------------------------------
+
+def test_dhash_known_gradients():
+    # strictly increasing rows → every horizontal gradient bit set → all-ones
+    # int64 (-1); strictly decreasing → no bit set → 0
+    inc = np.tile(np.arange(0, 252, 14, dtype=np.uint8), (8, 1))  # 18 wide
+    px_inc = np.stack([inc] * 3, axis=-1)
+    assert mm.image_dhash(px_inc) == -1
+    assert mm.image_dhash(px_inc[:, ::-1]) == 0
+
+
+def test_dhash_stable_under_reencode_and_resize():
+    px = _gradient_px(64, 48)
+    h_ppm = mm.image_dhash(mm.decode_rgb(mm.encode_ppm(px))[2])
+    h_png = mm.image_dhash(mm.decode_rgb(mm.encode_png(px))[2])
+    assert h_ppm == h_png  # lossless codecs → identical pixels → identical hash
+    # 2x upscale resamples to the same 9x8 grid → identical hash
+    up = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert mm.image_dhash(up) == h_ppm
+
+
+def test_dhash_pairs_finds_planted_near_dup(spark):
+    px = _gradient_px(36, 24)
+    near = px.copy()
+    near[0, 0] = [255, 255, 255]  # single-pixel corruption → tiny Hamming move
+    far = _gradient_px(36, 24)[:, ::-1].copy()  # mirrored → different gradients
+    rows = [
+        (1, bytearray(mm.encode_ppm(px))),
+        (2, bytearray(mm.encode_png(near))),
+        (3, bytearray(mm.encode_ppm(far))),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in mm.image_dhash_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all({a, b} == {1, 2} for a, b in pairs)  # mirror image is not a near-dup
+
+
+def test_spectral_features_sine_vs_dc():
+    rate, n, f0 = 16000, 16000, 1000
+    t = np.arange(n) / rate
+    sine = (10000 * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+    rate_d, samples = mm.decode_wav(_wav_bytes(rate, sine))
+    assert rate_d == rate
+    power = np.abs(np.fft.rfft(samples.astype("float64"))) ** 2
+    freqs = np.fft.rfftfreq(n, 1 / rate)
+    # independent reference: centroid of a pure tone is its frequency
+    assert abs(float((freqs * power).sum() / power.sum()) - f0) < 2.0
+
+
+def test_spectral_pipeline_end_to_end(spark):
+    rate, n, f0 = 16000, 4096, 1000
+    t = np.arange(n) / rate
+    sine = (10000 * np.sin(2 * np.pi * f0 * t)).astype("<i2")
+    dc = np.full(n, 5000, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(rate, sine))), (2, bytearray(_wav_bytes(rate, dc))),
+         (3, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.audio_spectral_features(df).collect()}
+    assert set(got) == {1, 2}  # junk row dropped
+    assert abs(got[1]["centroid_hz"] - f0) < 8.0
+    assert abs(got[1]["rolloff_hz"] - f0) < 8.0
+    assert got[1]["flatness"] < 0.01  # pure tone is maximally peaky
+    assert got[2]["centroid_hz"] < 8.0  # DC energy sits in the 0 bin
+
+
+def test_synth_payloads_decode_for_real(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    imgs = mm.image_dhashes(mm.synth_ppm_payloads(docs)).collect()
+    assert {r["doc_id"] for r in imgs} == {1, 2, 3}
+    assert all(r["width"] == 24 and r["height"] == 16 for r in imgs)
+    by_id = {r["doc_id"]: r["dhash"] for r in imgs}
+    assert by_id[1] == by_id[2]  # identical text → identical image → same hash
+    wavs = {r["doc_id"]: r for r in mm.audio_spectral_features(mm.synth_wav_payloads(docs)).collect()}
+    assert wavs[1]["n_samples"] == 11  # 22 utf-8 bytes → 11 int16 samples

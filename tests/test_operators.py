@@ -161,6 +161,30 @@ def test_q20_share_threshold_per_part(spark):
     assert got_strict == {"S2"}  # 30% ≤ 50% drops S1; 70% stays
 
 
+def test_lm_perplexity_mle_hand_check(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "en", "a b"), (3, "en", "a c")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"]) for r in
+           text.lm_perplexity(docs).collect()}
+    # c('a b')=2, c('a c')=1, prefix c('a')=3 → p=2/3 and 1/3
+    import math
+    assert got[1] == (1, round(math.log(2 / 3), 4), 1.5)
+    assert got[2] == got[1]
+    assert got[3] == (1, round(math.log(1 / 3), 4), 3.0)
+
+
+def test_boilerplate_spans_df_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["n_boiler"], r["boiler_frac"]) for r in
+           text.boilerplate_spans(docs, min_docs=2).collect()}
+    # 'a b c' is in 2 docs → boilerplate; 'b c d' and 'x y z' are not
+    assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0), 3: (1, 0, 0.0)}
+
+
 def test_sessionize_event_conservation(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     out = events.sessionize(ev)

@@ -245,6 +245,22 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # score-corpus-against-model: the LM build and prefix re-aggregation
+    # both partial-agg; the scoring join is a keyed equi-join — never a
+    # nested loop, and the corpus is scanned for bigrams, not re-scanned
+    # per model row
+    "lm_perplexity": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # the frequent-span table is tiny by construction → its membership
+    # check must broadcast; the DF count partial-aggs over the
+    # exploded-distinct occurrences
+    "boilerplate_spans": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
     # partial dedup on (group, suppkey) BEFORE the shuffle, then the
     # distinct count — never a per-group collect_set. (Expand would
