@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def _read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+def _read_parquet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Generic parquet file-stream reader: accepts a single file or a
     directory, probes the footer with a batch read (metadata only — no
     data scan) for the exact on-disk schema ``readStream`` requires,
     and fails loudly on a missing path (which would otherwise stream 0
-    files and "complete" with an empty result)."""
+    files and "complete" with an empty result).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    files (availableNow honors it): with a time-ordered multi-file
+    directory this forces a genuinely INCREMENTAL replay — the
+    watermark advances between batches and state eviction actually
+    fires mid-stream, instead of one batch processing everything at
+    watermark 0. The multi-batch parity tests use this to pin the
+    incremental semantics; production file-arrival streams get it for
+    ingest smoothing."""
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
@@ -42,10 +53,14 @@ def _read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     reader = spark.readStream.schema(disk_schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(stream_dir)
 
 
-def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Encoding-adaptive streaming read of the events table.
 
     ``readStream`` needs an explicit schema, but the testdata's ``ts``
@@ -66,7 +81,7 @@ def _read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     on the batch side; ``tests/test_streaming.py`` parity tests pin the
     two paths together.
     """
-    stream = _read_parquet_stream(spark, events_path)
+    stream = _read_parquet_stream(spark, events_path, max_files_per_trigger)
     ts_type = stream.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -138,7 +153,10 @@ SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
 def streaming_stateful_sessions(
-    spark: SparkSession, events_path: str, gap_minutes: int = 30
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` (the arbitrary-state API — what you reach
@@ -195,7 +213,9 @@ def streaming_stateful_sessions(
             state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         yield pd.DataFrame(closed, columns=["user_id", "session_start", "n_events", "dur_s"])
 
-    stream = _read_events_stream(spark, events_path).withWatermark("ts", "0 seconds")
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", "0 seconds"
+    )
     result = stream.groupBy("user_id").applyInPandasWithState(
         fn,
         SESSION_OUT_SCHEMA,
@@ -206,7 +226,12 @@ def streaming_stateful_sessions(
     return _run_to_memory(result, "append")
 
 
-def streaming_dedup_events(spark: SparkSession, events_path: str, id_col: str = "event_id") -> DataFrame:
+def streaming_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    id_col: str = "event_id",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming exact-dedup: drop replayed/duplicate events by id while
     the stream runs, keeping state only within the watermark horizon
     (``dropDuplicatesWithinWatermark`` — state is GC'd 1 hour past the
@@ -219,7 +244,9 @@ def streaming_dedup_events(spark: SparkSession, events_path: str, id_col: str = 
     completeness; the pristine driver tables have no duplicate ids, so
     its row count alone proves only that the pipeline runs.
     """
-    stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", "1 hour"
+    )
     return _run_to_memory(stream.dropDuplicatesWithinWatermark([id_col]), "append")
 
 
@@ -263,7 +290,10 @@ def streaming_click_purchase_join(
 
 
 def streaming_left_outer_interval_join(
-    spark: SparkSession, events_path: str, within_minutes: int = 60
+    spark: SparkSession,
+    events_path: str,
+    within_minutes: int = 60,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click row is
     emitted — matched to same-user purchases in the following
@@ -286,7 +316,7 @@ def streaming_left_outer_interval_join(
     asserts the three-way batch parity (stream == watermark-filtered
     batch left join).
     """
-    stream = _read_events_stream(spark, events_path)
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger)
     clicks = (
         stream.where(F.col("event_type") == "click")
         .select(

@@ -182,6 +182,141 @@ def test_streaming_left_outer_join_matches_watermark_filtered_batch(spark, sf_sm
     assert got == want
 
 
+def _write_time_ordered_files(
+    spark, src_df, out_dir: str, n_files: int, ts_col: str = "ts", chunk_col: str | None = None
+):
+    """Split a DataFrame into ``n_files`` event-time-ordered parquet
+    files with strictly increasing modification times, so a file stream
+    with maxFilesPerTrigger=1 replays them as in-order micro-batches
+    (FileStreamSource orders by mod time) — the shape a live
+    file-arrival ingest actually has. Pass ``chunk_col`` (values
+    1..n_files) to control the split boundaries explicitly."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F, Window as W
+
+    os.makedirs(out_dir, exist_ok=True)
+    if chunk_col:
+        chunked = src_df.withColumnRenamed(chunk_col, "_chunk")
+    else:
+        chunked = src_df.withColumn(
+            "_chunk", F.ntile(n_files).over(W.orderBy(F.col(ts_col), F.col("event_id")))
+        )
+    for k in range(1, n_files + 1):
+        part_dir = f"{out_dir}/_stage_{k}"
+        chunked.where(F.col("_chunk") == k).drop("_chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = globmod.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{out_dir}/chunk_{k:03d}.parquet"
+        shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+
+def test_multibatch_sessions_match_single_batch(spark, sf_small, tmp_path):
+    """Incremental replay (one file per micro-batch, watermark advancing
+    between batches, event-time timeouts firing mid-stream) must emit
+    exactly the same sessions as the everything-in-one-batch replay —
+    the real proof the stateful operator's semantics are incremental,
+    not an artifact of single-batch processing."""
+    from gomapreduce_spark.streaming import streaming_stateful_sessions
+
+    ev = load_table(spark, sf_small, "events")
+    mb_dir = str(tmp_path / "mb_events")
+    _write_time_ordered_files(spark, ev, mb_dir, n_files=6)
+
+    single = _as_set(streaming_stateful_sessions(spark, f"{sf_small}/events.parquet"))
+    multi = _as_set(streaming_stateful_sessions(spark, mb_dir, max_files_per_trigger=1))
+    assert len(single) > 0
+    assert multi == single
+
+
+def test_multibatch_left_outer_join_matches_single_batch(spark, sf_small, tmp_path):
+    """Null-padding is emitted by mid-stream state eviction in the
+    incremental replay (not just the end-of-stream flush); the final
+    row set must be identical to the single-batch replay because
+    time-ordered arrival means every match lands before its left row's
+    window expires."""
+    from gomapreduce_spark.streaming import streaming_left_outer_interval_join
+
+    ev = load_table(spark, sf_small, "events")
+    mb_dir = str(tmp_path / "mb_events_lo")
+    _write_time_ordered_files(spark, ev, mb_dir, n_files=6)
+
+    single = _as_set(streaming_left_outer_interval_join(spark, f"{sf_small}/events.parquet"))
+    multi = _as_set(streaming_left_outer_interval_join(spark, mb_dir, max_files_per_trigger=1))
+    assert multi == single
+
+
+def test_multibatch_dedup_state_eviction_contract(spark, sf_small, tmp_path):
+    """dropDuplicatesWithinWatermark's PRODUCTION contract: a replayed
+    id arriving within the watermark horizon is dropped, but one
+    arriving after the original's state was evicted (event time > 1 h
+    past it in a later batch) SURVIVES — that state bound is the whole
+    point of the within-watermark variant. The single-batch replay
+    can't show this (all state lives for the lone batch); the
+    incremental replay must."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_dedup_events
+
+    ev = load_table(spark, sf_small, "events").orderBy("ts").limit(200).cache()
+    rows = ev.collect()
+    t0 = rows[0]["ts"]
+    near = spark.createDataFrame([rows[0]], ev.schema).withColumn(
+        "ts", F.lit(t0 + datetime.timedelta(minutes=5)).cast("timestamp")
+    )
+    far = spark.createDataFrame([rows[0]], ev.schema).withColumn(
+        "ts", F.lit(t0 + datetime.timedelta(hours=3)).cast("timestamp")
+    )
+    # synthetic watermark-driver events guarantee the watermark crosses
+    # original + 1 h regardless of fixture density; two of them because
+    # expired state is physically removed at batch COMMIT — a replay in
+    # the same batch the watermark first crosses the bound can still
+    # hit lingering state (the within-watermark guarantee is one-sided)
+    def synth(eid: int, minutes: int):
+        return spark.createDataFrame([rows[0]], ev.schema).withColumn(
+            "event_id", F.lit(eid).cast("long")
+        ).withColumn("ts", F.lit(t0 + datetime.timedelta(minutes=minutes)).cast("timestamp"))
+
+    spiked = ev.unionByName(near).unionByName(far).unionByName(synth(-999, 230)).unionByName(
+        synth(-998, 235)
+    )
+    # batch plan (watermark shown is the one the batch RUNS with):
+    #   b1 wm=-inf : original + near (+5 min) → near deduped in-state
+    #   b2 wm≈t0-55m : all real events ≤ +230m, driver -999 at +230m
+    #   b3 wm=+170m : driver -998 at +235m — original's state (expiry
+    #                 +60m < wm) is evicted at this batch's commit
+    #   b4 wm=+175m : far (+180m — NEWER than wm, so not late-dropped,
+    #                 and its key's state is gone → kept) + all
+    #                 remaining real events (all newer still)
+    m = lambda x: F.lit(t0 + datetime.timedelta(minutes=x)).cast("timestamp")
+    is_far = (F.col("event_id") == rows[0]["event_id"]) & (F.col("ts") == m(180))
+    chunk = (
+        F.when(F.col("ts") <= m(10), 1)
+        .when(is_far, 4)
+        .when(F.col("event_id") == -998, 3)
+        .when(F.col("ts") <= m(230), 2)
+        .otherwise(4)
+    )
+    mb_dir = str(tmp_path / "mb_events_dd")
+    _write_time_ordered_files(
+        spark, spiked.withColumn("_chunk", chunk), mb_dir, n_files=4, chunk_col="_chunk"
+    )
+
+    got = streaming_dedup_events(spark, mb_dir, max_files_per_trigger=1)
+    dup_rows = got.where(F.col("event_id") == rows[0]["event_id"]).count()
+    # original kept; +5 min replay deduped (state alive); +3 h replay
+    # kept (state evicted once the watermark passed original + 1 h)
+    assert dup_rows == 2
+    assert got.count() == ev.count() + 3  # + far + 2 drivers
+
+
 def test_streaming_upsert_sink_matches_batch_and_is_idempotent(spark, sf_small, tmp_path):
     """foreachBatch partition-overwrite sink: the parquet table equals
     the batch aggregation, and re-running the stream over the same
