@@ -3,17 +3,20 @@ metadata, processed in Arrow batches via ``mapInPandas``.
 
 Driver-mandated extension. Codec status, honestly:
 
-- UNCOMPRESSED formats decode FOR REAL, pure numpy, no external libs:
-  binary PPM (P6) images (:func:`decode_ppm`, with a real
-  nearest-neighbor :func:`resize_rgb`) and PCM RIFF/WAVE audio
-  (:func:`decode_wav`). Exercised end-to-end through mapInPandas by
-  :func:`ppm_image_stats` / :func:`wav_audio_features` with exact
-  numpy-reference tests.
-- COMPRESSED codecs (JPEG/PNG/MP3/FLAC) need PIL/libvips/ffmpeg — not
-  in this container — so those paths raise ``NotImplementedError``
-  unless ``fake=True``, whose deterministic byte-derived metadata keeps
-  the Spark-side plumbing (schema, batch iteration, partitioning, UDF
-  signatures) testable and oracle-checkable.
+- Image formats decode FOR REAL, pure numpy + stdlib, no external
+  libs: binary PPM (P6) images (:func:`decode_ppm`, with a real
+  nearest-neighbor :func:`resize_rgb`), 8-bit PNG (:func:`decode_png`,
+  zlib inflate + scanline un-filtering), baseline JPEG
+  (``operators.jpeg``: Huffman entropy decode, dequant + IDCT,
+  greyscale/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers), and PCM
+  RIFF/WAVE audio (:func:`decode_wav`). Exercised end-to-end through
+  mapInPandas with exact numpy-reference and round-trip tests.
+- The REMAINING formats (WebP, progressive JPEG, MP3/video) need
+  libvips/ffmpeg — not in this container — so those paths raise
+  ``NotImplementedError`` unless ``fake=True``, whose deterministic
+  byte-derived metadata keeps the Spark-side plumbing (schema, batch
+  iteration, partitioning, UDF signatures) testable and
+  oracle-checkable.
 
 At 100 TB: binary payloads ride in their own column (parquet keeps them
 out of unrelated scans via column pruning); decode work is
@@ -285,14 +288,22 @@ def encode_png(px) -> bytes:
     )
 
 
+JPEG_SIG = b"\xff\xd8"
+
+
 def decode_rgb(payload: bytes):
-    """Format-sniffing decode to an RGB array: P6 PPM or 8-bit PNG
-    (greyscale broadcast to 3 channels, RGBA alpha dropped). The shared
-    entry point for the image stats/resize pipelines."""
+    """Format-sniffing decode to an RGB array: P6 PPM, 8-bit PNG, or
+    baseline JPEG — ALL real decodes (greyscale broadcast to 3
+    channels, RGBA alpha dropped). The shared entry point for the image
+    stats/resize/dHash pipelines."""
     import numpy as np
 
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(JPEG_SIG):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     w, h, px = decode_png(payload)
     if px.shape[2] == 1:
         px = np.repeat(px, 3, axis=2)
@@ -302,10 +313,11 @@ def decode_rgb(payload: bytes):
 
 
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """Image dimensions. P6 PPM and 8-bit PNG payloads decode FOR REAL
-    (numpy; stdlib zlib for PNG); the remaining compressed formats
-    (JPEG, WebP, 16-bit/palette/interlaced PNG) need PIL/libvips —
-    absent here — so they raise unless ``fake=True``, which derives
+    """Image dimensions. P6 PPM, 8-bit PNG, and baseline JPEG payloads
+    decode FOR REAL (numpy; stdlib zlib for PNG; operators.jpeg for
+    JPEG — greyscale + YCbCr, 4:4:4/4:2:2/4:2:0, restart markers); the
+    remaining formats (WebP, progressive JPEG, 16-bit/palette/
+    interlaced PNG) raise unless ``fake=True``, which derives
     deterministic dimensions from the byte length to keep the pipeline
     testable end-to-end."""
     if payload.startswith(b"P6"):
@@ -322,10 +334,19 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
         except (ValueError, NotImplementedError):
             if not fake:
                 raise
+    elif payload.startswith(JPEG_SIG):
+        from .jpeg import decode_jpeg
+
+        try:
+            w, h, _ = decode_jpeg(payload)
+            return w, h
+        except (ValueError, NotImplementedError):
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
-            "compressed image codecs unavailable in this environment; "
-            "P6 PPM and 8-bit PNG decode natively, or use fake=True"
+            "codec unavailable: P6 PPM, 8-bit PNG, and baseline JPEG decode "
+            "natively; WebP/progressive-JPEG need PIL/libvips, or use fake=True"
         )
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
@@ -628,25 +649,38 @@ def image_dhash_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def synth_ppm_payloads(docs: DataFrame, width: int = 24, height: int = 16) -> DataFrame:
+def synth_ppm_payloads(
+    docs: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    formats: tuple[str, ...] = ("ppm", "png", "jpeg"),
+) -> DataFrame:
     """Deterministic REAL-image corpus from the documents table: each
     doc's utf-8 bytes tiled into a (height, width, 3) pixel array and
-    encoded as P6 PPM. Gives registered queries an actual image corpus
-    (decoded by the real codec path) without shipping binary fixtures;
-    similar texts yield similar images, so near-dup structure carries
-    through."""
+    encoded in one of the natively-supported formats (round-robin by
+    doc_id — P6 PPM, PNG, and baseline 4:2:0 JPEG by default, so a
+    registered query exercises every real decode path including the
+    JPEG Huffman/IDCT one). No binary fixtures shipped; similar texts
+    yield similar images, so near-dup structure carries through."""
     import numpy as np
 
+    from .jpeg import encode_jpeg
+
+    encoders = {
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "jpeg": lambda px: encode_jpeg(px, subsample=True),
+    }
     n = width * height * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 buf = (raw * (n // max(len(raw), 1) + 1))[:n]
                 px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
-                payloads.append(encode_ppm(px))
+                payloads.append(encoders[formats[int(doc_id) % len(formats)]](px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")

@@ -345,10 +345,94 @@ def test_synth_payloads_decode_for_real(spark):
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq")],
         "doc_id long, text string",
     )
-    imgs = mm.image_dhashes(mm.synth_ppm_payloads(docs)).collect()
+    imgs = mm.image_dhashes(mm.synth_ppm_payloads(docs, formats=("ppm",))).collect()
     assert {r["doc_id"] for r in imgs} == {1, 2, 3}
     assert all(r["width"] == 24 and r["height"] == 16 for r in imgs)
     by_id = {r["doc_id"]: r["dhash"] for r in imgs}
     assert by_id[1] == by_id[2]  # identical text → identical image → same hash
+    # default mixed-format corpus: PPM + PNG + baseline JPEG payloads
+    # all decode through the real codec paths (every row survives)
+    mixed = mm.synth_ppm_payloads(docs).collect()
+    sigs = {bytes(r["payload"])[:2] for r in mixed}
+    assert sigs == {b"P6", b"\x89P", b"\xff\xd8"}
+    assert mm.image_dhashes(mm.synth_ppm_payloads(docs)).count() == 3
     wavs = {r["doc_id"]: r for r in mm.audio_spectral_features(mm.synth_wav_payloads(docs)).collect()}
     assert wavs[1]["n_samples"] == 11  # 22 utf-8 bytes → 11 int16 samples
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 5) — real encode/decode, no libjpeg
+# ---------------------------------------------------------------------------
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def test_jpeg_flat_grey_reconstructs_within_quant_step():
+    from gomapreduce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16), 128, dtype=np.uint8)
+    w, h, rgb = decode_jpeg(encode_jpeg(flat))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(rgb[..., 0], flat)  # 128 is exactly representable
+    # 77 is not a multiple of the DC quant step → off-by-one at most
+    w, h, rgb = decode_jpeg(encode_jpeg(np.full((8, 8), 77, dtype=np.uint8)))
+    assert np.abs(rgb.astype(int) - 77).max() <= 1
+
+
+def test_jpeg_roundtrip_all_layouts():
+    from gomapreduce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = _gradient_px(64, 48)
+    for kwargs in ({}, {"subsample": True}, {"restart_interval": 2},
+                   {"subsample": True, "restart_interval": 1}):
+        w, h, rgb = decode_jpeg(encode_jpeg(px, **kwargs))
+        assert (w, h) == (64, 48)
+        assert _psnr(rgb, px) > 35.0, kwargs
+
+
+def test_jpeg_odd_dimensions_and_greyscale():
+    from gomapreduce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    odd = _gradient_px(61, 45)
+    w, h, rgb = decode_jpeg(encode_jpeg(odd, subsample=True))
+    assert (w, h) == (61, 45)
+    assert _psnr(rgb, odd) > 35.0
+    grey = (np.arange(31 * 23, dtype=np.uint32).reshape(23, 31) * 7 % 256).astype(np.uint8)
+    w, h, rgb = decode_jpeg(encode_jpeg(grey))
+    assert (w, h) == (31, 23)
+    assert np.array_equal(rgb[..., 0], rgb[..., 1])  # grey replicated
+
+
+def test_jpeg_rejects_non_baseline_honestly():
+    import pytest as _pytest
+
+    from gomapreduce_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must raise, not garble
+    blob = bytearray(encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_through_decode_rgb_and_dhash():
+    from gomapreduce_spark.operators.jpeg import encode_jpeg
+
+    # gradient steep enough (~25 luma/sampled step) that JPEG's ±3
+    # quantization error cannot flip a dHash comparison
+    x = np.arange(36, dtype=np.uint16)
+    ramp = np.broadcast_to((x * 7 % 256).astype(np.uint8), (24, 36))
+    px = np.stack([ramp] * 3, axis=-1)
+    w, h, out = mm.decode_rgb(encode_jpeg(px))
+    assert (w, h) == (36, 24)
+    # perceptual identity across codecs: JPEG loss must not move dHash
+    # far from the lossless PNG hash of the same image
+    d_png = mm.image_dhash(mm.decode_rgb(mm.encode_png(px))[2])
+    d_jpg = mm.image_dhash(out)
+    assert bin(d_png ^ d_jpg).count("1") <= 3
+    assert mm.decode_image(encode_jpeg(px)) == (36, 24)

@@ -46,6 +46,18 @@ PROBE_QUERIES = [
     "leakage_safe_split",
     "dedup_clusters",
     "embedding_dedup_clusters",
+    # round-5 additions
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_suppliers_kept_waiting",
+    "paragraph_dedup",
+    "lm_perplexity",
+    "boilerplate_spans",
+    "image_dhash_index",
+    "audio_spectral",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
