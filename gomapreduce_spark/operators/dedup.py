@@ -242,6 +242,27 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return minhash_wide(docs, k).select("doc_id", F.expr(stack))
 
 
+def banded_signatures(wide: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, sig: array<long>, band, band_hash) — each doc's full
+    k-element MinHash signature exploded into its ``bands`` LSH band
+    rows. Shared by the self-join pair finder and the incremental
+    new-vs-index dedup; the band_hash is order-canonicalized so it is
+    reproducible in the DuckDB oracle."""
+    r = k // bands
+
+    def band_hash(b: int):
+        entries = F.array(*[F.concat_ws(":", F.lit(b * r + j), F.col(f"mh_{b * r + j}")) for j in range(r)])
+        return h64(F.array_join(F.array_sort(entries), ","))
+
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.band_hash")
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
     """LSH candidate pairs + signature-agreement similarity estimate.
 
@@ -258,19 +279,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     # self-join doesn't run the signature Arrow pass per side (see
     # ngram_jaccard_pairs for the localCheckpoint-vs-cache rationale)
     wide = minhash_wide(docs, k).localCheckpoint()
-    r = k // bands
-
-    def band_hash(b: int):
-        entries = F.array(*[F.concat_ws(":", F.lit(b * r + j), F.col(f"mh_{b * r + j}")) for j in range(r)])
-        return h64(F.array_join(F.array_sort(entries), ","))
-
-    banded = wide.select(
-        "doc_id",
-        F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig"),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.band_hash")
+    banded = banded_signatures(wide, k, bands)
     a, b = banded.alias("a"), banded.alias("b")
     matches = F.size(
         F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq)
@@ -730,6 +739,69 @@ def embedding_near_dup(
     # a pair colliding in several (table, cell) combinations scores
     # identically each time — dedup the tiny thresholded output
     return scored.dropDuplicates(["vec_a", "vec_b"])
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    batch_mod: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (new-batch vs historical-index) near-dup check — the
+    PRODUCTION shape of dedup at 100 TB: a continuously-ingesting
+    pipeline never re-self-joins the whole corpus; each arriving batch
+    is checked against the standing MinHash index and only then merged.
+    Here the fixture splits on doc_id % ``batch_mod`` (== 0 → the "new
+    batch", ~20%; else the index) to make the dataflow testable; in
+    production the index side is the persisted signature table.
+
+    Output manifest, one row per NEW doc: how many index docs it
+    band-collides with at est_jaccard ≥ ``threshold``, the best
+    estimate, and the drop/keep flag.
+
+    Scale shape: signatures are computed in ONE Arrow pass over the
+    whole input and split AFTER (no second tokenize); the band
+    equi-join is new × index — shuffle is O(|new| + touched index
+    rows), never a corpus self-join, and at scale the index side is
+    pre-bucketed on (band, band_hash) so only the new batch moves.
+    est_jaccard is matching-positions/k of exact 60-bit integers —
+    cross-engine stable (multiples of 1/k)."""
+    wide = minhash_wide(docs, k).localCheckpoint()
+    banded = banded_signatures(wide, k, bands)
+    is_new = F.col("doc_id") % batch_mod == 0
+    new_b, idx_b = banded.where(is_new).alias("n"), banded.where(~is_new).alias("i")
+    matches = F.size(
+        F.filter(F.zip_with("n.sig", "i.sig", lambda x, y: x == y), lambda eq: eq)
+    )
+    scored = (
+        new_b.join(
+            idx_b,
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.band_hash") == F.col("i.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("i.doc_id").alias("index_id"),
+            (matches.cast("double") / F.lit(float(k))).alias("est"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+        .where(F.col("est") >= threshold)
+    )
+    hits = scored.groupBy("new_id").agg(
+        F.count("*").alias("n_matches"),
+        F.round(F.max("est"), 6).alias("best_jaccard"),
+    )
+    return (
+        docs.where(is_new)
+        .select("doc_id")
+        .join(hits, F.col("doc_id") == hits.new_id, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 def benchmark_overlap(docs: DataFrame, bench_mod: int = 43, min_hits: int = 2) -> DataFrame:

@@ -162,6 +162,9 @@ QUERIES: dict[str, QueryFn] = {
     # -- scoring and frequent-span boilerplate audit --
     "lm_perplexity": lambda s, d: text.lm_perplexity(load_table(s, d, "documents")),
     "boilerplate_spans": lambda s, d: text.boilerplate_spans(load_table(s, d, "documents")),
+    # -- round-5: production-shape incremental dedup (new batch checked
+    # -- against the standing MinHash index, never a corpus self-join) --
+    "incremental_dedup": lambda s, d: dedup.incremental_dedup(load_table(s, d, "documents")),
     # -- round-5 real-codec multimodal: dHash fingerprint index over a
     # -- synthesized-but-really-decoded P6 corpus, and numpy-rfft
     # -- spectral features over a synthesized PCM WAV corpus. Rows-only
@@ -398,6 +401,7 @@ _CHANGED_THIS_ROUND = [
     "paragraph_dedup",
     "lm_perplexity",
     "boilerplate_spans",
+    "incremental_dedup",
     "image_dhash_index",
     "audio_spectral",
     "streaming_left_outer_join",
@@ -1320,6 +1324,51 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "minhash_lsh_pairs": ORACLE_MINHASH_LSH,
+    # same sig/banded CTEs as the pair oracle, but candidates come from
+    # the new×index band join and roll up per new doc
+    "incremental_dedup": f"""
+        WITH {_SHINGLES},
+        ab AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS a,
+                 ('0x' || substr(md5(shingle), 17, 15))::BIGINT & ((1::BIGINT << 59) - 1) AS b
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id, i AS hash_idx,
+                 min((a + i * b) & ((1::BIGINT << 60) - 1)) AS minhash
+          FROM ab, unnest(range(0, 8)) AS u(i)
+          GROUP BY 1, 2
+        ),
+        banded AS (
+          SELECT doc_id, (hash_idx // 2)::INT AS band,
+                 {_H.format(s="string_agg(hash_idx || ':' || minhash, ',' ORDER BY hash_idx || ':' || minhash)")} AS band_hash
+          FROM sig GROUP BY doc_id, (hash_idx // 2)::INT
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+          FROM banded n JOIN banded i
+            ON n.band = i.band AND n.band_hash = i.band_hash
+          WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+        ),
+        est AS (
+          SELECT new_id, index_id,
+                 avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) AS est
+          FROM cand
+          JOIN sig sa ON sa.doc_id = new_id
+          JOIN sig sb ON sb.doc_id = index_id AND sb.hash_idx = sa.hash_idx
+          GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT new_id, count(*) AS n_matches, round(max(est), 6) AS best_jaccard
+          FROM est WHERE est >= 0.5 GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(n_matches, 0)::BIGINT AS n_matches,
+               coalesce(best_jaccard, 0.0) AS best_jaccard,
+               (n_matches IS NOT NULL) AS is_dup
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN hits ON d.doc_id = hits.new_id
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
         edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),

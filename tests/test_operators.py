@@ -161,6 +161,21 @@ def test_q20_share_threshold_per_part(spark):
     assert got_strict == {"S2"}  # 30% ≤ 50% drops S1; 70% stays
 
 
+def test_incremental_dedup_planted_duplicate(spark):
+    x = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        # ids 1-4 = index (id % 5 != 0); ids 5, 10 = the new batch
+        [(1, x), (2, "totally different words here entirely"), (3, "more filler text rows"),
+         (4, "yet another unrelated document"), (5, x), (10, "nothing matches this one qq zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["is_dup"], r["n_matches"], r["best_jaccard"]) for r in
+           dedup.incremental_dedup(docs).collect()}
+    assert set(got) == {5, 10}  # only new-batch docs in the manifest
+    assert got[5] == (True, 1, 1.0)  # exact copy of index doc 1
+    assert got[10] == (False, 0, 0.0)
+
+
 def test_lm_perplexity_mle_hand_check(spark):
     docs = spark.createDataFrame(
         [(1, "en", "a b"), (2, "en", "a b"), (3, "en", "a c")],

@@ -245,6 +245,13 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # incremental new×index dedup: ONE signature pass split after (no
+    # second tokenize), band equi-join (never self-join or cross), and
+    # the per-new-doc rollup partial-aggs
+    "incremental_dedup": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # score-corpus-against-model: the LM build and prefix re-aggregation
     # both partial-agg; the scoring join is a keyed equi-join — never a
     # nested loop, and the corpus is scanned for bigrams, not re-scanned
