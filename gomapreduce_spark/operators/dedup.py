@@ -770,7 +770,22 @@ def incremental_dedup(
     wide = minhash_wide(docs, k).localCheckpoint()
     banded = banded_signatures(wide, k, bands)
     is_new = F.col("doc_id") % batch_mod == 0
-    new_b, idx_b = banded.where(is_new).alias("n"), banded.where(~is_new).alias("i")
+    return _score_new_vs_index(
+        docs.where(is_new).select("doc_id"),
+        banded.where(is_new),
+        banded.where(~is_new),
+        k,
+        threshold,
+    )
+
+
+def _score_new_vs_index(
+    new_ids: DataFrame, new_b: DataFrame, idx_b: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Shared scoring join for the incremental dedup family: band
+    equi-join new × index, signature-agreement estimate, per-new-doc
+    rollup, left-joined back onto the full new-batch manifest."""
+    new_b, idx_b = new_b.alias("n"), idx_b.alias("i")
     matches = F.size(
         F.filter(F.zip_with("n.sig", "i.sig", lambda x, y: x == y), lambda eq: eq)
     )
@@ -791,16 +806,55 @@ def incremental_dedup(
         F.count("*").alias("n_matches"),
         F.round(F.max("est"), 6).alias("best_jaccard"),
     )
-    return (
-        docs.where(is_new)
-        .select("doc_id")
-        .join(hits, F.col("doc_id") == hits.new_id, "left_outer")
-        .select(
-            "doc_id",
-            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
-            F.col("n_matches").isNotNull().alias("is_dup"),
-        )
+    return new_ids.join(hits, F.col("doc_id") == hits.new_id, "left_outer").select(
+        "doc_id",
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        F.col("n_matches").isNotNull().alias("is_dup"),
+    )
+
+
+def save_signature_index(
+    docs: DataFrame,
+    table: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    buckets: int = 16,
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a BUCKETED
+    table on the join key (band, band_hash) — the standing dedup index
+    incremental ingest checks against. Bucketing pays the index-side
+    shuffle ONCE at layout time: every later batch join reads the
+    index co-located (no Exchange on the index scan — asserted by
+    tests/test_bucketing.py), so per-batch cost is O(|batch|) shuffle
+    regardless of index size. At 100 TB, raise ``buckets`` to ~2-3× the
+    executor count."""
+    (
+        banded_signatures(minhash_wide(docs, k), k, bands)
+        .write.bucketBy(buckets, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_dedup_against_index(
+    new_docs: DataFrame,
+    index_table: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The arriving-batch half of the production flow: signatures for
+    ONLY the new batch, band-joined against the persisted bucketed
+    index (:func:`save_signature_index`). Same manifest schema and
+    identical output to :func:`incremental_dedup` on the equivalent
+    split — parity-asserted in tests."""
+    spark = new_docs.sparkSession
+    new_b = banded_signatures(minhash_wide(new_docs, k), k, bands)
+    return _score_new_vs_index(
+        new_docs.select("doc_id"), new_b, spark.table(index_table), k, threshold
     )
 
 

@@ -64,3 +64,53 @@ def test_bucketed_join_matches_unbucketed(spark, sf_small, bucketed_tables):
         .agg(F.count("*").alias("n"))
     )
     assert {tuple(r) for r in bucketed.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_signature_index_join_reads_index_colocated(spark, sf_small):
+    """The standing dedup index (save_signature_index) must join each
+    arriving batch WITHOUT shuffling the index side: the bucketed scan
+    feeds the band join directly, so per-batch cost is O(|batch|)
+    regardless of index size. Also asserts output parity with the
+    single-input incremental_dedup on the equivalent split."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators import dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    spark.sql("DROP TABLE IF EXISTS sig_index")
+    try:
+        dedup.save_signature_index(docs.where(~is_new), "sig_index", buckets=8)
+        got = dedup.incremental_dedup_against_index(docs.where(is_new), "sig_index")
+
+        # plan shape: the index scan's DIRECT parent in the tree must be
+        # the join (or its sort) — never an Exchange. Only the new-batch
+        # side is allowed to move.
+        plan = plan_str(got)
+        assert "Bucketed: true" in plan, plan[:1200]
+        tree = plan.splitlines()
+        scan_line = next(i for i, l in enumerate(tree) if "default.sig_index" in l and "Scan" in l)
+        indent = tree[scan_line].index("+-")
+        # walk ancestors: narrow nodes (Filter/Project/...) may sit
+        # between scan and join, but an Exchange must not
+        j = scan_line
+        while True:
+            j = next(
+                jj for jj in range(j - 1, -1, -1)
+                if ("+-" in tree[jj] and tree[jj].index("+-") < indent)
+                or (":-" in tree[jj] and tree[jj].index(":-") < indent)
+            )
+            line = tree[j]
+            indent = line.index("+-") if "+-" in line else line.index(":-")
+            assert "Exchange" not in line, f"index side shuffled: {line}"
+            if "Join" in line:
+                break
+
+        want = {tuple(r) for r in dedup.incremental_dedup(docs).collect()}
+        have = {tuple(r) for r in got.collect()}
+        assert have == want
+        assert any(r[3] for r in have)  # non-vacuous: at least one dup found
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_index")
