@@ -438,3 +438,125 @@ def running_user_totals(events: DataFrame, at_event: int = 5) -> DataFrame:
     return cum.where(F.col("rn") == at_event).select(
         "user_id", F.round("cum_value", 4).alias("cum_value_at_n")
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_hours: int = 72,
+) -> DataFrame:
+    """Ordered multi-step funnel — the sequence-analytics shape
+    (MATCH_RECOGNIZE territory) decorrelated into per-step earliest-
+    reach joins: a user reaches step k at the EARLIEST step-k event
+    strictly after their step-(k-1) reach time; the final conversion
+    additionally requires the whole path inside ``within_hours``.
+    Greedy-earliest is the standard funnel semantics and is what makes
+    the result deterministic.
+
+    Scale shape: one min-aggregation (partial+final) per step keyed on
+    user_id, chained through user_id equi-joins — each step's input is
+    pre-filtered to that step's event type before shuffling, and no
+    window function ever sees the raw stream. |steps| shuffles of
+    |users| rows, independent of event volume."""
+    def count_row(df: DataFrame, idx: int, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).cast("int").alias("step_idx"), F.lit(label).alias("step"), "n_users"
+        )
+
+    cur = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_0"))
+    )
+    rows = [count_row(cur, 0, steps[0])]
+    for k, step in enumerate(steps[1:], start=1):
+        cur = (
+            events.where(F.col("event_type") == step)
+            .select("user_id", F.col("ts").alias("ts_k"))
+            .join(cur, "user_id")
+            .where(F.col("ts_k") > F.col(f"t_{k - 1}"))
+            .groupBy("user_id", *[f"t_{j}" for j in range(k)])
+            .agg(F.min("ts_k").alias(f"t_{k}"))
+        )
+        rows.append(count_row(cur, k, step))
+    last = len(steps) - 1
+    converted = cur.where(
+        F.unix_micros(F.col(f"t_{last}")) - F.unix_micros(F.col("t_0"))
+        <= within_hours * 3_600_000_000
+    )
+    rows.append(count_row(converted, last + 1, f"converted_{within_hours}h"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing N-day distinct active users per day — the DAU/WAU
+    rollup. Exact sliding distinct is not incrementally mergeable, so
+    the scalable exact form materializes the (user, day) grid once and
+    fans each activity day into the ``window_days`` window-end days it
+    contributes to (a narrow explode of N small ints), then counts
+    distinct users per end day.
+
+    Scale shape: the grid is one distinct-aggregate shuffle of
+    |users × active days| rows (≪ raw events); the fan-out multiplies
+    that by N BEFORE the second distinct — at 100 TB swap the exact
+    tail for HLL sketch union-merge (approx_distinct_users pattern) if
+    N·|grid| dominates. Output bounded to days within the data range."""
+    grid = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+    )
+    fanned = grid.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("window_end"),
+    )
+    return (
+        fanned.crossJoin(F.broadcast(bounds))
+        .where((F.col("window_end") >= F.col("lo")) & (F.col("window_end") <= F.col("hi")))
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(F.date_format("window_end", "yyyy-MM-dd").alias("day"), "n_active")
+    )
+
+
+def retention_cohorts(events: DataFrame, max_k: int = 14) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day;
+    for each day offset k ≤ ``max_k``, the fraction of the cohort
+    active exactly k days later. The canonical growth-analytics rollup.
+
+    Scale shape: first-day per user is one min-aggregation; the
+    (user, day) activity grid is one distinct; their user_id equi-join
+    feeds a (cohort_day, k) partial-agg — three bounded shuffles, no
+    window over raw events, cohort sizes re-derived from the k=0 row
+    of the same rollup (no second scan)."""
+    first_day = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    grid = events.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    active = (
+        grid.join(first_day, "user_id")
+        .select(
+            "user_id", "cohort_day", F.datediff("day", "cohort_day").alias("k")
+        )
+        .where(F.col("k") <= max_k)
+    )
+    rollup = active.groupBy("cohort_day", "k").agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = rollup.where(F.col("k") == 0).select(
+        F.col("cohort_day").alias("c2"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        rollup.join(sizes, rollup.cohort_day == F.col("c2"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("k").cast("int").alias("k"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )

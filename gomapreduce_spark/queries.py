@@ -165,6 +165,11 @@ QUERIES: dict[str, QueryFn] = {
     # -- round-5: production-shape incremental dedup (new batch checked
     # -- against the standing MinHash index, never a corpus self-join) --
     "incremental_dedup": lambda s, d: dedup.incremental_dedup(load_table(s, d, "documents")),
+    # -- round-5 event analytics: ordered sequences, sliding distinct,
+    # -- cohort retention --
+    "ordered_funnel": lambda s, d: events.ordered_funnel(load_table(s, d, "events")),
+    "rolling_active_users": lambda s, d: events.rolling_active_users(load_table(s, d, "events")),
+    "retention_cohorts": lambda s, d: events.retention_cohorts(load_table(s, d, "events")),
     # -- round-5 real-codec multimodal: dHash fingerprint index over a
     # -- synthesized-but-really-decoded P6 corpus, and numpy-rfft
     # -- spectral features over a synthesized PCM WAV corpus. Rows-only
@@ -402,6 +407,9 @@ _CHANGED_THIS_ROUND = [
     "lm_perplexity",
     "boilerplate_spans",
     "incremental_dedup",
+    "ordered_funnel",
+    "rolling_active_users",
+    "retention_cohorts",
     "image_dhash_index",
     "audio_spectral",
     "streaming_left_outer_join",
@@ -1746,6 +1754,65 @@ ORACLES: dict[str, str] = {
         WHERE s_suppkey IN (
           SELECT l_suppkey FROM qty JOIN tot USING (l_partkey) WHERE q > 0.25 * tq
         )
+    """,
+    # greedy-earliest reach per step, chained strictly-after joins
+    "ordered_funnel": """
+        WITH s0 AS (
+          SELECT user_id, min(ts) AS t_0 FROM events WHERE event_type = 'view' GROUP BY 1
+        ), s1 AS (
+          SELECT e.user_id, t_0, min(ts) AS t_1
+          FROM events e JOIN s0 ON e.user_id = s0.user_id
+          WHERE event_type = 'click' AND ts > t_0 GROUP BY 1, 2
+        ), s2 AS (
+          SELECT e.user_id, t_0, t_1, min(ts) AS t_2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE event_type = 'purchase' AND ts > t_1 GROUP BY 1, 2, 3
+        )
+        SELECT 0::INT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM s0
+        UNION ALL
+        SELECT 1::INT, 'click', count(*)::BIGINT FROM s1
+        UNION ALL
+        SELECT 2::INT, 'purchase', count(*)::BIGINT FROM s2
+        UNION ALL
+        SELECT 3::INT, 'converted_72h', count(*)::BIGINT FROM s2
+        WHERE epoch_us(t_2) - epoch_us(t_0) <= 72::BIGINT * 3600000000
+    """,
+    # each (user, active day) contributes to the 7 window-end days
+    "rolling_active_users": """
+        WITH grid AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), bounds AS (
+          SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi FROM events
+        ), fanned AS (
+          SELECT user_id, day + (i || ' days')::INTERVAL AS window_end
+          FROM grid, unnest(range(0, 7)) AS u(i)
+        )
+        SELECT strftime(window_end, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS n_active
+        FROM fanned, bounds
+        WHERE window_end >= lo AND window_end <= hi
+        GROUP BY 1
+    """,
+    "retention_cohorts": """
+        WITH first_day AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY 1
+        ), grid AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ), active AS (
+          SELECT g.user_id, cohort_day, date_diff('day', cohort_day, day) AS k
+          FROM grid g JOIN first_day f ON g.user_id = f.user_id
+          WHERE date_diff('day', cohort_day, day) <= 14
+        ), rollup AS (
+          SELECT cohort_day, k, count(DISTINCT user_id) AS n_active
+          FROM active GROUP BY 1, 2
+        ), sizes AS (
+          SELECT cohort_day, n_active AS cohort_size FROM rollup WHERE k = 0
+        )
+        SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+               r.k::INT AS k, r.n_active::BIGINT AS n_active,
+               s.cohort_size::BIGINT AS cohort_size,
+               round(r.n_active / s.cohort_size, 4) AS retention
+        FROM rollup r JOIN sizes s ON r.cohort_day = s.cohort_day
     """,
     "q13_customer_distribution": """
         WITH per AS (

@@ -161,6 +161,60 @@ def test_q20_share_threshold_per_part(spark):
     assert got_strict == {"S2"}  # 30% ≤ 50% drops S1; 70% stays
 
 
+def test_ordered_funnel_requires_order_and_window(spark):
+    rows = [
+        # u1: view→click→purchase in order, inside 72h → fully converts
+        (1, 1, "view", "2024-01-01 00:00:00"), (2, 1, "click", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 02:00:00"),
+        # u2: purchase BEFORE click → reaches click, not purchase
+        (4, 2, "view", "2024-01-01 00:00:00"), (5, 2, "purchase", "2024-01-01 00:30:00"),
+        (6, 2, "click", "2024-01-01 01:00:00"),
+        # u3: completes the order but the path exceeds 72h → no conversion
+        (7, 3, "view", "2024-01-01 00:00:00"), (8, 3, "click", "2024-01-02 00:00:00"),
+        (9, 3, "purchase", "2024-01-05 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["step"]: r["n_users"] for r in events.ordered_funnel(ev).collect()}
+    assert got == {"view": 3, "click": 3, "purchase": 2, "converted_72h": 1}
+
+
+def test_rolling_active_users_window_semantics(spark):
+    rows = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"),
+            (3, 2, "2024-01-05 10:00:00"), (4, 1, "2024-01-09 10:00:00")]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+    )
+    got = {r["day"]: r["n_active"] for r in events.rolling_active_users(ev).collect()}
+    # Jan 5: u1 (active Jan 1, within trailing 7) + u2 → 2; Jan 9: u1
+    # re-active + u2 (Jan 5 within window) → 2; Jan 8: u2 only (u1's
+    # Jan 1 fell out of the 7-day window)
+    assert got["2024-01-05"] == 2
+    assert got["2024-01-08"] == 1
+    assert got["2024-01-09"] == 2
+    assert "2024-01-10" not in got  # bounded to the data's day range
+
+
+def test_retention_cohorts_fractions(spark):
+    rows = [
+        (1, 1, "2024-01-01 08:00:00"), (2, 2, "2024-01-01 09:00:00"),  # cohort Jan 1: u1, u2
+        (3, 1, "2024-01-03 08:00:00"),                                  # u1 returns day 2
+        (4, 3, "2024-01-02 08:00:00"),                                  # cohort Jan 2: u3
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+    )
+    got = {(r["cohort_day"], r["k"]): (r["n_active"], r["cohort_size"], r["retention"]) for r in
+           events.retention_cohorts(ev).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
 def test_incremental_dedup_planted_duplicate(spark):
     x = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame(

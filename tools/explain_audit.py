@@ -245,6 +245,23 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # per-step min-aggs chained through user_id equi-joins — no window
+    # over raw events, no nested loop
+    "ordered_funnel": {
+        "partial_agg": True,
+        "pushed_filters": ["event_type"],
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    # the (user, day) grid distinct + N-day fan-out + end-day distinct
+    # count; the bounds cross is a 1-row broadcast
+    "rolling_active_users": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    "retention_cohorts": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
     # incremental new×index dedup: ONE signature pass split after (no
     # second tokenize), band equi-join (never self-join or cross), and
     # the per-new-doc rollup partial-aggs
