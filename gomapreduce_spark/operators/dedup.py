@@ -101,6 +101,94 @@ def paragraph_dedup(docs: DataFrame, sep: str = PARA_SEP) -> DataFrame:
     )
 
 
+def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
+    """Repeated-substring detection at window granularity — the
+    distributed form of exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499). The paper's suffix array is inherently a single
+    sorted view of the whole corpus; the shape that survives 100 TB is
+    to slide a W-token window with stride S over every document, hash
+    each window, and mark windows whose hash recurs anywhere else in
+    the corpus (same doc or not). Per doc this emits the window counts
+    AND the exact fraction of token positions covered by at least one
+    duplicated window — the signal a pipeline uses to clip repeated
+    spans or drop the document (the paper removes substrings repeated
+    verbatim; window granularity over-/under-shoots by < W tokens at
+    each span boundary).
+
+    Scale shape: the window fan-out is narrow (sequence + explode, no
+    shuffle, W·n/S tokens shipped per doc); duplicate detection is one
+    partial-agg shuffle keyed on the 60-bit window hash (map-side
+    combine ships one (hash, count) pair per distinct local window);
+    marking is an equi-join of windows against the duplicated-hash set
+    on that same key. The coverage union is a per-doc interval merge —
+    one running-max window over (doc_id, start), never a
+    whole-partition sort. Nothing is collected.
+    """
+    toks = docs.select(
+        "doc_id", tokenize("text").alias("t"), F.size(tokenize("text")).alias("n_tokens")
+    )
+    wins = (
+        toks.where(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1), F.lit(stride))
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start",
+            h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))).alias("win_hash"),
+        )
+    )
+    dup_hashes = (
+        wins.groupBy("win_hash").agg(F.count("*").alias("n_occ")).where(F.col("n_occ") > 1)
+    )
+    dup_wins = wins.join(dup_hashes, "win_hash").select(
+        "doc_id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
+    )
+    # Interval-union length per doc: sort duplicated windows by start,
+    # track the running max end over preceding rows, count only the
+    # positions each window adds beyond that frontier.
+    prev_end = F.max("end").over(
+        W.partitionBy("doc_id").orderBy("start", "end").rowsBetween(W.unboundedPreceding, -1)
+    )
+    covered = (
+        dup_wins.withColumn("prev_end", F.coalesce(prev_end, F.lit(0)))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0), F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1)
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add").alias("dup_tokens"), F.count("*").alias("n_dup_windows"))
+    )
+    n_wins = wins.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"), F.count("*").alias("n_windows")
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .where(F.col("n_tokens") >= 1)
+        .join(n_wins.drop("n_tokens"), "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingles: array<string>) — the distinct word n-gram
     shingles of each document, one narrow Arrow pass (zero shuffle).

@@ -560,3 +560,31 @@ def retention_cohorts(events: DataFrame, max_k: int = 14) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
         )
     )
+
+
+def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the event stream — the privacy hygiene
+    check a training pipeline runs before releasing interaction logs:
+    bucket rows into quasi-identifier equivalence classes
+    (event_type, event day, value decade) and flag every class whose
+    distinct-user population is below k — rows in those classes are
+    re-identifiable by an adversary who knows the quasi-identifiers.
+
+    One partial-agg shuffle keyed on the (coarse, low-cardinality)
+    class tuple; distinct-user counting is Spark's two-phase distinct
+    aggregate (map-side dedup before the shuffle). The output is the
+    risky-class manifest, bounded by the class space, not the data."""
+    classes = events.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.floor(F.col("value") / 100) * 100).cast("long").alias("value_band"),
+        "user_id",
+    )
+    return (
+        classes.groupBy("event_type", "day", "value_band")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_rows"),
+        )
+        .where(F.col("n_users") < k)
+    )

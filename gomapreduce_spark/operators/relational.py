@@ -853,3 +853,40 @@ def order_status_pivot(orders: DataFrame) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
     )
+
+
+def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS revenue rollup — the one multi-level aggregation
+    shape not yet covered by rollup_revenue (ROLLUP) and
+    cube_by_type_hour (CUBE): an explicit, non-hierarchical set list
+    ((returnflag, linestatus), (linestatus), ()). Spark 4's native
+    ``DataFrame.groupingSets`` plans this as ONE Expand + one
+    aggregation — each input row is replicated once per set it belongs
+    to and partial aggregation runs map-side, so the shuffle carries
+    |sets| partial rows per group, never a re-scan per set.
+
+    Null grouping keys are disambiguated the standard way: grouping()
+    flags (packed as g_id) distinguish "aggregated away" from a null
+    data value, and the keys are coalesced to 'ALL' for display."""
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("g_id"),
+            F.round(revenue, 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_id",
+            "revenue",
+            "n_lines",
+        )
+    )

@@ -744,3 +744,114 @@ def pack_training_sequences(
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# DSIR defaults, shared with the DuckDB oracle
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights(
+    docs: DataFrame, target_source: str = DSIR_TARGET_SOURCE, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log-likelihood ratio
+    of its hashed-unigram features under a target-domain language model
+    vs the raw-corpus language model. Documents that look like the
+    target domain get positive log-weights; sampling proportional to
+    exp(weight) yields a target-like pretraining mixture. The target
+    here is the slice ``source == target_source`` — in production, a
+    trusted high-quality corpus (Wikipedia, books).
+
+    Both LMs are Laplace-smoothed bucket distributions:
+    p[b] = (count[b] + 1) / (total + buckets), so every probability is
+    a ratio of exact integers — bit-identical in any engine.
+
+    Scale shape: feature extraction is a narrow tokenize + hash-mod
+    pass; each LM is one partial-agg shuffle to at most ``buckets``
+    rows; the per-bucket log-ratio table is tiny by construction
+    (<= buckets rows) and BROADCAST back onto the token stream, so
+    scoring the 100 TB corpus is a map-side join + one per-doc partial
+    agg. Nothing is collected; no stage is quadratic."""
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokenize("text")).alias("tok"),
+    ).select("doc_id", "source", (h64(F.col("tok"), seed="dsir|") % buckets).alias("bucket"))
+    raw = occ.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        occ.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    totals = occ.agg(
+        F.count("*").alias("t_raw"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("t_tgt"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("c_tgt", F.lit(0)) + 1) / (F.col("t_tgt") + buckets))
+                - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lr"), 4).alias("avg_log_ratio"),
+        )
+    )
+
+
+# token-budget sampler defaults, shared with the DuckDB oracle
+BUDGET_TOKENS = 2000
+BUDGET_BUCKETS = 8
+
+
+def token_budget_sample(
+    docs: DataFrame, budget_tokens: int = BUDGET_TOKENS, n_buckets: int = BUDGET_BUCKETS
+) -> DataFrame:
+    """Deterministic token-budget subsampling: select documents per
+    language, in a content-independent pseudo-random order, until a
+    per-language token budget is exhausted — the "give me N tokens of
+    French" corpus-assembly primitive.
+
+    The naive form is a per-language global cumulative sum — ONE
+    partition per language, dead at 100 TB. The scale form implemented
+    here splits each language into ``n_buckets`` hash buckets, gives
+    each bucket ``budget_tokens / n_buckets`` (integer division;
+    deliberately conservative), and runs the cumulative admission scan
+    WITHIN each (lang, bucket) — parallelism = langs x buckets, every
+    sort bounded by a bucket's docs. A document is admitted iff the
+    bucket budget is not yet exhausted when it arrives (the admitting
+    doc may overshoot; standard greedy contract). Hash order + doc_id
+    tie-break makes the result independent of physical row order.
+
+    Output: the admission manifest (doc_id, lang, bucket, n_tokens,
+    cum_before), hash-reproducible in any engine."""
+    from pyspark.sql import Window as W
+
+    bucket_budget = budget_tokens // n_buckets
+    base = docs.select(
+        "doc_id",
+        "lang",
+        (h64(F.col("doc_id").cast("string"), seed="budget|") % n_buckets).alias("bucket"),
+        h64(F.col("doc_id").cast("string"), seed="order|").alias("ord"),
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("cum_before") < bucket_budget)
+        .select("doc_id", "lang", "bucket", "n_tokens", "cum_before")
+    )

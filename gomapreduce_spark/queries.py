@@ -182,6 +182,15 @@ QUERIES: dict[str, QueryFn] = {
     "audio_spectral": lambda s, d: multimodal.audio_spectral_features(
         multimodal.synth_wav_payloads(load_table(s, d, "documents"))
     ),
+    # -- round-5c: repeated-substring dedup, DSIR importance weights, --
+    # -- token-budget sampling, GROUPING SETS, k-anonymity audit      --
+    "duplicate_spans": lambda s, d: dedup.duplicate_spans(load_table(s, d, "documents")),
+    "dsir_weights": lambda s, d: text.dsir_weights(load_table(s, d, "documents")),
+    "token_budget_sample": lambda s, d: text.token_budget_sample(load_table(s, d, "documents")),
+    "grouping_sets_revenue": lambda s, d: relational.grouping_sets_revenue(
+        load_table(s, d, "lineitem")
+    ),
+    "k_anonymity_audit": lambda s, d: events.k_anonymity_audit(load_table(s, d, "events")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -413,6 +422,11 @@ _CHANGED_THIS_ROUND = [
     "image_dhash_index",
     "audio_spectral",
     "streaming_left_outer_join",
+    "duplicate_spans",
+    "dsir_weights",
+    "token_budget_sample",
+    "grouping_sets_revenue",
+    "k_anonymity_audit",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -1871,3 +1885,96 @@ ORACLES: dict[str, str] = {
 # the streaming gopher filter runs the IDENTICAL narrow projection as
 # the batch form on a finite replay — one oracle, two execution modes
 ORACLES["streaming_gopher_filter"] = ORACLES["gopher_rules"]
+
+# round-5c oracles — window-hash substring dedup, DSIR, budget sampler,
+# GROUPING SETS, k-anonymity. Constants mirror the operator defaults
+# (dedup.duplicate_spans w=10/stride=5; text.DSIR_BUCKETS/
+# DSIR_TARGET_SOURCE; text.BUDGET_TOKENS/BUDGET_BUCKETS;
+# events.k_anonymity_audit k=5).
+ORACLES["duplicate_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks WHERE len(t) >= 1),
+    wins AS (
+      SELECT doc_id, i AS s,
+             ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT AS win_hash
+      FROM toks, unnest(range(1, len(t) - 8, 5)) AS u(i)
+      WHERE len(t) >= 10
+    ),
+    dup AS (SELECT win_hash FROM wins GROUP BY 1 HAVING count(*) > 1),
+    dw AS (SELECT w.doc_id, w.s, w.s + 9 AS e FROM wins w JOIN dup USING (win_hash)),
+    cov AS (
+      SELECT doc_id,
+             greatest(0, e - greatest(coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1)) AS add
+      FROM dw
+    ),
+    ca AS (SELECT doc_id, sum(add)::BIGINT AS dup_tokens, count(*)::BIGINT AS n_dup_windows
+           FROM cov GROUP BY 1),
+    nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM wins GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(nw.n_windows, 0)::BIGINT AS n_windows,
+           coalesce(ca.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(ca.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(ca.dup_tokens, 0) / b.n_tokens::DOUBLE, 4) AS dup_frac
+    FROM base b LEFT JOIN nw USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
+ORACLES["dsir_weights"] = f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    occ AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('dsir|' || tok), 1, 15))::BIGINT % 1024 AS bucket
+      FROM toks, unnest(t) AS u(tok)
+    ),
+    raw AS (SELECT bucket, count(*)::BIGINT AS c_raw FROM occ GROUP BY 1),
+    tgt AS (SELECT bucket, count(*)::BIGINT AS c_tgt FROM occ
+            WHERE source = 'src0' GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS t_raw,
+                   count(*) FILTER (WHERE source = 'src0')::BIGINT AS t_tgt FROM occ),
+    lr AS (
+      SELECT bucket,
+             ln((coalesce(c_tgt, 0) + 1) / (t_tgt + 1024)::DOUBLE)
+             - ln((c_raw + 1) / (t_raw + 1024)::DOUBLE) AS lr
+      FROM raw LEFT JOIN tgt USING (bucket), tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lr), 4) AS avg_log_ratio
+    FROM occ JOIN lr USING (bucket) GROUP BY 1
+"""
+
+ORACLES["token_budget_sample"] = f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('budget|' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
+             ('0x' || substr(md5('order|' || doc_id), 1, 15))::BIGINT AS ord,
+             len({_TOKS})::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket, n_tokens, cum_before FROM (
+      SELECT doc_id, lang, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, bucket ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM base
+    ) WHERE cum_before < 250
+"""
+
+ORACLES["grouping_sets_revenue"] = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS g_id,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+ORACLES["k_anonymity_audit"] = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           (floor(value / 100) * 100)::BIGINT AS value_band,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_rows
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT user_id) < 5
+"""

@@ -1053,3 +1053,121 @@ def test_leakage_safe_split_is_cluster_atomic(spark, sf_med):
     assert all(len(s) == 1 for s in by_cluster.values()), "cluster split leakage"
     assert max(cluster_sizes.values()) > 1, "fixture should contain a multi-doc cluster"
     assert {r["split"] for r in out} == {"train", "validation", "test"}
+
+
+def test_duplicate_spans_planted_shared_span(spark):
+    shared = " ".join(f"s{i}" for i in range(1, 21))          # 20-token span
+    doc_a = shared + " " + " ".join(f"a{i}" for i in range(10))   # span at pos 1
+    doc_b = " ".join(f"b{i}" for i in range(5)) + " " + shared + " " + " ".join(
+        f"c{i}" for i in range(5)
+    )                                                          # span at pos 6
+    doc_u = " ".join(f"u{i}" for i in range(15))               # unique, 2 windows
+    doc_s = "tiny doc below window width"                      # < w tokens
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_u), (4, doc_s)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.duplicate_spans(docs).collect()}
+    # stride-5 windows fully inside the shared span align between the
+    # two docs: A starts {1,6,11}, B starts {6,11,16} — 3 dup windows
+    # each, union coverage exactly the 20 span tokens
+    for d in (1, 2):
+        assert rows[d]["n_tokens"] == 30 and rows[d]["n_windows"] == 5
+        assert rows[d]["n_dup_windows"] == 3
+        assert rows[d]["dup_tokens"] == 20
+        assert abs(rows[d]["dup_frac"] - round(20 / 30, 4)) < 1e-9
+    assert rows[3]["n_windows"] == 2 and rows[3]["n_dup_windows"] == 0
+    assert rows[3]["dup_tokens"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_frac"] == 0.0
+
+
+def test_duplicate_spans_self_repetition_is_caught(spark):
+    # the Lee et al. motivation: a doc that repeats ITS OWN span is
+    # flagged even with no cross-doc twin
+    span = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, span + " " + span), (2, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.duplicate_spans(docs).collect()}
+    assert rows[1]["n_dup_windows"] >= 2 and rows[1]["dup_tokens"] == 20
+    assert rows[2]["n_dup_windows"] == 0
+
+
+def test_dsir_weights_target_alignment_orders_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "src0", "alpha alpha beta"),   # defines the target LM
+            (2, "srcX", "alpha alpha beta"),   # same content, non-target source
+            (3, "srcX", "gamma gamma gamma"),  # never appears in target
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.dsir_weights(docs).collect()}
+    # the weight scores CONTENT, not provenance: identical text ⇒
+    # identical weight regardless of source
+    assert rows[1]["avg_log_ratio"] == rows[2]["avg_log_ratio"]
+    # target-like text scores strictly above out-of-target text
+    assert rows[1]["avg_log_ratio"] > rows[3]["avg_log_ratio"]
+    assert rows[1]["n_tokens"] == 3 and rows[3]["n_tokens"] == 3
+
+
+def test_token_budget_sample_invariants(spark, sf_med):
+    docs = load_table(spark, sf_med, "documents")
+    out = text.token_budget_sample(docs).collect()
+    per_bucket_budget = text.BUDGET_TOKENS // text.BUDGET_BUCKETS
+    assert all(r["cum_before"] < per_bucket_budget for r in out)
+    # at most one overshooting doc per (lang, bucket): every admitted
+    # doc except the last started strictly inside the budget
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r["lang"], r["bucket"])].append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r["cum_before"])
+        for r in rows[:-1]:
+            assert r["cum_before"] + r["n_tokens"] <= per_bucket_budget + max(
+                x["n_tokens"] for x in rows
+            )
+    # deterministic under physical reshuffling of the input
+    again = text.token_budget_sample(docs.repartition(7)).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_token_budget_sample_big_budget_admits_everything(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", "one two three") for i in range(20)], "doc_id long, lang string, text string"
+    )
+    out = text.token_budget_sample(docs, budget_tokens=10_000, n_buckets=2)
+    assert out.count() == 20
+
+
+def test_grouping_sets_revenue_levels(spark):
+    li = spark.createDataFrame(
+        [("A", "F", 100.0, 0.0), ("A", "O", 200.0, 0.5), ("B", "F", 300.0, 0.0)],
+        "l_returnflag string, l_linestatus string, l_extendedprice double, l_discount double",
+    )
+    rows = relational.grouping_sets_revenue(li).collect()
+    by_key = {(r["returnflag"], r["linestatus"]): r for r in rows}
+    # 3 (flag,status) pairs + 2 status subtotals + 1 grand total
+    assert len(rows) == 6
+    assert by_key[("A", "F")]["revenue"] == 100.0 and by_key[("A", "F")]["g_id"] == 0
+    assert by_key[("ALL", "F")]["revenue"] == 400.0 and by_key[("ALL", "F")]["g_id"] == 2
+    grand = by_key[("ALL", "ALL")]
+    assert grand["revenue"] == 500.0 and grand["g_id"] == 3 and grand["n_lines"] == 3
+
+
+def test_k_anonymity_audit_flags_small_classes(spark):
+    rows = []
+    # class 1: 6 distinct users on the same day/type/band — safe
+    rows += [(i, "2024-01-01 10:00:00", f"u{i}", "click", 10.0) for i in range(6)]
+    # class 2: 2 distinct users — flagged
+    rows += [(10 + i, "2024-01-02 10:00:00", f"v{i}", "view", 150.0) for i in range(2)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = events.k_anonymity_audit(ev, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_type"] == "view" and r["day"] == "2024-01-02"
+    assert r["value_band"] == 100 and r["n_users"] == 2 and r["n_rows"] == 2

@@ -403,6 +403,48 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
         "max_single_partition": 0,
     },
+    # window-hash substring dedup: the fan-out is narrow; duplicate
+    # detection is a partial+final agg on the window hash; the interval
+    # union is a doc_id-partitioned window — never a global sort
+    "duplicate_spans": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+        "max_single_partition": 0,
+    },
+    # DSIR: the per-bucket log-ratio table (<= 1024 rows) must come
+    # back as a BROADCAST join onto the token stream — a shuffled join
+    # would re-partition the whole corpus by bucket for nothing
+    "dsir_weights": {
+        "require": ["BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        # the corpus-total aggregate is a 1-row global agg (partial
+        # map-side, final on one task) — bounded by construction
+        "max_single_partition": 1,
+    },
+    # budget sampler: ONE keyed shuffle into (lang, bucket) windows;
+    # no join, no global sort
+    "token_budget_sample": {
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
+    # GROUPING SETS must plan as ONE Expand + partial+final aggregate —
+    # never a union of per-set re-scans (no Join, one keyed exchange)
+    "grouping_sets_revenue": {
+        "require": ["Expand"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join", "Union"],
+        "max_single_partition": 0,
+    },
+    # k-anonymity: two-phase distinct aggregate (map-side user dedup
+    # before the shuffle), no join anywhere
+    "k_anonymity_audit": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
 }
 
 
