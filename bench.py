@@ -40,6 +40,20 @@ def main() -> None:
         warm(QUERIES, spark, sf_dir)
     except Exception:  # noqa: BLE001 — warmup is best-effort; per-query
         pass           # isolation below reports the real failures
+
+    # Machine-speed calibration: the same fixed JVM-side workload every
+    # round (codegen'd modular arithmetic over a synthetic range — no
+    # I/O, no shuffle, independent of any repo code). Host CPU
+    # contention on this shared box swings absolute wall-clock by >1.5x
+    # between runs; total/calib is the load-invariant figure to compare
+    # across rounds.
+    import time as _time
+
+    calib_t0 = _time.time()
+    spark.range(200_000_000).selectExpr("sum((id * 3 + 1) % 7) AS s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    calib = round(_time.time() - calib_t0, 3)
     # Per-query isolation: one broken query must not kill the whole
     # run with zero numbers (the round-3 failure mode — an ingestion
     # change crashed the first event-time query and the harness died
@@ -68,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calib_sec": calib,
     }
     if errors:
         detail["errors"] = errors
@@ -85,6 +100,7 @@ def main() -> None:
         "n_queries": len(times),
         "n_errors": len(errors),
         "sf": sf,
+        "calib_sec": calib,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)
