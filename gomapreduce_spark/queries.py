@@ -389,6 +389,15 @@ def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_left_outer_join"] = _streaming_left_outer_join
 
+
+def _streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_chained_windows
+
+    return streaming_chained_windows(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["streaming_chained_windows"] = _streaming_chained_windows
+
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so entries whose BEHAVIOR changed this round
 # (their previous rows no longer vouch for the current code) move to
@@ -427,6 +436,7 @@ _CHANGED_THIS_ROUND = [
     "token_budget_sample",
     "grouping_sets_revenue",
     "k_anonymity_audit",
+    "streaming_chained_windows",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -1977,4 +1987,27 @@ ORACLES["k_anonymity_audit"] = """
     FROM events
     GROUP BY 1, 2, 3
     HAVING count(DISTINCT user_id) < 5
+"""
+
+# chained two-tier windowed rollup: append-mode emission cutoff is the
+# final watermark (max ts, ms-truncated, 0s delay) — a window at either
+# tier is emitted iff its end <= watermark, which the oracle reproduces
+# from max(ts). The tier-1 cutoff is implied by the tier-2 one (every
+# 10-min window inside an emitted hour ends before that hour does).
+ORACLES["streaming_chained_windows"] = """
+    WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wm_us FROM events),
+    m AS (
+      SELECT (epoch_us(ts) // 600000000) * 600000000 AS mstart_us, event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT (mstart_us // 3600000000) * 3600000000 AS hstart_us, event_type,
+             sum(n)::BIGINT AS total, max(n)::BIGINT AS peak_10min,
+             count(*)::BIGINT AS n_windows
+      FROM m GROUP BY 1, 2
+    )
+    SELECT strftime(make_timestamp(hstart_us), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, total, peak_10min, n_windows
+    FROM h, wm WHERE hstart_us + 3600000000 <= wm_us
 """

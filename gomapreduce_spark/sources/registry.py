@@ -167,13 +167,14 @@ def read_text_dir(spark: SparkSession, path: str, glob: str | None = None) -> Da
     return reader.load(path).select(key.alias("key"), F.col("value").alias("value"))
 
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def write_as(df: DataFrame, path: str, fmt: str) -> None:
-    """Materialize a table in another format (json = JSONL, csv with
-    header). Binary/array columns don't survive csv — callers pick
-    columns; this is the sink half of the format-breadth surface."""
+    """Materialize a table in another format (orc = columnar with
+    footer stats like parquet, json = JSONL, csv with header).
+    Binary/array columns don't survive csv — callers pick columns;
+    this is the sink half of the format-breadth surface."""
     assert fmt in FORMATS, fmt
     w = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":

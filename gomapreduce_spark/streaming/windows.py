@@ -542,3 +542,50 @@ def streaming_running_totals(
             F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
         )
     )
+
+
+def streaming_chained_windows(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 3.4+
+    multiple-stateful-operator support): 10-minute windowed counts per
+    event_type, re-aggregated into hourly peak/total stats via
+    ``window_time`` — the classic two-tier rollup (fine-grained counts
+    feeding a coarser alerting tier) that previously required two
+    queries and an intermediate sink.
+
+    Append-mode semantics make this deterministic on a finite replay:
+    a window (at either tier) is emitted exactly when the final
+    watermark (max event ts, ms-truncated, 0s delay) passes its end —
+    so the trailing partial windows are withheld BY CONTRACT, and the
+    DuckDB oracle reproduces the cutoff exactly from max(ts).
+
+    Scale shape: two partial-agg shuffles, each keyed on
+    (window, event_type); tier-2's input is tier-1's output — bounded
+    by windows x types, not events. State at both tiers is
+    watermark-bounded."""
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", "0 seconds"
+    )
+    minute = (
+        stream.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    hourly = (
+        minute.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("hw"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("peak_10min"),
+            F.count("*").alias("n_windows"),
+        )
+    )
+    out = hourly.select(
+        F.date_format(F.col("hw.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.col("total").cast("long").alias("total"),
+        F.col("peak_10min").cast("long").alias("peak_10min"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+    return _run_to_memory(out, "append")

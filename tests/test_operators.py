@@ -465,13 +465,13 @@ def test_partitioned_sink_roundtrip(spark, tmp_path):
 
 
 def test_source_format_roundtrip(spark, sf_small, tmp_path):
-    """documents survives a JSONL and CSV round-trip bit-exactly when
-    read back with an explicit schema (no inference scan)."""
+    """documents survives an ORC, JSONL, and CSV round-trip bit-exactly
+    when read back with an explicit schema (no inference scan)."""
     from gomapreduce_spark.sources.registry import read_as, write_as
 
     docs = load_table(spark, sf_small, "documents")
     want = {tuple(r) for r in docs.collect()}
-    for fmt in ("json", "csv"):
+    for fmt in ("orc", "json", "csv"):
         path = str(tmp_path / f"docs_{fmt}")
         write_as(docs, path, fmt)
         back = read_as(spark, path, fmt, schema=docs.schema)

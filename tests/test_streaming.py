@@ -415,3 +415,58 @@ def test_streaming_gopher_filter_matches_batch(spark, sf_small):
     stream = streaming_gopher_filter(spark, f"{sf_small}/documents.parquet")
     got, want = _as_set(stream.select(*batch.columns)), _as_set(batch)
     assert got == want and len(got) > 0
+
+
+def test_streaming_chained_windows_matches_batch(spark, sf_small):
+    """The two-tier chained rollup equals the equivalent batch two-level
+    aggregation, restricted to hours the final watermark closed (hour
+    end <= ms-truncated max ts — the append-mode emission contract)."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_chained_windows
+
+    got = _as_set(streaming_chained_windows(spark, f"{sf_small}/events.parquet"))
+    ev = load_table(spark, sf_small, "events")
+    minute = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    hourly = (
+        minute.groupBy(F.window(F.col("w.start"), "1 hour").alias("hw"), "event_type")
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("peak_10min"),
+            F.count("*").alias("n_windows"),
+        )
+    )
+    wm_ms = ev.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) * 1000).alias("wm_us")
+    )
+    want = _as_set(
+        hourly.crossJoin(F.broadcast(wm_ms))
+        .where(F.unix_micros(F.col("hw.end")) <= F.col("wm_us"))
+        .select(
+            F.date_format(F.col("hw.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.col("total").cast("long"),
+            F.col("peak_10min").cast("long"),
+            F.col("n_windows").cast("long"),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_multibatch_chained_windows_match_single_batch(spark, sf_small, tmp_path):
+    """Chained stateful operators under incremental replay: both tiers'
+    state must survive watermark advances across micro-batches and
+    produce the single-batch result exactly."""
+    from gomapreduce_spark.streaming import streaming_chained_windows
+
+    ev = load_table(spark, sf_small, "events")
+    mb_dir = str(tmp_path / "mb_events_chain")
+    _write_time_ordered_files(spark, ev, mb_dir, n_files=6)
+
+    single = _as_set(streaming_chained_windows(spark, f"{sf_small}/events.parquet"))
+    multi = _as_set(streaming_chained_windows(spark, mb_dir, max_files_per_trigger=1))
+    assert len(single) > 0
+    assert multi == single
