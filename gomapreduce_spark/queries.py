@@ -9,7 +9,8 @@ identically; timestamps are emitted as formatted UTC strings.
 
 Queries without an oracle entry (approximate or non-SQL ops only) get
 the driver's weaker rows-only check by design:
-  - knn_lsh, knn_ivf (approximate; recall vs knn_bruteforce in tests)
+  - knn_lsh, knn_ivf, knn_pq (approximate; recall vs knn_bruteforce
+    in tests — PQ reranks its ADC shortlist with exact cosine)
   - approx_distinct_users (HLL sketch; error bound asserted in tests)
   - value_deciles_approx, heavy_hitters_approx (sketch twins; error
     bounds asserted in tests)
@@ -100,6 +101,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
+    "knn_pq": lambda s, d: similarity.knn_pq(load_table(s, d, "embeddings")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     # -- NEW this round --
     "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
@@ -437,6 +439,7 @@ _CHANGED_THIS_ROUND = [
     "grouping_sets_revenue",
     "k_anonymity_audit",
     "streaming_chained_windows",
+    "knn_pq",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1

@@ -22,6 +22,7 @@ def test_queries_oracles_aligned():
     assert rows_only == {
         "knn_lsh",
         "knn_ivf",
+        "knn_pq",
         "approx_distinct_users",
         "value_deciles_approx",
         "heavy_hitters_approx",

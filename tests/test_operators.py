@@ -1171,3 +1171,46 @@ def test_k_anonymity_audit_flags_small_classes(spark):
     r = got[0]
     assert r["event_type"] == "view" and r["day"] == "2024-01-02"
     assert r["value_band"] == 100 and r["n_users"] == 2 and r["n_rows"] == 2
+
+
+def test_knn_pq_recall_and_codes(spark, sf_med):
+    emb = load_table(spark, sf_med, "embeddings")
+    exact = similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    approx = similarity.knn_pq(emb, n_queries=10, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"PQ recall too low: {recall}"  # measured 0.92 at defaults
+    # reranked sims are EXACT cosines: every overlapping pair agrees
+    # with brute force to the shared 1e-6 rounding
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9
+    codes = similarity.pq_codes(emb).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r["codes"]) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_KSUB for c in r["codes"])
+        assert r["recon_mse"] >= 0.0
+
+
+def test_pq_exact_on_quantizable_corpus(spark):
+    """A corpus whose sub-vectors come from <= ksub distinct values is
+    representable exactly: reconstruction error must collapse to ~0 and
+    ADC equals the true inner product."""
+    import numpy as np
+
+    # constant-norm construction: one ±1 spike per 4-d subspace, so
+    # post-normalization every subspace sees at most 8 distinct
+    # sub-vectors (4 positions × 2 signs) — all encodable at ksub=16
+    rows = []
+    for i in range(64):
+        v = np.zeros(64)
+        for j in range(16):
+            v[j * 4 + (i + j) % 4] = (-1.0) ** ((i * 7 + j) % 2)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mse = similarity.pq_codes(emb).agg(F.max("recon_mse").alias("m")).collect()[0]["m"]
+    assert mse < 1e-9, mse
