@@ -1007,3 +1007,62 @@ def embedding_dedup_clusters(
     return labels.join(sizes, "cluster_id").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank_dedup_graph(
+    docs: DataFrame, threshold: float = 0.5, iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank over the near-duplicate graph — the canonical iterative
+    fixed-point computation, run where a data pipeline actually wants
+    it: centrality on the dedup candidate graph identifies template/
+    boilerplate HUBS (documents near-duplicating many others rank far
+    above members of isolated pairs), a better cluster-representative
+    prior than raw degree.
+
+    Deterministic and hash-oracled: a FIXED ``iters`` power iterations
+    (uniform init over graph nodes, damping 0.85, contributions
+    p/deg over undirected edges) — the oracle unrolls the same
+    iterations as chained SQL CTEs, with identical literals so every
+    float op matches.
+
+    Scale shape: edges+degrees are computed ONCE and localCheckpointed
+    (each iteration would otherwise re-run the whole LSH pipeline per
+    lineage branch); an iteration is one broadcast of the (tiny) rank
+    table? No — ranks are |nodes| rows: the join is a hash join keyed
+    on src and the aggregation is one partial-agg shuffle keyed on dst,
+    the same per-round cost envelope as connected_components. Iteration
+    count is fixed, lineage stays O(iters)."""
+    pairs = minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    n_df = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        F.col("src").alias("id"), (F.lit(1.0) / F.col("n_nodes")).alias("p")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(n_df)).select(
+            F.col("dst").alias("id"),
+            (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("c")).alias("p"),
+        )
+    return (
+        ranks.join(deg, ranks["id"] == deg["src"])
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("deg").cast("long").alias("deg"),
+            F.round("p", 6).alias("pagerank"),
+        )
+    )

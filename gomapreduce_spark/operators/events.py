@@ -588,3 +588,29 @@ def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
         )
         .where(F.col("n_users") < k)
     )
+
+
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction via Spark 4 VARIANT — the successor
+    path to :func:`json_props_stats`'s get_json_object: ``parse_json``
+    decodes the JSON text ONCE into a binary columnar variant, and each
+    ``variant_get`` is a cheap path lookup instead of a re-parse. With
+    many extractions per row at 100 TB, parse-once-extract-many is the
+    difference between one JSON tokenizer pass and k of them.
+
+    Same aggregation surface as json_props_stats plus null accounting
+    (try_variant_get returns NULL for missing paths instead of
+    failing), so the two paths are directly comparable — and the DuckDB
+    oracle is identical JSON semantics."""
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return events.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count("m").alias("n_missing_path"),  # 0: NULL for absent paths
+    )

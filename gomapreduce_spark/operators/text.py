@@ -855,3 +855,43 @@ def token_budget_sample(
         .where(F.col("cum_before") < bucket_budget)
         .select("doc_id", "lang", "bucket", "n_tokens", "cum_before")
     )
+
+
+class ChunkerUDTF:
+    """Python UDTF form of :func:`chunk_documents` — the reference's
+    ``Mapper`` contract (a per-row flatMap hook, reference
+    mapper.go:13-20) exposed through Spark's native user-defined
+    table-function API instead of the MapReduce facade. Same chunk
+    grid, same outputs; ``tests/test_operators.py`` asserts exact
+    parity with the Catalyst-native chunker and the DuckDB oracle is
+    shared verbatim.
+
+    UDTFs are the slow path (per-row Python) — the point here is API
+    fidelity, not speed; the Catalyst form remains the production
+    chunker. Module-level so executors can unpickle it."""
+
+    def eval(self, doc_id, text: str):
+        from .wordcount import py_tokenize
+
+        stride = CHUNK_SIZE - CHUNK_OVERLAP
+        toks = py_tokenize(text or "")
+        smax = max(len(toks) - (CHUNK_OVERLAP + 1), 0)
+        for s in range(0, smax + 1, stride):
+            chunk = toks[s : s + CHUNK_SIZE]
+            if chunk:
+                yield s // stride, len(chunk), " ".join(chunk)
+
+
+def chunk_documents_udtf(docs: DataFrame) -> DataFrame:
+    """Run :class:`ChunkerUDTF` over documents via a SQL LATERAL join —
+    output schema identical to :func:`chunk_documents`."""
+    from pyspark.sql.functions import udtf
+
+    spark = docs.sparkSession
+    chunker = udtf(ChunkerUDTF, returnType="chunk_id long, n_tokens long, chunk_text string")
+    spark.udtf.register("doc_chunker_udtf", chunker)
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_for_chunk_udtf")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
+        "FROM docs_for_chunk_udtf, LATERAL doc_chunker_udtf(doc_id, text) c"
+    )

@@ -193,6 +193,12 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "lineitem")
     ),
     "k_anonymity_audit": lambda s, d: events.k_anonymity_audit(load_table(s, d, "events")),
+    # -- round-5d: iterative PageRank, Spark-4 VARIANT, Python UDTF --
+    "pagerank_dedup_graph": lambda s, d: dedup.pagerank_dedup_graph(
+        load_table(s, d, "documents")
+    ),
+    "variant_props_stats": lambda s, d: events.variant_props_stats(load_table(s, d, "events")),
+    "chunk_documents_udtf": lambda s, d: text.chunk_documents_udtf(load_table(s, d, "documents")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -440,6 +446,9 @@ _CHANGED_THIS_ROUND = [
     "k_anonymity_audit",
     "streaming_chained_windows",
     "knn_pq",
+    "pagerank_dedup_graph",
+    "variant_props_stats",
+    "chunk_documents_udtf",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2014,3 +2023,44 @@ ORACLES["streaming_chained_windows"] = """
            event_type, total, peak_10min, n_windows
     FROM h, wm WHERE hstart_us + 3600000000 <= wm_us
 """
+
+# PageRank over the LSH near-dup graph: fixed 3 power iterations
+# unrolled as chained CTEs with the SAME literals (0.15/0.85/1.0) so
+# every float op matches the Spark plan bit-for-bit before the final
+# round(6)
+ORACLES["pagerank_dedup_graph"] = f"""
+    WITH pairs AS ({ORACLE_MINHASH_LSH}),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    p0 AS (SELECT src AS id, 1.0 / (SELECT n FROM nn) AS p FROM deg),
+    p1 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.p / d.deg) AS p
+           FROM e JOIN p0 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    p2 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.p / d.deg) AS p
+           FROM e JOIN p1 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    p3 AS (SELECT e.dst AS id, 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.p / d.deg) AS p
+           FROM e JOIN p2 p ON p.id = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst)
+    SELECT d.src AS doc_id, d.deg, round(p3.p, 6) AS pagerank
+    FROM p3 JOIN deg d ON d.src = p3.id
+"""
+
+# VARIANT path extraction matches the JSON-text semantics exactly
+ORACLES["variant_props_stats"] = """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(avg(k), 6) AS avg_k,
+           min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+           count(m)::BIGINT AS n_missing_path
+    FROM (SELECT event_type,
+                 json_extract(props, '$.k')::INT AS k,
+                 json_extract_string(props, '$.missing') AS m
+          FROM events)
+    GROUP BY event_type
+"""
+
+# the UDTF chunker reproduces chunk_documents exactly — one oracle,
+# two execution paths (Catalyst-native vs Python UDTF)
+ORACLES["chunk_documents_udtf"] = ORACLES["chunk_documents"]

@@ -1214,3 +1214,46 @@ def test_pq_exact_on_quantizable_corpus(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     mse = similarity.pq_codes(emb).agg(F.max("recon_mse").alias("m")).collect()[0]["m"]
     assert mse < 1e-9, mse
+
+
+def test_pagerank_dedup_graph_invariants(spark, sf_med):
+    docs = load_table(spark, sf_med, "documents")
+    pr = dedup.pagerank_dedup_graph(docs).collect()
+    nodes = {r["doc_id"] for r in pr}
+    # one row per graph node, every rank positive, total mass 1
+    # (uniform init sums to 1 and each damped iteration preserves it:
+    # 0.15 + 0.85 * total-contributions)
+    pairs = dedup.minhash_lsh_pairs(docs).where(F.col("est_jaccard") >= 0.5).collect()
+    want_nodes = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert nodes == want_nodes and len(pr) == len(nodes)
+    assert all(r["pagerank"] > 0 for r in pr)
+    assert abs(sum(r["pagerank"] for r in pr) - 1.0) < 1e-3
+    # a hub (max degree) outranks the median document
+    ranked = sorted(pr, key=lambda r: r["pagerank"])
+    hub = max(pr, key=lambda r: r["deg"])
+    assert hub["pagerank"] >= ranked[len(ranked) // 2]["pagerank"]
+
+
+def test_variant_props_stats_null_paths(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 10}'),
+            (2, "click", '{"k": 30}'),
+            (3, "click", '{"other": 1}'),  # k absent → NULL, excluded from avg/min/max
+            (4, "view", '{"k": 7}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    rows = {r["event_type"]: r for r in events.variant_props_stats(ev).collect()}
+    click = rows["click"]
+    assert click["n"] == 3 and click["avg_k"] == 20.0
+    assert click["min_k"] == 10 and click["max_k"] == 30
+    assert click["n_missing_path"] == 0
+    assert rows["view"]["avg_k"] == 7.0
+
+
+def test_chunk_documents_udtf_matches_catalyst(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    a = {tuple(r) for r in text.chunk_documents(docs).collect()}
+    b = {tuple(r) for r in text.chunk_documents_udtf(docs).collect()}
+    assert a == b and len(a) > 0
