@@ -614,3 +614,37 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count("m").alias("n_missing_path"),  # 0: NULL for absent paths
     )
+
+
+def full_outer_user_activity(events: DataFrame) -> DataFrame:
+    """FULL OUTER join — the one join type the relational set didn't
+    yet exercise (inner/left-outer/semi/anti/range/as-of/interval are
+    covered elsewhere): per-user click counts joined FULL OUTER to
+    per-user purchase counts, so click-only users, purchase-only users,
+    and both-sided users all survive with zero-filled gaps — the
+    engagement-vs-conversion matrix.
+
+    Both sides partial-aggregate to |users| rows before the join, so
+    the full-outer shuffle is keyed on an already-reduced table — at
+    100 TB the join input is user-cardinality, not event-cardinality,
+    and AQE plans it as a sort-merge on user_id (both sides large and
+    same-keyed; no broadcast candidate, which is correct here)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), F.round(F.sum("value"), 2).alias("spend"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        )
+    )

@@ -199,6 +199,9 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "variant_props_stats": lambda s, d: events.variant_props_stats(load_table(s, d, "events")),
     "chunk_documents_udtf": lambda s, d: text.chunk_documents_udtf(load_table(s, d, "documents")),
+    "full_outer_user_activity": lambda s, d: events.full_outer_user_activity(
+        load_table(s, d, "events")
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -449,6 +452,7 @@ _CHANGED_THIS_ROUND = [
     "pagerank_dedup_graph",
     "variant_props_stats",
     "chunk_documents_udtf",
+    "full_outer_user_activity",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2064,3 +2068,16 @@ ORACLES["variant_props_stats"] = """
 # the UDTF chunker reproduces chunk_documents exactly — one oracle,
 # two execution paths (Catalyst-native vs Python UDTF)
 ORACLES["chunk_documents_udtf"] = ORACLES["chunk_documents"]
+
+ORACLES["full_outer_user_activity"] = """
+    WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+    p AS (SELECT user_id, count(*)::BIGINT AS n_purchases,
+                 round(sum(value), 2) AS spend FROM events
+          WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+           coalesce(n_purchases, 0)::BIGINT AS n_purchases,
+           coalesce(spend, 0.0) AS spend
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""

@@ -1257,3 +1257,20 @@ def test_chunk_documents_udtf_matches_catalyst(spark, sf_small):
     a = {tuple(r) for r in text.chunk_documents(docs).collect()}
     b = {tuple(r) for r in text.chunk_documents_udtf(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_full_outer_keeps_one_sided_users(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "click", 1.0),
+            (2, "u1", "purchase", 9.5),
+            (3, "u2", "click", 1.0),      # click-only
+            (4, "u3", "purchase", 4.25),  # purchase-only
+        ],
+        "event_id long, user_id string, event_type string, value double",
+    )
+    rows = {r["user_id"]: r for r in events.full_outer_user_activity(ev).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"]["n_purchases"] == 0 and rows["u2"]["spend"] == 0.0
+    assert rows["u3"]["n_clicks"] == 0 and rows["u3"]["spend"] == 4.25
+    assert rows["u1"]["n_clicks"] == 1 and rows["u1"]["n_purchases"] == 1

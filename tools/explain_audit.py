@@ -438,6 +438,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join", "Union"],
         "max_single_partition": 0,
     },
+    # full outer: both sides must pre-aggregate to user cardinality
+    # BEFORE the join (partial+final agg), and the join itself is the
+    # shuffled full-outer — never a nested-loop fallback
+    "full_outer_user_activity": {
+        "require": ["FullOuter"],
+        "partial_agg": True,
+        "pushed_filters": ["event_type"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # k-anonymity: two-phase distinct aggregate (map-side user dedup
     # before the shuffle), no join anywhere
     "k_anonymity_audit": {
