@@ -648,3 +648,61 @@ def full_outer_user_activity(events: DataFrame) -> DataFrame:
             F.coalesce("spend", F.lit(0.0)).alias("spend"),
         )
     )
+
+
+def map_funcs_showcase(events: DataFrame) -> DataFrame:
+    """The MAP-type function surface (the last scalar family from
+    SURVEY §2.2 not yet shown: string/date/math/array/json live in
+    their own showcases): build a per-user event_type→count map with
+    ``map_from_entries`` over a SORTED entry list (collect_list order
+    is execution-dependent — sorting first is what makes a map
+    deterministic enough to verify), then drive map_keys / map_values /
+    transform_values / map_filter / element_at / map_concat through it.
+    Output flattens to strings so any engine can compare.
+
+    One partial-agg shuffle to (user, type) counts, a second to the
+    per-user entry list — both map-side combined; the map ops
+    themselves are narrow."""
+    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    entries = per_type.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_type", "n"))).alias("es")
+    )
+    m = F.map_from_entries("es")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v >= 3)
+    withx = F.map_concat(m, F.create_map(F.lit("_total"), F.aggregate("es", F.lit(0).cast("long"), lambda a, e: a + e["n"])))
+    return entries.select(
+        "user_id",
+        F.array_join(F.map_keys(m), ",").alias("types"),
+        F.array_join(F.transform(F.map_values(m), lambda v: v.cast("string")), ",").alias("counts"),
+        F.element_at(m, "click").cast("long").alias("clicks"),
+        F.array_join(F.transform(F.map_values(doubled), lambda v: v.cast("string")), ",").alias("doubled"),
+        F.size(big).cast("long").alias("n_big_types"),
+        F.element_at(withx, "_total").cast("long").alias("total"),
+    )
+
+
+def math_funcs_showcase(events: DataFrame, sample_every: int = 500) -> DataFrame:
+    """The scalar math-function surface in one narrow pass: abs/sign,
+    ceil/floor/rounding, exp/ln/log10, sqrt/pow/cbrt, mod, radians,
+    least/greatest — sampled so the oracle result stays small. Trig is
+    excluded deliberately: JVM and DuckDB libm implementations differ
+    at the ulp level, which a value-hash comparison would surface as
+    noise, not signal."""
+    v = F.col("value")
+    return events.where(F.col("event_id") % sample_every == 0).select(
+        "event_id",
+        F.round(F.abs(v - 100), 6).alias("abs_centered"),
+        (F.signum(v - 100)).cast("long").alias("sign_centered"),
+        F.ceil(v).cast("long").alias("ceil_v"),
+        F.floor(v).cast("long").alias("floor_v"),
+        F.round(F.exp(v / 1000), 6).alias("exp_scaled"),
+        F.round(F.log(v + 1), 6).alias("ln_v1"),
+        F.round(F.log10(v + 1), 6).alias("log10_v1"),
+        F.round(F.sqrt(v), 6).alias("sqrt_v"),
+        F.round(F.pow(v, 1.5), 4).alias("pow_15"),
+        F.round(F.cbrt(v), 6).alias("cbrt_v"),
+        F.round(v % 7, 2).alias("mod7"),
+        F.round(F.least(v, F.lit(50.0)), 2).alias("least50"),
+        F.round(F.greatest(v, F.lit(50.0)), 2).alias("greatest50"),
+    )

@@ -202,6 +202,8 @@ QUERIES: dict[str, QueryFn] = {
     "full_outer_user_activity": lambda s, d: events.full_outer_user_activity(
         load_table(s, d, "events")
     ),
+    "map_funcs_showcase": lambda s, d: events.map_funcs_showcase(load_table(s, d, "events")),
+    "math_funcs_showcase": lambda s, d: events.math_funcs_showcase(load_table(s, d, "events")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -453,6 +455,8 @@ _CHANGED_THIS_ROUND = [
     "variant_props_stats",
     "chunk_documents_udtf",
     "full_outer_user_activity",
+    "map_funcs_showcase",
+    "math_funcs_showcase",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2080,4 +2084,35 @@ ORACLES["full_outer_user_activity"] = """
            coalesce(n_purchases, 0)::BIGINT AS n_purchases,
            coalesce(spend, 0.0) AS spend
     FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+ORACLES["map_funcs_showcase"] = """
+    WITH per AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                 FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           string_agg(n::VARCHAR, ',' ORDER BY event_type) AS counts,
+           max(CASE WHEN event_type = 'click' THEN n END)::BIGINT AS clicks,
+           string_agg((n * 2)::VARCHAR, ',' ORDER BY event_type) AS doubled,
+           (count(*) FILTER (WHERE n >= 3))::BIGINT AS n_big_types,
+           sum(n)::BIGINT AS total
+    FROM per GROUP BY user_id
+"""
+
+ORACLES["math_funcs_showcase"] = """
+    SELECT event_id,
+           round(abs(value - 100), 6) AS abs_centered,
+           sign(value - 100)::BIGINT AS sign_centered,
+           ceil(value)::BIGINT AS ceil_v,
+           floor(value)::BIGINT AS floor_v,
+           round(exp(value / 1000), 6) AS exp_scaled,
+           round(ln(value + 1), 6) AS ln_v1,
+           round(log10(value + 1), 6) AS log10_v1,
+           round(sqrt(value), 6) AS sqrt_v,
+           round(pow(value, 1.5), 4) AS pow_15,
+           round(cbrt(value), 6) AS cbrt_v,
+           round(value % 7, 2) AS mod7,
+           round(least(value, 50.0), 2) AS least50,
+           round(greatest(value, 50.0), 2) AS greatest50
+    FROM events WHERE event_id % 500 = 0
 """
