@@ -1274,3 +1274,18 @@ def test_full_outer_keeps_one_sided_users(spark):
     assert rows["u2"]["n_purchases"] == 0 and rows["u2"]["spend"] == 0.0
     assert rows["u3"]["n_clicks"] == 0 and rows["u3"]["spend"] == 4.25
     assert rows["u1"]["n_clicks"] == 1 and rows["u1"]["n_purchases"] == 1
+
+
+def test_observe_counts_rides_the_single_action(spark, sf_small):
+    """Observation metrics come from the SAME job as the result — no
+    second scan (the statsManager-style counters, dataflow edition)."""
+    from gomapreduce_spark.functions.metrics import observe_counts
+
+    docs = load_table(spark, sf_small, "documents")
+    kept = docs.where(F.col("n_chars") > 200)
+    obs, observed = observe_counts(kept, "hygiene", value_col="n_chars")
+    n = observed.count()  # one action
+    got = obs.get
+    assert got["hygiene.rows"] == n > 0
+    assert got["hygiene.min"] > 200
+    assert got["hygiene.sum"] >= got["hygiene.max"] >= got["hygiene.min"]
