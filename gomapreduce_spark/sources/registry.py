@@ -225,3 +225,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def write_partitioned_corpus(df: DataFrame, path: str, *part_cols: str) -> None:
+    """Hive-partitioned parquet layout (``lang=en/source=src3/…``) —
+    the 100 TB scan-reduction primitive: a query filtering on the
+    partition columns prunes whole directories at PLANNING time
+    (PartitionFilters in the scan node), so "score the French slice"
+    reads |French| bytes, not |corpus| bytes. Complements
+    write_training_shards (range layout for sequential readers) and
+    bucketed tables (co-located joins).
+
+    The write itself shuffles on the partition columns first: without
+    the repartition every input task would open one file per partition
+    value it happens to hold (tasks × partitions small files — the
+    classic layout mistake); with it, each partition value is written
+    by the task that owns it."""
+    cols = list(part_cols) or ["lang"]
+    df.repartition(*[F.col(c) for c in cols]).write.mode("overwrite").partitionBy(
+        *cols
+    ).parquet(path)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from gomapreduce_spark.sources.registry import load_table, write_training_shards
 
 
@@ -34,3 +36,35 @@ def test_training_shards_layout(spark, sf_small, tmp_path):
     assert total == docs.count()
     back = spark.read.parquet(out)
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_partitioned_corpus_layout_and_pruning(spark, sf_small, tmp_path):
+    """Hive layout on disk; a partition-column filter must prune at
+    planning time (PartitionFilters, file count bounded by the matching
+    directory) rather than scan-and-discard."""
+    import glob
+    import os
+
+    from gomapreduce_spark.sources.registry import load_table, write_partitioned_corpus
+    from tools.explain_audit import plan_str
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "part_corpus")
+    write_partitioned_corpus(docs, out, "lang", "source")
+    langs = {os.path.basename(p) for p in glob.glob(f"{out}/lang=*")}
+    assert langs == {f"lang={r['lang']}" for r in docs.select("lang").distinct().collect()}
+    assert glob.glob(f"{out}/lang=en/source=*")
+
+    back = spark.read.parquet(out)
+    filtered = back.where((F.col("lang") == "en") & (F.col("source") == "src3"))
+    plan = plan_str(filtered)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    # round-trip integrity on the pruned slice
+    want = docs.where((F.col("lang") == "en") & (F.col("source") == "src3"))
+    assert {tuple(sorted(r.asDict().items())) for r in filtered.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in want.collect()
+    }
+    # one file per (lang, source) leaf — the repartition-by-partition-cols
+    # write contract (no tasks×partitions small-file explosion)
+    for leaf in glob.glob(f"{out}/lang=*/source=*"):
+        assert len(glob.glob(f"{leaf}/part-*.parquet")) == 1, leaf
