@@ -88,8 +88,8 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_med, tmp_path):
     # production OPTIMIZE ZORDER applies via range-partition ids
     ev = raw.select(
         "event_id",
-        (F.ntile(256).over(W.orderBy("user_id")) - 1).cast("long").alias("user_id"),
-        (F.ntile(256).over(W.orderBy("value")) - 1).cast("long").alias("vband"),
+        (F.ntile(256).over(W.orderBy("user_id", "event_id")) - 1).cast("long").alias("user_id"),
+        (F.ntile(256).over(W.orderBy("value", "event_id")) - 1).cast("long").alias("vband"),
     )
     zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
     write_zordered(ev, zdir, "user_id", "vband", n_files=8, bits=8)
