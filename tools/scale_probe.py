@@ -58,6 +58,14 @@ PROBE_QUERIES = [
     "boilerplate_spans",
     "image_dhash_index",
     "audio_spectral",
+    # round-5c/d additions
+    "duplicate_spans",
+    "dsir_weights",
+    "token_budget_sample",
+    "pagerank_dedup_graph",
+    "knn_pq",
+    "chunk_documents_udtf",
+    "full_outer_user_activity",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
