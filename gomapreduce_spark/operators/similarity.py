@@ -502,3 +502,52 @@ def knn_pq(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def hard_negative_mining(emb: DataFrame, n_anchors: int = 10) -> DataFrame:
+    """Contrastive-pair mining over the labeled embedding table — the
+    data-prep step for embedding-model training: for each anchor, the
+    hardest POSITIVE (most-similar same-label vector; if even it is far,
+    the label region is diffuse) and the hardest NEGATIVE (most-similar
+    DIFFERENT-label vector — the pair that actually teaches the
+    margin), plus the margin between them.
+
+    Anchor side broadcasts (bounded); candidates never shuffle until
+    reduced to two argmax rows per anchor via conditional max-of-struct
+    aggregation (sim desc, id asc tie-break — deterministic in any
+    engine). At 100 TB the exact scorer swaps for the knn_pq/knn_ivf
+    shortlist with identical downstream aggregation."""
+    base = emb.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    a = base.where(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = base.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "sim"
+        ),
+    )
+    # argmax as max-of-struct: (sim, -vec_id) orders by sim desc then
+    # vec_id asc — the same total order the SQL row_number uses
+    best = F.struct(F.col("sim"), (-F.col("vec_id")).alias("neg_id"))
+    pos = F.max(F.when(F.col("label") == F.col("anchor_label"), best)).alias("pos")
+    neg = F.max(F.when(F.col("label") != F.col("anchor_label"), best)).alias("neg")
+    return (
+        scored.groupBy("anchor_id", "anchor_label")
+        .agg(pos, neg)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            (-F.col("pos.neg_id")).cast("long").alias("pos_id"),
+            F.col("pos.sim").alias("pos_sim"),
+            (-F.col("neg.neg_id")).cast("long").alias("neg_id"),
+            F.col("neg.sim").alias("neg_sim"),
+            F.round(F.col("pos.sim") - F.col("neg.sim"), 6).alias("margin"),
+        )
+    )

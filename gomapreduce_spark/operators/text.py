@@ -895,3 +895,53 @@ def chunk_documents_udtf(docs: DataFrame) -> DataFrame:
         "SELECT doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
         "FROM docs_for_chunk_udtf, LATERAL doc_chunker_udtf(doc_id, text) c"
     )
+
+
+# fixed logistic-regression weights for the classifier inference demo —
+# in production these come from a trained fastText/linear model; the
+# INFERENCE dataflow (featurize → dot → sigmoid → threshold) is what
+# this operator pins, and it is identical whatever the weights say
+QC_WEIGHTS = {
+    "bias": -2.0,
+    "len_score": 1.8,
+    "stop_ratio": 3.0,
+    "ttr": 1.2,
+    "alpha_ratio": 1.5,
+}
+
+
+def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Model-based quality filtering, inference side: engineered
+    features (length, stopword ratio, type-token ratio, alpha ratio —
+    the same family :func:`quality_score` exposes raw) through a fixed
+    linear model + sigmoid, thresholded into a keep flag. This is the
+    classifier stage every production corpus pipeline runs after the
+    hard rule filters (:func:`gopher_rules`): rules kill the obvious
+    garbage, the model ranks the grey zone.
+
+    Entirely closed-form scalar math → one narrow scan at any size, and
+    the DuckDB oracle evaluates the identical formula (sigmoid rounded
+    to 4 decimals — far above cross-libm exp() ulp wiggle)."""
+    toks = tokenize("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    alpha_ratio = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+    w = QC_WEIGHTS
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["len_score"]) * len_score
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["ttr"]) * ttr
+        + F.lit(w["alpha_ratio"]) * alpha_ratio
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        F.round(logit, 4).alias("logit"),
+        F.round(prob, 4).alias("p_keep"),
+        (prob >= threshold).cast("boolean").alias("keep"),
+    )

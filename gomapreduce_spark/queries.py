@@ -204,6 +204,10 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "map_funcs_showcase": lambda s, d: events.map_funcs_showcase(load_table(s, d, "events")),
     "math_funcs_showcase": lambda s, d: events.math_funcs_showcase(load_table(s, d, "events")),
+    "quality_classifier": lambda s, d: text.quality_classifier(load_table(s, d, "documents")),
+    "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
+        load_table(s, d, "embeddings")
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -457,6 +461,8 @@ _CHANGED_THIS_ROUND = [
     "full_outer_user_activity",
     "map_funcs_showcase",
     "math_funcs_showcase",
+    "quality_classifier",
+    "hard_negative_mining",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2115,4 +2121,66 @@ ORACLES["math_funcs_showcase"] = """
            round(least(value, 50.0), 2) AS least50,
            round(greatest(value, 50.0), 2) AS greatest50
     FROM events WHERE event_id % 500 = 0
+"""
+
+# logistic classifier inference: identical closed-form features and
+# weights as text.QC_WEIGHTS; sigmoid rounded to 4 decimals (cross-libm
+# exp() agrees far beyond that)
+ORACLES["quality_classifier"] = rf"""
+    WITH c AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             least(len(t)::DOUBLE / 100.0, 1.0) AS len_score,
+             len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
+               / greatest(len(t), 1) AS stop_ratio,
+             len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS ttr,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM c
+    ),
+    lg AS (
+      SELECT doc_id,
+             -2.0 + 1.8 * len_score + 3.0 * stop_ratio + 1.2 * ttr + 1.5 * alpha_ratio AS logit
+      FROM m
+    )
+    SELECT doc_id, round(logit, 4) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
+           (1.0 / (1.0 + exp(-logit)) >= 0.5) AS keep
+    FROM lg
+"""
+
+# hardest positive / hardest negative per anchor: row_number over
+# (sim desc, vec_id asc) within the label/non-label slices — the same
+# total order the Spark max-of-struct aggregation encodes
+ORACLES["hard_negative_mining"] = """
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe, nrm AS qn
+          FROM base WHERE vec_id < 10),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, b.vec_id, b.label,
+             round(list_aggregate(list_transform(range(1, len(qe) + 1),
+                     i -> qe[i] * b.embedding[i]), 'sum') / (qn * b.nrm), 6) AS sim
+      FROM a JOIN base b ON b.vec_id <> a.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, vec_id, sim,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM scored WHERE label = anchor_label
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id, sim,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM scored WHERE label <> anchor_label
+    )
+    SELECT a.anchor_id, a.anchor_label,
+           p.vec_id AS pos_id, p.sim AS pos_sim,
+           n.vec_id AS neg_id, n.sim AS neg_sim,
+           round(p.sim - n.sim, 6) AS margin
+    FROM a
+    JOIN pos p ON p.anchor_id = a.anchor_id AND p.rk = 1
+    JOIN neg n ON n.anchor_id = a.anchor_id AND n.rk = 1
 """

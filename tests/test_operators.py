@@ -1289,3 +1289,43 @@ def test_observe_counts_rides_the_single_action(spark, sf_small):
     assert got["hygiene.rows"] == n > 0
     assert got["hygiene.min"] > 200
     assert got["hygiene.sum"] >= got["hygiene.max"] >= got["hygiene.min"]
+
+
+def test_quality_classifier_orders_quality(spark):
+    good = "the cat sat on the mat and looked out of the window " * 3
+    garbage = "#### $$$$ 1234 @@@@ !!!! %%%% ^^^^ &&&& **** ((((("
+    docs = spark.createDataFrame(
+        [(1, good), (2, garbage)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.quality_classifier(docs).collect()}
+    assert rows[1]["p_keep"] > rows[2]["p_keep"]
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    for r in rows.values():
+        assert r["keep"] == (r["p_keep"] >= 0.5)
+
+
+def test_hard_negative_mining_planted(spark):
+    import numpy as np
+
+    def vec(seed, eps=0.0):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(8)
+        if eps:
+            v = v + eps * np.random.RandomState(99).randn(8)
+        return [float(x) for x in v]
+
+    base = vec(1)
+    rows = [
+        (0, "A", base),             # anchor
+        (1, "A", vec(1, 0.05)),     # near-identical, same label → positive
+        (2, "B", vec(1, 0.10)),     # near-identical, other label → hard negative
+        (3, "A", vec(7)),           # far same-label
+        (4, "B", vec(8)),           # far other-label
+        (10, "C", vec(9)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    got = {r["anchor_id"]: r for r in similarity.hard_negative_mining(emb, n_anchors=1).collect()}
+    r = got[0]
+    assert r["pos_id"] == 1 and r["neg_id"] == 2
+    assert r["pos_sim"] > 0.9 and r["neg_sim"] > 0.9
+    assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 6)) < 1e-9

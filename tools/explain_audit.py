@@ -447,6 +447,12 @@ AUDITS: dict[str, dict] = {
         "pushed_filters": ["event_type"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # classifier inference is a pure narrow scan — any join or extra
+    # shuffle means the featurization lost its single-pass shape
+    "quality_classifier": {
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Join", "Window"],
+    },
     # k-anonymity: two-phase distinct aggregate (map-side user dedup
     # before the shuffle), no join anywhere
     "k_anonymity_audit": {
