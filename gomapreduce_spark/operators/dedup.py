@@ -868,20 +868,33 @@ def incremental_dedup(
 
 
 def _score_new_vs_index(
-    new_ids: DataFrame, new_b: DataFrame, idx_b: DataFrame, k: int, threshold: float
+    new_ids: DataFrame,
+    new_b: DataFrame,
+    idx_b: DataFrame,
+    k: int,
+    threshold: float,
+    require_lower_index_id: bool = False,
 ) -> DataFrame:
     """Shared scoring join for the incremental dedup family: band
     equi-join new × index, signature-agreement estimate, per-new-doc
-    rollup, left-joined back onto the full new-batch manifest."""
+    rollup, left-joined back onto the full new-batch manifest.
+
+    ``require_lower_index_id`` additionally constrains matches to index
+    docs with a LOWER doc_id — the keep-first rule that makes streaming
+    ingest verdicts independent of how the stream is split into
+    batches (a doc's duplicate status depends only on what precedes it
+    in doc_id order, wherever the batch boundary falls)."""
     new_b, idx_b = new_b.alias("n"), idx_b.alias("i")
     matches = F.size(
         F.filter(F.zip_with("n.sig", "i.sig", lambda x, y: x == y), lambda eq: eq)
     )
+    cond = (F.col("n.band") == F.col("i.band")) & (
+        F.col("n.band_hash") == F.col("i.band_hash")
+    )
+    if require_lower_index_id:
+        cond = cond & (F.col("i.doc_id") < F.col("n.doc_id"))
     scored = (
-        new_b.join(
-            idx_b,
-            (F.col("n.band") == F.col("i.band")) & (F.col("n.band_hash") == F.col("i.band_hash")),
-        )
+        new_b.join(idx_b, cond)
         .select(
             F.col("n.doc_id").alias("new_id"),
             F.col("i.doc_id").alias("index_id"),

@@ -470,3 +470,82 @@ def test_multibatch_chained_windows_match_single_batch(spark, sf_small, tmp_path
     multi = _as_set(streaming_chained_windows(spark, mb_dir, max_files_per_trigger=1))
     assert len(single) > 0
     assert multi == single
+
+
+def test_streaming_incremental_dedup_split_invariant(spark, sf_small, tmp_path):
+    """The ingest-dedup verdicts are identical whether the corpus
+    arrives as one batch or one file per batch — the keep-first-by-id
+    rule decouples the result from the batch boundaries — and they
+    agree with the batch keep-first scorer on the same corpus."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        _score_new_vs_index,
+        banded_signatures,
+        minhash_wide,
+    )
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs")
+    _write_time_ordered_files(
+        spark,
+        docs.withColumn(
+            "_chunk", F.ntile(5).over(W.orderBy("doc_id"))
+        ),
+        mb_dir,
+        n_files=5,
+        chunk_col="_chunk",
+    )
+    single = _as_set(
+        streaming_incremental_dedup(spark, mb_dir, str(tmp_path / "w1"))
+    )
+    multi = _as_set(
+        streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w2"), max_files_per_trigger=1
+        )
+    )
+    assert len(single) == docs.count()
+    assert multi == single
+    # batch-engine parity: the same keep-first rule in one shot
+    b = banded_signatures(minhash_wide(docs, MINHASH_K), MINHASH_K, MINHASH_BANDS)
+    want = _as_set(
+        _score_new_vs_index(
+            docs.select("doc_id"), b, b, MINHASH_K, 0.5, require_lower_index_id=True
+        )
+    )
+    assert single == want
+
+
+def test_streaming_incremental_dedup_flags_planted_dup(spark, tmp_path):
+    """A verbatim copy arriving later in the stream is dropped; the
+    original is kept."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content with nothing shared at all in any way " * 3
+    docs = spark.createDataFrame(
+        [(1, body), (2, other), (10, body)], "doc_id long, text string"
+    )
+    mb_dir = str(tmp_path / "mb")
+    _write_time_ordered_files(
+        spark,
+        docs.withColumn("_chunk", F.ntile(3).over(W.orderBy("doc_id"))),
+        mb_dir,
+        n_files=3,
+        chunk_col="_chunk",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w"), max_files_per_trigger=1
+        ).collect()
+    }
+    assert not got[1]["is_dup"] and not got[2]["is_dup"]
+    assert got[10]["is_dup"] and got[10]["best_jaccard"] == 1.0
