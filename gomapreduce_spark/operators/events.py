@@ -706,3 +706,26 @@ def math_funcs_showcase(events: DataFrame, sample_every: int = 500) -> DataFrame
         F.round(F.least(v, F.lit(50.0)), 2).alias("least50"),
         F.round(F.greatest(v, F.lit(50.0)), 2).alias("greatest50"),
     )
+
+
+def regression_stats(events: DataFrame) -> DataFrame:
+    """The linear-regression aggregate family (regr_slope/intercept/
+    r2/count + corr/covar) per event type — OLS of event value against
+    the numeric ``k`` pulled from props. Completes the statistical
+    aggregate surface next to percentile_stats (order statistics) and
+    value_prop_correlation (corr/covar alone).
+
+    All six are single-pass mergeable aggregates (sum/sum²/sum-of-
+    products moments), so partial aggregation works and the shuffle
+    carries one moment tuple per (partition, type) — the same cost
+    envelope as a sum at any scale."""
+    k = F.get_json_object("props", "$.k").cast("double")
+    base = events.select("event_type", F.col("value").alias("y"), k.alias("x"))
+    return base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.round(F.corr("y", "x"), 6).alias("pearson_r"),
+        F.round(F.covar_samp("y", "x"), 6).alias("covar"),
+    )

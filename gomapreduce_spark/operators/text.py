@@ -945,3 +945,51 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.round(prob, 4).alias("p_keep"),
         (prob >= threshold).cast("boolean").alias("keep"),
     )
+
+
+def corpus_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) governance rollup — the dashboard view a data
+    team actually reads before a training run, composing the hygiene
+    signals in one pass: volume (docs, tokens), exact-duplicate rate
+    (distinct text hashes vs rows), classifier keep-rate
+    (:func:`quality_classifier` semantics inline), and mean doc length.
+
+    Everything is a mergeable aggregate over ONE scan of the corpus
+    (the dup rate uses count(distinct hash) — Spark's two-phase
+    distinct aggregate — rather than a join against exact_dedup), so
+    the report costs a single partial-agg shuffle keyed by the
+    (lang, source) slice at any corpus size."""
+    toks = tokenize("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    alpha_ratio = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+    w = QC_WEIGHTS
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["len_score"]) * len_score
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["ttr"]) * ttr
+        + F.lit(w["alpha_ratio"]) * alpha_ratio
+    )
+    keep = (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))) >= 0.5
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        h64(F.col("text")).alias("content_hash"),
+        keep.cast("int").alias("keep"),
+    )
+    return base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.countDistinct("content_hash").alias("n_distinct"),
+        F.round(
+            (F.count("*") - F.countDistinct("content_hash")) / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("keep"), 6).alias("keep_rate"),
+    )

@@ -208,6 +208,10 @@ QUERIES: dict[str, QueryFn] = {
     "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
         load_table(s, d, "embeddings")
     ),
+    "regression_stats": lambda s, d: events.regression_stats(load_table(s, d, "events")),
+    "corpus_quality_report": lambda s, d: text.corpus_quality_report(
+        load_table(s, d, "documents")
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -418,11 +422,11 @@ QUERIES["streaming_chained_windows"] = _streaming_chained_windows
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so entries whose BEHAVIOR changed this round
 # (their previous rows no longer vouch for the current code) move to
-# the front, right after the reference-core four. Round 5: the twelve
-# NEW entries — the final eight TPC-H shapes (q2/q7/q8/q9/q11/q12/q15/
-# q20 — all 22 patterns now covered), the three shapes landed just
-# after the r04 snapshot (q13/q21/q22), paragraph_dedup, and the new
-# stream-stream LEFT OUTER join. Round 4's promotions (streaming set,
+# the front, right after the reference-core four. Round 5 promotes
+# every entry NEW this round (36 of them — the final TPC-H shapes
+# completing all 22 patterns, the corpus-hygiene/quality/sampling ops,
+# the iterative/VARIANT/UDTF/PQ/chained-streaming additions, and the
+# function-family showcases). Round 4's promotions (streaming set,
 # training-data ops, q14/q16/q18/q19) all carry green r04 hash rows and
 # slide back toward the tail — every entry is still re-verified each
 # run by pytest + tools/check_oracle.py regardless of position.
@@ -463,6 +467,8 @@ _CHANGED_THIS_ROUND = [
     "math_funcs_showcase",
     "quality_classifier",
     "hard_negative_mining",
+    "regression_stats",
+    "corpus_quality_report",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2183,4 +2189,40 @@ ORACLES["hard_negative_mining"] = """
     FROM a
     JOIN pos p ON p.anchor_id = a.anchor_id AND p.rk = 1
     JOIN neg n ON n.anchor_id = a.anchor_id AND n.rk = 1
+"""
+
+ORACLES["regression_stats"] = """
+    WITH b AS (SELECT event_type, value AS y,
+                      json_extract(props, '$.k')::DOUBLE AS x FROM events)
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2,
+           round(corr(y, x), 6) AS pearson_r,
+           round(covar_samp(y, x), 6) AS covar
+    FROM b GROUP BY event_type
+"""
+
+ORACLES["corpus_quality_report"] = rf"""
+    WITH c AS (SELECT lang, source, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT lang, source, len(t)::BIGINT AS n_tokens,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+             CASE WHEN 1.0 / (1.0 + exp(-(
+               -2.0 + 1.8 * least(len(t)::DOUBLE / 100.0, 1.0)
+               + 3.0 * (len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
+                        / greatest(len(t), 1))
+               + 1.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+               + 1.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                        / greatest(length(text), 1))
+             ))) >= 0.5 THEN 1 ELSE 0 END AS keep
+      FROM c
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens,
+           count(DISTINCT content_hash)::BIGINT AS n_distinct,
+           round((count(*) - count(DISTINCT content_hash)) / count(*)::DOUBLE, 6) AS dup_rate,
+           round(avg(keep), 6) AS keep_rate
+    FROM m GROUP BY lang, source
 """
