@@ -1329,3 +1329,30 @@ def test_hard_negative_mining_planted(spark):
     assert r["pos_id"] == 1 and r["neg_id"] == 2
     assert r["pos_sim"] > 0.9 and r["neg_sim"] > 0.9
     assert abs(r["margin"] - round(r["pos_sim"] - r["neg_sim"], 6)) < 1e-9
+
+
+def test_regression_stats_recovers_exact_line(spark):
+    """y = 2x + 1 exactly → slope 2, intercept 1, r² 1, r 1."""
+    rows = [(i, "click", float(2 * (i % 10) + 1), '{"k": %d}' % (i % 10)) for i in range(40)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double, props string")
+    r = events.regression_stats(ev).collect()[0]
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0
+    assert r["r2"] == 1.0 and r["pearson_r"] == 1.0 and r["n"] == 40
+
+
+def test_corpus_quality_report_counts_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s1", "the cat sat on the mat and it is a good day " * 3),
+            (2, "en", "s1", "the cat sat on the mat and it is a good day " * 3),  # dup
+            (3, "en", "s1", "a different document about the dog in the park today ok " * 3),
+            (4, "fr", "s2", "le chien " * 5),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {(r["lang"], r["source"]): r for r in text.corpus_quality_report(docs).collect()}
+    en = rows[("en", "s1")]
+    assert en["n_docs"] == 3 and en["n_distinct"] == 2
+    assert abs(en["dup_rate"] - round(1 / 3, 6)) < 1e-9
+    assert rows[("fr", "s2")]["dup_rate"] == 0.0
+    assert 0.0 <= en["keep_rate"] <= 1.0
