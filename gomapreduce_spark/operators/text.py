@@ -993,3 +993,75 @@ def corpus_quality_report(docs: DataFrame) -> DataFrame:
         ).alias("dup_rate"),
         F.round(F.avg("keep"), 6).alias("keep_rate"),
     )
+
+
+# BM25 defaults, shared with the DuckDB oracle
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "query", "spark")
+
+
+def bm25_search(
+    docs: DataFrame, query_terms: tuple[str, ...] = BM25_QUERY, k: int = 15
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (the Lucene/Okapi scoring
+    function) — how a training-data pipeline pulls topical slices
+    ("give me the docs about X") without an embedding model:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Every input is an exact integer count (tf, df, N, dl) and avgdl is
+    one exact ratio, so the score is the same double in any engine
+    before the 1e-6 rounding.
+
+    Scale shape: the term filter reaches the tokenize scan (only query
+    terms survive the explode); tf is one partial-agg shuffle bounded
+    by |matching docs|·|terms|; df/N/avgdl are tiny aggregates
+    broadcast back; the final top-k is TakeOrdered (per-partition
+    partial top-k), never a global sort. An inverted-index lookup
+    (:func:`inverted_index`) replaces the scan side when the index is
+    materialized."""
+    terms = [t for t in query_terms]
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    stats = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = stats.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    occ = toks.select("doc_id", F.explode("t").alias("term")).where(F.col("term").isin(terms))
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+        "avgdl",
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return scored.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long"),
+    )

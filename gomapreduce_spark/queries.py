@@ -212,6 +212,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_quality_report": lambda s, d: text.corpus_quality_report(
         load_table(s, d, "documents")
     ),
+    "bm25_search": lambda s, d: text.bm25_search(load_table(s, d, "documents")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -469,6 +470,7 @@ _CHANGED_THIS_ROUND = [
     "hard_negative_mining",
     "regression_stats",
     "corpus_quality_report",
+    "bm25_search",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2225,4 +2227,29 @@ ORACLES["corpus_quality_report"] = rf"""
            round((count(*) - count(DISTINCT content_hash)) / count(*)::DOUBLE, 6) AS dup_rate,
            round(avg(keep), 6) AS keep_rate
     FROM m GROUP BY lang, source
+"""
+
+ORACLES["bm25_search"] = rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    stats AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs,
+                      sum(dl) / count(*) AS avgdl FROM stats),
+    occ AS (SELECT doc_id, term FROM toks, unnest(t) AS u(term)
+            WHERE term IN ('table', 'query', 'spark')),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ GROUP BY 1, 2),
+    idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), corpus),
+    contrib AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) AS cc
+      FROM tf JOIN idf USING (term) JOIN stats s ON s.doc_id = tf.doc_id, corpus c
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(cc), 6) AS score, count(*)::BIGINT AS n_terms_hit
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_hit,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rk
+    FROM scored QUALIFY rk <= 15
 """

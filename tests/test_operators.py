@@ -1356,3 +1356,22 @@ def test_corpus_quality_report_counts_duplicates(spark):
     assert abs(en["dup_rate"] - round(1 / 3, 6)) < 1e-9
     assert rows[("fr", "s2")]["dup_rate"] == 0.0
     assert 0.0 <= en["keep_rate"] <= 1.0
+
+
+def test_bm25_ranks_term_density(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table query " * 5),                 # all three terms, dense
+            (2, "spark alone here with many other words " * 4),
+            (3, "nothing relevant in this document at all " * 4),
+            (4, "table " + "filler words only " * 20),     # one hit, long doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.bm25_search(docs).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids                       # no query term → no row
+    assert ids[0] == 1                        # densest all-term doc wins
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["n_terms_hit"] == 3 and by_id[4]["n_terms_hit"] == 1
+    assert [r["rk"] for r in rows] == sorted(r["rk"] for r in rows)

@@ -447,6 +447,14 @@ AUDITS: dict[str, dict] = {
         "pushed_filters": ["event_type"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # BM25: the term filter must hit the exploded token stream before
+    # any shuffle, idf/avgdl broadcast back, and the final top-k is
+    # the distributed TakeOrdered — never a global sort of all scores
+    "bm25_search": {
+        "require": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     # classifier inference is a pure narrow scan — any join or extra
     # shuffle means the featurization lost its single-pass shape
     "quality_classifier": {
