@@ -447,6 +447,45 @@ AUDITS: dict[str, dict] = {
         "pushed_filters": ["event_type"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # PageRank: per-iteration rank joins are hash equi-joins on the
+    # checkpointed edge table; nothing nested-loop, nothing collected
+    "pagerank_dedup_graph": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct"],
+    },
+    # VARIANT extraction is a narrow scan + one partial agg; a Join or
+    # Window would mean the parse-once path got lost
+    "variant_props_stats": {
+        "partial_agg": True,
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join", "Window"],
+    },
+    # single-pass mergeable moments — same envelope as a sum
+    "regression_stats": {
+        "partial_agg": True,
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join", "Window"],
+    },
+    # the whole governance report is ONE scan + one keyed shuffle (the
+    # distinct-agg adds its second phase); no join back to exact_dedup
+    "corpus_quality_report": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join", "Window"],
+    },
+    # one-sided argmax aggregation over a broadcast anchor join — the
+    # non-equi join IS the broadcast nested loop (build side = anchors,
+    # bounded), but never a cartesian and never a shuffled join
+    "hard_negative_mining": {
+        # max-of-struct buffers plan as partial+final SortAggregate
+        # (same map-side-combine invariant; see paragraph_dedup)
+        "partial_agg": True,
+        "partial_agg_kind": "sort",
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "map_funcs_showcase": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+    },
     # BM25: the term filter must hit the exploded token stream before
     # any shuffle, idf/avgdl broadcast back, and the final top-k is
     # the distributed TakeOrdered — never a global sort of all scores
