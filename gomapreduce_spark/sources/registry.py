@@ -290,3 +290,57 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_dataset_manifest(path: str, order_col: str | None = None) -> dict:
+    """Emit ``_MANIFEST.json`` for a materialized parquet dataset — the
+    loader contract a training job consumes instead of listing+footer-
+    probing the directory itself: per-file rows/bytes (and min/max of
+    ``order_col`` when given, so a loader can range-route without
+    opening files), plus totals and the schema string.
+
+    Driver-side by design: it reads FOOTERS of the shard files (bounded
+    by shard count — hundreds, not corpus rows), never data pages. Runs
+    after write_training_shards / write_partitioned_corpus /
+    write_zordered; tests assert manifest totals equal the dataset."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+    entries, total_rows, total_bytes = [], 0, 0
+    schema_str = None
+    for f in files:
+        pf = _pq.ParquetFile(f)
+        md = pf.metadata
+        schema_str = schema_str or str(pf.schema_arrow)
+        e = {
+            "file": _os.path.relpath(f, path),
+            "rows": md.num_rows,
+            "bytes": _os.path.getsize(f),
+        }
+        if order_col is not None and md.num_rows > 0:
+            idx = md.schema.names.index(order_col)
+            e["min"] = min(
+                md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)
+            )
+            e["max"] = max(
+                md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)
+            )
+        total_rows += e["rows"]
+        total_bytes += e["bytes"]
+        entries.append(e)
+    manifest = {
+        "n_files": len(entries),
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "order_col": order_col,
+        "schema": schema_str,
+        "files": entries,
+    }
+    with open(_os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return manifest

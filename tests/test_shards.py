@@ -131,3 +131,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_med, tmp_path):
                                       # 1 + 8 while covering both predicates
     # round-trip integrity
     assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_dataset_manifest_matches_dataset(spark, sf_small, tmp_path):
+    import json
+
+    from gomapreduce_spark.sources.registry import (
+        load_table,
+        write_dataset_manifest,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    m = write_dataset_manifest(out, order_col="doc_id")
+    assert m["total_rows"] == docs.count() and m["n_files"] == 4
+    # range-routing contract: shard key ranges are disjoint and ordered
+    spans = sorted((e["min"], e["max"]) for e in m["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # the file on disk round-trips
+    disk = json.load(open(f"{out}/_MANIFEST.json"))
+    assert disk["total_rows"] == m["total_rows"]
+    assert sum(e["rows"] for e in disk["files"]) == m["total_rows"]
