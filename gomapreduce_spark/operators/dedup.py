@@ -1079,3 +1079,41 @@ def pagerank_dedup_graph(
             F.round("p", 6).alias("pagerank"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = SHINGLE_N, batch_mod: int = 5) -> DataFrame:
+    """Cross-batch novelty rate — the ingest-value metric next to
+    :func:`incremental_dedup`'s duplicate verdicts: per arriving doc,
+    what fraction of its distinct word n-grams has the standing corpus
+    NEVER seen? Duplicates score ~0, templated text scores low, genuinely
+    new content scores high — the signal that decides whether a crawl
+    batch is worth its storage. Fixture split: doc_id % ``batch_mod``
+    == 0 is the new batch, the rest is the corpus (same convention as
+    incremental_dedup).
+
+    Scale shape: the corpus side reduces to DISTINCT 60-bit shingle
+    hashes (partial-agg, one shuffle keyed on the hash — at 100 TB this
+    is the standing index, persisted once, not recomputed); the batch
+    side LEFT JOINs it on the same key and aggregates per doc. The
+    batch is small by definition, so its side of the join broadcasts
+    under AQE."""
+    sh = (
+        shingle_arrays(docs, n)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", h64(F.col("shingle")).alias("sh_h"))
+    )
+    is_new = F.col("doc_id") % batch_mod == 0
+    corpus = sh.where(~is_new).select("sh_h").distinct()
+    new = sh.where(is_new)
+    seen = corpus.withColumn("seen", F.lit(1))
+    return (
+        new.join(seen, "sh_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("seen").isNull(), 1)).cast("long").alias("n_novel"),
+            F.round(
+                F.count(F.when(F.col("seen").isNull(), 1)) / F.count("*").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )

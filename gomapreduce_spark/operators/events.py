@@ -729,3 +729,75 @@ def regression_stats(events: DataFrame) -> DataFrame:
         F.round(F.corr("y", "x"), 6).alias("pearson_r"),
         F.round(F.covar_samp("y", "x"), 6).alias("covar"),
     )
+
+
+def distribution_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Population-stability-index drift check — the data-quality gate a
+    pipeline runs before trusting a new ingest window: split the stream
+    at its midpoint timestamp, histogram ``value`` into fixed-width
+    bins (bounds from the GLOBAL min/max so both halves share the
+    grid), and report per-event-type PSI =
+    Σ (p_new − p_old)·ln(p_new/p_old) with Laplace-smoothed bin
+    fractions. PSI < 0.1 ≈ stable, > 0.25 ≈ investigate.
+
+    Every input to the formula is an exact integer count plus exact
+    global bounds, so the score is cross-engine stable at round(6).
+    One scan to bound/split, one partial-agg shuffle to
+    (type, half, bin) counts — |types|·2·bins rows — then the PSI fold
+    over a broadcast-sized table."""
+    bounds = events.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("ts").cast("long").alias("t0"),
+        F.max("ts").cast("long").alias("t1"),
+    )
+    binned = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            (F.col("ts").cast("long") * 2 > F.col("t0") + F.col("t1"))
+            .cast("int")
+            .alias("half"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = binned.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    # Laplace-smoothed fractions on the full bin grid: absent bins
+    # contribute via the +1 smoothing, so build the dense grid first
+    grid = (
+        binned.select("event_type").distinct()
+        .crossJoin(F.broadcast(events.sparkSession.range(2).select(F.col("id").cast("int").alias("half"))))
+        .crossJoin(F.broadcast(events.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))))
+    )
+    dense = (
+        grid.join(binned, ["event_type", "half", "bin"], "left")
+        .join(totals, ["event_type", "half"])
+        .select(
+            "event_type",
+            "half",
+            "bin",
+            ((F.coalesce("n", F.lit(0)) + 1) / (F.col("tot") + n_bins)).alias("p"),
+        )
+    )
+    old = dense.where(F.col("half") == 0).select("event_type", "bin", F.col("p").alias("p_old"))
+    new = dense.where(F.col("half") == 1).select("event_type", "bin", F.col("p").alias("p_new"))
+    return (
+        old.join(new, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("p_new") - F.col("p_old")) * F.log(F.col("p_new") / F.col("p_old"))),
+                6,
+            ).alias("psi")
+        )
+    )

@@ -213,6 +213,8 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents")
     ),
     "bm25_search": lambda s, d: text.bm25_search(load_table(s, d, "documents")),
+    "distribution_drift": lambda s, d: events.distribution_drift(load_table(s, d, "events")),
+    "ngram_novelty": lambda s, d: dedup.ngram_novelty(load_table(s, d, "documents")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -471,6 +473,8 @@ _CHANGED_THIS_ROUND = [
     "regression_stats",
     "corpus_quality_report",
     "bm25_search",
+    "distribution_drift",
+    "ngram_novelty",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2252,4 +2256,58 @@ ORACLES["bm25_search"] = rf"""
     SELECT doc_id, score, n_terms_hit,
            row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rk
     FROM scored QUALIFY rk <= 15
+"""
+
+# PSI drift: exact integer bin counts over a shared global grid, exact
+# global bounds, Laplace smoothing — identical doubles in any engine
+ORACLES["distribution_drift"] = """
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi,
+             min(epoch_us(ts) // 1000000) AS t0,
+             max(epoch_us(ts) // 1000000) AS t1
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(ts) // 1000000) * 2 > t0 + t1 THEN 1 ELSE 0 END AS half,
+             least(9, floor((value - lo) / ((hi - lo) / 10)))::INT AS bin,
+             count(*)::BIGINT AS n
+      FROM events, bounds
+      GROUP BY 1, 2, 3
+    ),
+    totals AS (SELECT event_type, half, sum(n)::BIGINT AS tot FROM binned GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, h.half::INT AS half, b.bin::INT AS bin
+      FROM (SELECT DISTINCT event_type FROM binned) t,
+           range(0, 2) h(half), range(0, 10) b(bin)
+    ),
+    dense AS (
+      SELECT g.event_type, g.half, g.bin,
+             (coalesce(n, 0) + 1) / (tot + 10)::DOUBLE AS p
+      FROM grid g
+      LEFT JOIN binned USING (event_type, half, bin)
+      JOIN totals USING (event_type, half)
+    )
+    SELECT o.event_type,
+           round(sum((n.p - o.p) * ln(n.p / o.p)), 6) AS psi
+    FROM dense o JOIN dense n
+      ON o.event_type = n.event_type AND o.bin = n.bin
+     AND o.half = 0 AND n.half = 1
+    GROUP BY o.event_type
+"""
+
+# distinct-shingle novelty of the arriving batch vs the standing corpus
+# (same doc_id % 5 split convention as incremental_dedup)
+ORACLES["ngram_novelty"] = f"""
+    WITH {_SHINGLES},
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM sh),
+    corpus AS (SELECT DISTINCT sh_h FROM h WHERE doc_id % 5 <> 0),
+    new AS (SELECT doc_id, sh_h FROM h WHERE doc_id % 5 = 0)
+    SELECT n.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           (count(*) FILTER (WHERE c.sh_h IS NULL))::BIGINT AS n_novel,
+           round((count(*) FILTER (WHERE c.sh_h IS NULL)) / count(*)::DOUBLE, 6)
+             AS novelty_rate
+    FROM new n LEFT JOIN corpus c USING (sh_h)
+    GROUP BY n.doc_id
 """

@@ -1375,3 +1375,41 @@ def test_bm25_ranks_term_density(spark):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[1]["n_terms_hit"] == 3 and by_id[4]["n_terms_hit"] == 1
     assert [r["rk"] for r in rows] == sorted(r["rk"] for r in rows)
+
+
+def test_distribution_drift_detects_shift(spark):
+    rows = []
+    # stable type: same uniform values in both time halves
+    for i in range(200):
+        ts = "2024-01-0%d 00:00:00" % (1 + (i % 2) * 8)  # day 1 vs day 9
+        rows.append((i, ts, "stable", float(i % 50)))
+    # drifting type: second half shifts by +200
+    for i in range(200):
+        half = i % 2
+        ts = "2024-01-0%d 00:00:00" % (1 + half * 8)
+        rows.append((1000 + i, ts, "drifty", float(i % 50 + half * 200)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    psi = {r["event_type"]: r["psi"] for r in events.distribution_drift(ev).collect()}
+    assert psi["stable"] < 0.1
+    assert psi["drifty"] > 1.0
+    assert psi["drifty"] > 10 * max(psi["stable"], 1e-6)
+
+
+def test_ngram_novelty_extremes(spark):
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, corpus_text),                                   # corpus (id % 5 != 0)
+            (2, "totally different words nothing shared here at all now"),
+            (5, corpus_text),                                   # new: exact copy → 0 novelty
+            (10, "fresh unseen content with brand new vocabulary throughout today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.ngram_novelty(docs).collect()}
+    assert set(rows) == {5, 10}
+    assert rows[5]["novelty_rate"] == 0.0
+    assert rows[10]["novelty_rate"] == 1.0
+    assert rows[10]["n_novel"] == rows[10]["n_shingles"]
