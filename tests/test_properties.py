@@ -254,3 +254,85 @@ def test_pack_training_sequences_conservation(spark, token_counts, budget):
     cum = list(itertools.accumulate([0] + token_counts[:-1]))
     want_seqs = sorted({c // budget for c in cum})
     assert [s for s, _, _ in out] == want_seqs
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=28),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_python_reference(spark, docs):
+    """duplicate_spans == a direct Python implementation of the same
+    window/interval-union spec, on adversarially repetitive inputs (a
+    3-letter vocabulary makes cross- and self-duplication rampant)."""
+    w, stride = 10, 5
+    texts = [" ".join(d) for d in docs]
+    # Python reference on window STRINGS (the md5 hash is injective here)
+    windows = {}
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        starts = list(range(0, n - w + 1, stride)) if n >= w else []
+        per_doc[i] = [(s, " ".join(toks[s : s + w])) for s in starts]
+        for _, key in per_doc[i]:
+            windows[key] = windows.get(key, 0) + 1
+    want = {}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        if n == 0:
+            continue
+        dup = sorted(s for s, key in per_doc[i] if windows[key] > 1)
+        covered, prev_end = 0, 0
+        for s in dup:
+            e = s + w
+            covered += max(0, e - max(prev_end, s))
+            prev_end = max(prev_end, e)
+        want[i] = (n, len(per_doc[i]), len(dup), covered)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["dup_tokens"])
+        for r in dedup.duplicate_spans(df, w=w, stride=stride).collect()
+    }
+    assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=12),
+    budget=st.sampled_from([80, 400, 4000]),
+)
+@settings(**SETTINGS)
+def test_token_budget_sample_matches_python_reference(spark, sizes, budget):
+    """token_budget_sample == the greedy Python admission over the same
+    md5 hash order, for any doc-size mix and budget."""
+    import hashlib
+
+    from gomapreduce_spark.operators import text as text_ops
+
+    n_buckets = 4
+    docs = [(i, "en" if i % 2 else "fr", " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+
+    def h(seed, v):
+        return int(hashlib.md5(f"{seed}{v}".encode()).hexdigest()[:15], 16)
+
+    per_group = {}
+    for doc_id, lang, _ in docs:
+        b = h("budget|", doc_id) % n_buckets
+        per_group.setdefault((lang, b), []).append(doc_id)
+    want = set()
+    bucket_budget = budget // n_buckets
+    for (lang, b), ids in per_group.items():
+        ids.sort(key=lambda d: (h("order|", d), d))
+        cum = 0
+        for d in ids:
+            if cum < bucket_budget:
+                want.add(d)
+            cum += sizes[d]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]
+        for r in text_ops.token_budget_sample(df, budget_tokens=budget, n_buckets=n_buckets).collect()
+    }
+    assert got == want
