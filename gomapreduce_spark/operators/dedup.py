@@ -1117,3 +1117,57 @@ def ngram_novelty(docs: DataFrame, n: int = SHINGLE_N, batch_mod: int = 5) -> Da
             ).alias("novelty_rate"),
         )
     )
+
+
+def triangle_stats(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    near-dup graph — the third graph operator beside components and
+    PageRank, and the signal that separates template FAMILIES (dense,
+    high-coefficient cliques of mutual near-dups) from chains of
+    incidental pairwise similarity (coefficient ~0). Triangles are
+    enumerated once as ordered triples a<b<c (each edge list is the
+    same ordered pair table three times — never a direction explosion),
+    then unpivoted to per-node counts; coefficient = 2T / d(d−1).
+
+    Scale shape: the pair graph is tiny relative to the corpus (LSH
+    candidates only), the triple join is equi-keyed on node ids, and
+    the worst case is bounded by the hot-bucket cap documented for the
+    LSH stage — the classic node-iterator triangle join."""
+    e = (
+        minhash_lsh_pairs(docs)
+        .where(F.col("est_jaccard") >= threshold)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("doc_id"))
+        .unionAll(e.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.join(per_node, "doc_id", "left").select(
+        "doc_id",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce("n_triangles", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coef"),
+    )

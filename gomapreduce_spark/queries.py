@@ -215,6 +215,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": lambda s, d: text.bm25_search(load_table(s, d, "documents")),
     "distribution_drift": lambda s, d: events.distribution_drift(load_table(s, d, "events")),
     "ngram_novelty": lambda s, d: dedup.ngram_novelty(load_table(s, d, "documents")),
+    "triangle_stats": lambda s, d: dedup.triangle_stats(load_table(s, d, "documents")),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -475,6 +476,7 @@ _CHANGED_THIS_ROUND = [
     "bm25_search",
     "distribution_drift",
     "ngram_novelty",
+    "triangle_stats",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2310,4 +2312,30 @@ ORACLES["ngram_novelty"] = f"""
              AS novelty_rate
     FROM new n LEFT JOIN corpus c USING (sh_h)
     GROUP BY n.doc_id
+"""
+
+ORACLES["triangle_stats"] = f"""
+    WITH pairs AS ({ORACLE_MINHASH_LSH}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE est_jaccard >= 0.5),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT doc_id, count(*)::BIGINT AS n_triangles
+      FROM (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY doc_id
+    ),
+    deg AS (
+      SELECT doc_id, count(*)::BIGINT AS deg
+      FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.deg, coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(pn.n_triangles, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN pn ON pn.doc_id = d.doc_id
 """

@@ -1413,3 +1413,21 @@ def test_ngram_novelty_extremes(spark):
     assert rows[5]["novelty_rate"] == 0.0
     assert rows[10]["novelty_rate"] == 1.0
     assert rows[10]["n_novel"] == rows[10]["n_shingles"]
+
+
+def test_triangle_stats_clique_vs_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    pair = "completely different content about ships and harbors at dawn light"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (10, pair), (11, pair)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.triangle_stats(docs).collect()}
+    # identical triple → one triangle, coefficient 1 at every corner
+    for d in (1, 2, 3):
+        assert rows[d]["deg"] == 2 and rows[d]["n_triangles"] == 1
+        assert rows[d]["clustering_coef"] == 1.0
+    # isolated pair → degree 1, no triangle, coefficient 0
+    for d in (10, 11):
+        assert rows[d]["deg"] == 1 and rows[d]["n_triangles"] == 0
+        assert rows[d]["clustering_coef"] == 0.0
