@@ -890,3 +890,36 @@ def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
             "n_lines",
         )
     )
+
+
+def monthly_revenue_trend(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Window-over-aggregate trend analysis (the TPC-DS Q47 family —
+    absent from TPC-H's shapes): monthly revenue, its centered 3-month
+    moving average, the month-over-month delta, and the deviation from
+    the trailing average — the shape every ops dashboard runs.
+
+    The aggregate reduces the fact table to |months| rows FIRST (one
+    partial-agg shuffle); every window then runs over that tiny series
+    — a deliberate single-partition window over months, bounded by the
+    calendar, not the data."""
+    monthly = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("month")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("month")
+    ma = F.avg("revenue").over(w.rowsBetween(-1, 1))
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(ma, 2).alias("ma3"),
+        F.round(F.col("revenue") - F.coalesce(prev, F.col("revenue")), 2).alias("mom_delta"),
+        F.round(F.col("revenue") - ma, 2).alias("dev_from_ma3"),
+    )

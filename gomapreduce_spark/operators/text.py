@@ -1065,3 +1065,42 @@ def bm25_search(
         .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
         .cast("long"),
     )
+
+
+def vocab_coverage(docs: DataFrame, ks: tuple[int, ...] = (5, 10, 25)) -> DataFrame:
+    """Vocabulary-size vs corpus-coverage curve — the tokenizer-design
+    question ("how big a vocab covers 95% of tokens?") answered from
+    exact counts: rank tokens by global frequency (ties by token text,
+    so the rank is total and cross-engine identical) and report, for
+    each candidate vocab size k, the fraction of all token occurrences
+    covered by the top-k types. (The fixture corpus draws from a ~30-
+    type synthetic vocabulary, so the default curve probes 5/10/25; a
+    real corpus passes ks=(1e4, 5e4, 1e5).)
+
+    The global rank is a single-partition window over the VOCAB (types,
+    not occurrences) — the standard and correct shape: a vocabulary is
+    orders of magnitude smaller than its corpus (50M types for a 100 TB
+    corpus fits one task comfortably), and everything corpus-sized
+    stays in the partial-agg count."""
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = freq.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    total = freq.agg(F.sum("n").alias("tot"))
+    ks_df = docs.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    return (
+        ranked.join(F.broadcast(ks_df), ranked["rk"] == ks_df["k"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("cum") / F.col("tot").cast("double"), 6).alias("coverage"),
+        )
+    )

@@ -216,6 +216,10 @@ QUERIES: dict[str, QueryFn] = {
     "distribution_drift": lambda s, d: events.distribution_drift(load_table(s, d, "events")),
     "ngram_novelty": lambda s, d: dedup.ngram_novelty(load_table(s, d, "documents")),
     "triangle_stats": lambda s, d: dedup.triangle_stats(load_table(s, d, "documents")),
+    "vocab_coverage": lambda s, d: text.vocab_coverage(load_table(s, d, "documents")),
+    "monthly_revenue_trend": lambda s, d: relational.monthly_revenue_trend(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -477,6 +481,8 @@ _CHANGED_THIS_ROUND = [
     "distribution_drift",
     "ngram_novelty",
     "triangle_stats",
+    "vocab_coverage",
+    "monthly_revenue_trend",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2338,4 +2344,39 @@ ORACLES["triangle_stats"] = f"""
                  THEN 2.0 * coalesce(pn.n_triangles, 0) / (d.deg * (d.deg - 1))
                  ELSE 0.0 END, 6) AS clustering_coef
     FROM deg d LEFT JOIN pn ON pn.doc_id = d.doc_id
+"""
+
+ORACLES["vocab_coverage"] = f"""
+    WITH freq AS (
+      SELECT tok, count(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok ASC) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM freq)
+    SELECT rk::BIGINT AS k, cum::BIGINT AS covered_tokens,
+           round(cum / t::DOUBLE, 6) AS coverage
+    FROM ranked, tot WHERE rk IN (5, 10, 25)
+"""
+
+ORACLES["monthly_revenue_trend"] = """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(avg(revenue) OVER w3, 2) AS ma3,
+           round(revenue - coalesce(lag(revenue) OVER (ORDER BY month), revenue), 2)
+             AS mom_delta,
+           round(revenue - avg(revenue) OVER w3, 2) AS dev_from_ma3
+    FROM monthly
+    WINDOW w3 AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
 """

@@ -1431,3 +1431,31 @@ def test_triangle_stats_clique_vs_pair(spark):
     for d in (10, 11):
         assert rows[d]["deg"] == 1 and rows[d]["n_triangles"] == 0
         assert rows[d]["clustering_coef"] == 0.0
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_med):
+    docs = load_table(spark, sf_med, "documents")
+    rows = sorted(text.vocab_coverage(docs).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [5, 10, 25]
+    cov = [r["coverage"] for r in rows]
+    assert all(0 < c <= 1 for c in cov)
+    assert cov == sorted(cov)  # coverage grows with vocab size
+    assert rows[-1]["covered_tokens"] >= rows[0]["covered_tokens"]
+
+
+def test_monthly_trend_exact_on_planted_series(spark):
+    orders = spark.createDataFrame(
+        [(i, "2024-0%d-15 00:00:00" % m) for i, m in enumerate([1, 1, 2, 3])],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = spark.createDataFrame(
+        [(0, 100.0, 0.0), (1, 100.0, 0.0), (2, 300.0, 0.0), (3, 500.0, 0.2)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    rows = {r["month"]: r for r in relational.monthly_revenue_trend(orders, li).collect()}
+    assert rows["2024-01"]["revenue"] == 200.0 and rows["2024-02"]["revenue"] == 300.0
+    assert rows["2024-03"]["revenue"] == 400.0
+    assert rows["2024-02"]["ma3"] == 300.0           # (200+300+400)/3
+    assert rows["2024-01"]["mom_delta"] == 0.0       # first month anchors to itself
+    assert rows["2024-03"]["mom_delta"] == 100.0
+    assert rows["2024-02"]["dev_from_ma3"] == 0.0
