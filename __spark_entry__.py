@@ -44,7 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the five approximate ops are
-    intentionally absent (rows-only check + error-bound/recall tests);
-    every streaming query IS present (deterministic on finite replay)."""
+    """DuckDB-equivalent SQL per query; the eight approximate /
+    non-SQL ops are intentionally absent (rows-only check plus
+    error-bound / recall / exact-numpy-reference tests); every
+    streaming query IS present (deterministic on finite replay)."""
     return dict(_q.ORACLES)
