@@ -59,3 +59,27 @@ def salted_agg(
 def salted_counts(df: DataFrame, key_col: str, n_salts: int = 16) -> DataFrame:
     """Convenience: skew-safe ``groupBy(key).count()``."""
     return salted_agg(df, [key_col], {"cnt": ("count", "*")}, n_salts)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Manual salted equi-join — the fallback when AQE's skew split
+    cannot engage (it declines when the join output must preserve hash
+    partitioning for a downstream same-key operator, and it never
+    applies to aggregation-only hot keys): the BIG side gets a random
+    salt per row, the SMALL side is replicated once per salt value, and
+    the join runs on (key, salt) — the hot key's rows spread over
+    ``n_salts`` tasks by construction.
+
+    Cost model: small-side rows are duplicated ``n_salts`` times, so
+    this is for a small-but-not-broadcastable build side (100 MB–few
+    GB) against a skewed fact side. Result equality with the plain
+    join is asserted in tests."""
+    salted_big = big.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    salts = small.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    salted_small = small.crossJoin(salts)
+    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")

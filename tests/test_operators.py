@@ -1459,3 +1459,51 @@ def test_monthly_trend_exact_on_planted_series(spark):
     assert rows["2024-01"]["mom_delta"] == 0.0       # first month anchors to itself
     assert rows["2024-03"]["mom_delta"] == 100.0
     assert rows["2024-02"]["dev_from_ma3"] == 0.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gomapreduce_spark.functions.skew import salted_join
+
+    # hot key 7 dominates the fact side
+    big = spark.range(20_000).select(
+        F.when(F.col("id") < 15_000, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(big, small, "k")
+    want = big.join(small, "k")
+    assert got.count() == want.count() == 20_000
+    g = {(r["k"], r["v"], r["w"]) for r in got.collect()}
+    w = {(r["k"], r["v"], r["w"]) for r in want.collect()}
+    assert g == w
+
+
+def test_concurrent_queries_share_one_session(spark, sf_small):
+    """Four different queries driven concurrently through one session
+    (the serving pattern: many analysts, one cluster) must all return
+    their single-threaded results — no cross-talk through temp views,
+    shuffle files, or the UDTF registry."""
+    import threading
+
+    jobs = {
+        "wc": lambda: wordcount.word_count(load_table(spark, sf_small, "documents")).count(),
+        "q1": lambda: relational.q1_pricing_summary(load_table(spark, sf_small, "lineitem")).count(),
+        "tok": lambda: text.token_stats(load_table(spark, sf_small, "documents")).count(),
+        "sess": lambda: events.sessionize(load_table(spark, sf_small, "events")).count(),
+    }
+    expected = {k: fn() for k, fn in jobs.items()}
+    results, errors = {}, {}
+
+    def run(name, fn):
+        try:
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = repr(e)
+
+    threads = [threading.Thread(target=run, args=(k, fn)) for k, fn in jobs.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert results == expected
