@@ -549,3 +549,73 @@ def test_streaming_incremental_dedup_flags_planted_dup(spark, tmp_path):
     }
     assert not got[1]["is_dup"] and not got[2]["is_dup"]
     assert got[10]["is_dup"] and got[10]["best_jaccard"] == 1.0
+
+
+def test_windowed_agg_drops_late_rows_in_append_mode(spark, sf_small, tmp_path):
+    """Watermark late-data semantics, proven end-to-end: a row whose
+    event time is far behind the watermark (it arrives in the final
+    micro-batch but carries the FIRST batch's timestamp) must be
+    dropped from an append-mode windowed aggregation — its window was
+    finalized and emitted long before. The result equals the batch
+    aggregation WITHOUT the late row, restricted to watermark-closed
+    windows."""
+    import datetime
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming.windows import _read_events_stream, _run_to_memory
+
+    ev = load_table(spark, sf_small, "events").orderBy("ts").limit(300).cache()
+    rows = ev.collect()
+    t0 = rows[0]["ts"]
+    mb_dir = str(tmp_path / "mb_late")
+    _write_time_ordered_files(
+        spark,
+        ev.withColumn("_chunk", F.ntile(3).over(W.orderBy("ts", "event_id"))),
+        mb_dir,
+        n_files=3,
+        chunk_col="_chunk",
+    )
+    # the late straggler: arrives LAST (newest file mtime), but its
+    # event time is the very first timestamp of the stream
+    late = spark.createDataFrame([rows[0]], ev.schema).withColumn(
+        "ts", F.lit(t0).cast("timestamp")
+    ).withColumn("event_id", F.lit(999_999))
+    stage = str(tmp_path / "stage_late")
+    late.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = globmod.glob(f"{stage}/part-*.parquet")[0]
+    dst = f"{mb_dir}/chunk_999.parquet"
+    shutil.move(src, dst)
+    os.utime(dst, (1_700_000_999, 1_700_000_999))
+
+    stream = _read_events_stream(spark, mb_dir, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    got = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in _run_to_memory(agg, "append").collect()
+    }
+    # batch expectation: original 300 rows only (late row dropped),
+    # windows closed by the final watermark (ms-truncated max ts)
+    wm = ev.agg((F.floor(F.unix_micros(F.max("ts")) / 1000) * 1000).alias("wm")).collect()[0]["wm"]
+    want = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .where(F.unix_micros(F.col("w.end")) <= wm)
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+    # and the late row's (window, type) bucket kept its ORIGINAL count —
+    # the straggler neither created a duplicate emission nor mutated it
+    k0 = next((k for k in want if k[0] <= t0.replace(minute=0, second=0, microsecond=0) <= k[0] + datetime.timedelta(hours=1)), None)
+    assert k0 is not None
