@@ -344,3 +344,43 @@ def write_dataset_manifest(path: str, order_col: str | None = None) -> dict:
         _json.dump(manifest, fh, indent=1, sort_keys=True)
         fh.write("\n")
     return manifest
+
+
+def compact_dataset(
+    spark: SparkSession, path: str, target_mb: int = 128, order_col: str | None = None
+) -> dict:
+    """Small-files compaction — the maintenance op every file-arrival
+    ingest needs (a streaming sink or hourly batch leaves thousands of
+    KB-scale files; scans then pay one task + one open per file):
+    rewrite the dataset into ceil(bytes / target_mb) files, optionally
+    re-sorted on ``order_col`` to restore footer-stats pruning, then
+    atomically swap directories (write to a sibling temp dir, move the
+    old out, move the new in — readers never see a half-written mix).
+
+    Returns {files_before, files_after, bytes}. The rewrite is one
+    job: a scan + round-robin (or range, when ordered) repartition +
+    parquet write — no driver materialization."""
+    import glob as _glob
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+
+    files_before = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(_os.path.getsize(f) for f in files_before)
+    n_out = max(1, _math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    if order_col is not None:
+        out = df.repartitionByRange(n_out, F.col(order_col)).sortWithinPartitions(order_col)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(_glob.glob(_os.path.join(path, "*.parquet"))),
+        "bytes": total_bytes,
+    }

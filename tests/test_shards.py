@@ -155,3 +155,20 @@ def test_dataset_manifest_matches_dataset(spark, sf_small, tmp_path):
     disk = json.load(open(f"{out}/_MANIFEST.json"))
     assert disk["total_rows"] == m["total_rows"]
     assert sum(e["rows"] for e in disk["files"]) == m["total_rows"]
+
+
+def test_compact_dataset_reduces_files_and_preserves_rows(spark, sf_small, tmp_path):
+    from gomapreduce_spark.sources.registry import compact_dataset, load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "fragmented")
+    docs.repartition(40).write.parquet(out)  # 40 tiny files
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+    stats = compact_dataset(spark, out, target_mb=128, order_col="doc_id")
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+    after_df = spark.read.parquet(out)
+    after = {tuple(r) for r in after_df.select(*docs.columns).collect()}
+    assert after == before
+    # ordered rewrite restored footer pruning: single file, sorted run
+    ids = [r["doc_id"] for r in after_df.select("doc_id").collect()]
+    assert ids == sorted(ids)
