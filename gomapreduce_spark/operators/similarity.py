@@ -451,6 +451,10 @@ def knn_pq(
     qrows = (
         emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
     )
+    if not qrows:  # empty corpus / no query rows: defined empty result
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rk long"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)

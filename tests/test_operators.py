@@ -1507,3 +1507,27 @@ def test_concurrent_queries_share_one_session(spark, sf_small):
         t.join(timeout=180)
     assert not errors, errors
     assert results == expected
+
+
+def test_every_batch_query_survives_an_empty_corpus(spark, tmp_path):
+    """Adversarial robustness: every registered batch query must return
+    a DEFINED (possibly empty) result on 0-row tables — no
+    div-by-zero, no empty-collect crash, no numpy axis error. This is
+    the first day of a new pipeline (empty ingest dir) and the
+    failure mode that pages someone at 3am."""
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path / "empty_sf")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    fails = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue  # availableNow lifecycles are covered in test_streaming
+        try:
+            fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001
+            fails[name] = f"{type(e).__name__}: {e}"
+    assert not fails, fails
