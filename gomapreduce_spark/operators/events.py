@@ -758,13 +758,18 @@ def distribution_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
             (F.col("ts").cast("long") * 2 > F.col("t0") + F.col("t1"))
             .cast("int")
             .alias("half"),
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / n_bins)
+            # constant-valued slice → single bin 0 (a zero bin width
+            # must not abort the report)
+            F.when(F.col("hi") > F.col("lo"),
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ),
                 ),
             )
+            .otherwise(F.lit(0))
             .cast("int")
             .alias("bin"),
         )

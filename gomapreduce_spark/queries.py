@@ -2278,7 +2278,9 @@ ORACLES["distribution_drift"] = """
     binned AS (
       SELECT event_type,
              CASE WHEN (epoch_us(ts) // 1000000) * 2 > t0 + t1 THEN 1 ELSE 0 END AS half,
-             least(9, floor((value - lo) / ((hi - lo) / 10)))::INT AS bin,
+             CASE WHEN hi > lo
+                  THEN least(9, floor((value - lo) / ((hi - lo) / 10)))
+                  ELSE 0 END::INT AS bin,
              count(*)::BIGINT AS n
       FROM events, bounds
       GROUP BY 1, 2, 3

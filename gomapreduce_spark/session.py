@@ -36,6 +36,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # oracle comparisons are UTC-naive on the DuckDB side.
     "spark.sql.session.timeZone": "UTC",
+    # Null-tolerant analytics posture (Spark 4 flipped ANSI on by
+    # default): with ANSI, a zero-variance column ABORTS any job whose
+    # plan evaluates corr/regr_* over it, and a degenerate histogram
+    # bin width kills a whole report — a 3am page for one constant
+    # column in one slice of a 100 TB corpus. Non-ANSI returns
+    # NULL/NaN for the degenerate cell and the other 10^9 rows
+    # survive, which is also DuckDB's behavior (NULL) on every such
+    # aggregate. The adversarial sweeps in tests/test_operators.py pin
+    # this: every registered query must produce a defined result on
+    # empty AND on all-identical inputs.
+    "spark.sql.ansi.enabled": "false",
     # runtime re-planning: shuffle-partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1531,3 +1531,30 @@ def test_every_batch_query_survives_an_empty_corpus(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             fails[name] = f"{type(e).__name__}: {e}"
     assert not fails, fails
+
+
+def test_every_batch_query_survives_identical_rows(spark, tmp_path):
+    """The other degenerate: 40 copies of ONE row per table — zero
+    variance everywhere, every LSH bucket maximally hot, every window
+    a tie. corr/regr yield NULL/NaN cells, histograms collapse to one
+    bin, dedup flags everything — and nothing aborts."""
+    import __spark_entry__ as entrymod
+
+    d = str(tmp_path / "degen_sf")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        src = load_table(spark, "/root/testdata/sf0.001", t)
+        dup = src.limit(1).crossJoin(spark.range(40).select(F.col("id").alias("__i")))
+        for idc in ("doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey"):
+            if idc in dup.columns:
+                dup = dup.withColumn(idc, F.col("__i"))
+                break
+        dup.drop("__i").write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    fails = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            fn(spark, d).collect()
+        except Exception as e:  # noqa: BLE001
+            fails[name] = f"{type(e).__name__}: {e}"
+    assert not fails, fails
