@@ -619,3 +619,24 @@ def test_windowed_agg_drops_late_rows_in_append_mode(spark, sf_small, tmp_path):
     # the straggler neither created a duplicate emission nor mutated it
     k0 = next((k for k in want if k[0] <= t0.replace(minute=0, second=0, microsecond=0) <= k[0] + datetime.timedelta(hours=1)), None)
     assert k0 is not None
+
+
+def test_streaming_queries_survive_an_empty_stream(spark, sf_small, tmp_path):
+    """Day-one of an ingest pipeline: the events directory exists but
+    holds zero rows. The streaming lifecycles (windowed agg, arbitrary
+    state, chained aggs) must complete their availableNow replay with
+    a DEFINED empty result — not hang, not crash."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import (
+        streaming_chained_windows,
+        streaming_stateful_sessions,
+        streaming_tumbling_counts,
+    )
+
+    d = str(tmp_path / "empty_events")
+    load_table(spark, sf_small, "events").limit(0).write.parquet(f"{d}/events.parquet")
+    path = f"{d}/events.parquet"
+    assert streaming_tumbling_counts(spark, path).count() == 0
+    assert streaming_stateful_sessions(spark, path).count() == 0
+    assert streaming_chained_windows(spark, path).count() == 0
