@@ -1558,3 +1558,39 @@ def test_every_batch_query_survives_identical_rows(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             fails[name] = f"{type(e).__name__}: {e}"
     assert not fails, fails
+
+
+def test_map_in_arrow_token_counts_match_catalyst(spark, sf_small):
+    """mapInArrow — the last Python-exchange API in the matrix
+    (pandas_udf / mapInPandas / applyInPandas / applyInPandasWithState /
+    transformWithState / UDTF are all exercised elsewhere): raw
+    RecordBatches in, zero pandas materialization, exact parity with
+    the Catalyst tokenizer on per-doc token counts."""
+    import pyarrow as pa
+
+    def count_tokens(batches):
+        import re
+
+        ws = re.compile(r"\s+")
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            counts = [len([t for t in ws.split(x or "") if t]) for x in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts, type=pa.int64())], ["doc_id", "n_tokens"]
+            )
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select("doc_id", "text")
+        .mapInArrow(count_tokens, "doc_id long, n_tokens long")
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["n_tokens"]
+        for r in docs.select(
+            "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)).cast("long").alias("n_tokens")
+        ).collect()
+    }
+    assert got == want
