@@ -1171,3 +1171,53 @@ def triangle_stats(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             6,
         ).alias("clustering_coef"),
     )
+
+
+BLOOM_M = 4096   # filter bits
+BLOOM_K = 3      # hash functions
+
+
+def bloom_decontamination(
+    docs: DataFrame, bench_mod: int = 43, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom-filter membership screen — the last sketch in the family
+    (HLL, KLL quantiles, SpaceSaving, MinHash, SimHash, sign-LSH, PQ
+    are covered elsewhere): the benchmark slice's content hashes build
+    a k-hash/m-bit filter, and every candidate document probes it.
+    ``maybe_contaminated`` has NO false negatives (an exact benchmark
+    copy always hits all k positions) and a false-positive rate of
+    ≈ (1 − e^{−k·n/m})^k — the cheap first pass that lets the exact
+    shingle join (:func:`benchmark_overlap`) run on 1% of the corpus
+    instead of all of it.
+
+    Built from first principles with DataFrame ops (Spark's internal
+    bloom_filter_agg is not in the public registry): the filter is the
+    DISTINCT set of set-bit positions (≤ m rows — broadcast side by
+    construction), probing is a broadcast equi-join on position, and
+    both sides use the deterministic cross-engine hash, so the whole
+    sketch — bit for bit — is verified against the DuckDB oracle."""
+    bench = docs.where(F.col("doc_id") % bench_mod == 0)
+    cand = docs.where(F.col("doc_id") % bench_mod != 0)
+    seeds = list(range(k))
+    bits = None
+    for s in seeds:
+        b = bench.select((h64(F.col("text"), seed=f"bloom{s}|") % m).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()
+    probes = None
+    for s in seeds:
+        p = cand.select(
+            "doc_id", F.lit(s).alias("seed"), (h64(F.col("text"), seed=f"bloom{s}|") % m).alias("pos")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .join(cand.select("doc_id"), "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) == k).alias("maybe_contaminated"),
+        )
+    )

@@ -220,6 +220,9 @@ QUERIES: dict[str, QueryFn] = {
     "monthly_revenue_trend": lambda s, d: relational.monthly_revenue_trend(
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
     ),
+    "bloom_decontamination": lambda s, d: dedup.bloom_decontamination(
+        load_table(s, d, "documents")
+    ),
     # -- round-5b: the final eight TPC-H patterns — all 22 shapes now --
     # -- covered (partsupp-less fixture adaptations documented on each --
     # -- function) --
@@ -483,6 +486,7 @@ _CHANGED_THIS_ROUND = [
     "triangle_stats",
     "vocab_coverage",
     "monthly_revenue_trend",
+    "bloom_decontamination",
 ]
 _order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
 _ins = _order.index("sum_reduce") + 1
@@ -2381,4 +2385,40 @@ ORACLES["monthly_revenue_trend"] = """
            round(revenue - avg(revenue) OVER w3, 2) AS dev_from_ma3
     FROM monthly
     WINDOW w3 AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+# first-principles Bloom filter: set-bit positions and probes both use
+# the deterministic md5 hash, so the sketch verifies bit-for-bit
+ORACLES["bloom_decontamination"] = """
+    WITH bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substr(md5('bloom0|' || text), 1, 15))::BIGINT % 4096 AS pos
+        FROM documents WHERE doc_id % 43 = 0
+        UNION ALL
+        SELECT ('0x' || substr(md5('bloom1|' || text), 1, 15))::BIGINT % 4096
+        FROM documents WHERE doc_id % 43 = 0
+        UNION ALL
+        SELECT ('0x' || substr(md5('bloom2|' || text), 1, 15))::BIGINT % 4096
+        FROM documents WHERE doc_id % 43 = 0
+      )
+    ),
+    probes AS (
+      SELECT doc_id, ('0x' || substr(md5('bloom0|' || text), 1, 15))::BIGINT % 4096 AS pos
+      FROM documents WHERE doc_id % 43 <> 0
+      UNION ALL
+      SELECT doc_id, ('0x' || substr(md5('bloom1|' || text), 1, 15))::BIGINT % 4096
+      FROM documents WHERE doc_id % 43 <> 0
+      UNION ALL
+      SELECT doc_id, ('0x' || substr(md5('bloom2|' || text), 1, 15))::BIGINT % 4096
+      FROM documents WHERE doc_id % 43 <> 0
+    ),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_hits
+      FROM probes WHERE pos IN (SELECT pos FROM bits)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           (coalesce(h.n_hits, 0) = 3) AS maybe_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 43 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
 """

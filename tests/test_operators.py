@@ -1594,3 +1594,27 @@ def test_map_in_arrow_token_counts_match_catalyst(spark, sf_small):
         ).collect()
     }
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark, sf_med):
+    import math
+
+    docs = load_table(spark, sf_med, "documents")
+    # plant an exact copy of a benchmark doc (doc_id % 43 == 0) among
+    # the candidates — it must always hit all k positions
+    bench_row = docs.where(F.col("doc_id") % 43 == 0).limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999_998, bench_row["text"], "en", "srcX", len(bench_row["text"]))],
+        docs.schema,
+    )
+    rows = dedup.bloom_decontamination(docs.unionByName(planted)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[999_998]["maybe_contaminated"] and by_id[999_998]["n_hits"] == 3
+    # false-positive rate on the rest stays within ~3x the theoretical
+    # (1 - e^{-kn/m})^k (n bench keys x k seeds, m bits)
+    n_bench = docs.where(F.col("doc_id") % 43 == 0).count()
+    p_bit = 1 - math.exp(-dedup.BLOOM_K * n_bench / dedup.BLOOM_M)
+    fpr_bound = p_bit ** dedup.BLOOM_K
+    others = [r for r in rows if r["doc_id"] != 999_998]
+    fpr = sum(r["maybe_contaminated"] for r in others) / len(others)
+    assert fpr <= 3 * fpr_bound + 0.01, (fpr, fpr_bound)
