@@ -66,6 +66,14 @@ PROBE_QUERIES = [
     "knn_pq",
     "chunk_documents_udtf",
     "full_outer_user_activity",
+    "bm25_search",
+    "bloom_decontamination",
+    "ngram_novelty",
+    "triangle_stats",
+    "distribution_drift",
+    "corpus_quality_report",
+    "quality_classifier",
+    "hard_negative_mining",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
