@@ -116,8 +116,15 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     verbatim; window granularity over-/under-shoots by < W tokens at
     each span boundary).
 
-    Scale shape: the window fan-out is narrow (sequence + explode, no
-    shuffle, W·n/S tokens shipped per doc); duplicate detection is one
+    Scale shape: tokenize + window-hashing — the expensive text pass —
+    runs exactly ONCE: the window fan-out is narrow (sequence +
+    explode, no shuffle, W·n/S tokens shipped per doc), docs shorter
+    than W emit one NULL-hash sentinel row so the per-doc rollup needs
+    no second tokenize, and the resulting slim (doc_id, n_tokens,
+    start, win_hash) relation is localCheckpointed before its three
+    consumers (duplicated-hash detection, window marking, per-doc
+    counts) — the minhash_lsh_pairs doctrine; without it each consumer
+    re-runs the full corpus tokenize. Duplicate detection is one
     partial-agg shuffle keyed on the 60-bit window hash (map-side
     combine ships one (hash, count) pair per distinct local window);
     marking is an equi-join of windows against the duplicated-hash set
@@ -128,13 +135,20 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     toks = docs.select(
         "doc_id", tokenize("text").alias("t"), F.size(tokenize("text")).alias("n_tokens")
     )
+    # One row per W-token window; docs with 1 <= n_tokens < w get a
+    # single sentinel row (win_hash NULL) so every visible doc reaches
+    # the final rollup from this ONE checkpointed relation.
     wins = (
-        toks.where(F.col("n_tokens") >= w)
+        toks.where(F.col("n_tokens") >= 1)
         .select(
             "doc_id",
             "n_tokens",
             F.explode(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1), F.lit(stride))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.col("n_tokens") - F.lit(w - 1), F.lit(1)),
+                    F.lit(stride),
+                )
             ).alias("start"),
             "t",
         )
@@ -142,13 +156,18 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
             "doc_id",
             "n_tokens",
             "start",
-            h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))).alias("win_hash"),
+            F.when(
+                F.col("n_tokens") >= w,
+                h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))),
+            ).alias("win_hash"),
         )
+        .localCheckpoint()
     )
+    real_wins = wins.where(F.col("win_hash").isNotNull())
     dup_hashes = (
-        wins.groupBy("win_hash").agg(F.count("*").alias("n_occ")).where(F.col("n_occ") > 1)
+        real_wins.groupBy("win_hash").agg(F.count("*").alias("n_occ")).where(F.col("n_occ") > 1)
     )
-    dup_wins = wins.join(dup_hashes, "win_hash").select(
+    dup_wins = real_wins.join(dup_hashes, "win_hash").select(
         "doc_id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
     )
     # Interval-union length per doc: sort duplicated windows by start,
@@ -168,13 +187,14 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("add").alias("dup_tokens"), F.count("*").alias("n_dup_windows"))
     )
+    # count(win_hash) counts only non-NULL windows, so sentinel rows
+    # yield n_windows=0 while still delivering the doc's n_tokens —
+    # this rollup replaces the former second tokenize of `toks`.
     n_wins = wins.groupBy("doc_id").agg(
-        F.first("n_tokens").alias("n_tokens"), F.count("*").alias("n_windows")
+        F.first("n_tokens").alias("n_tokens"), F.count("win_hash").alias("n_windows")
     )
     return (
-        toks.select("doc_id", "n_tokens")
-        .where(F.col("n_tokens") >= 1)
-        .join(n_wins.drop("n_tokens"), "doc_id", "left")
+        n_wins
         .join(covered, "doc_id", "left")
         .select(
             "doc_id",

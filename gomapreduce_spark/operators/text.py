@@ -307,13 +307,18 @@ def boilerplate_spans(docs: DataFrame, n: int = 3, min_docs: int = 4) -> DataFra
     boilerplate fraction — the drop/clean decision input.
 
     Scale shape: shingle occurrences are zipped slices of one tokenize
-    (linear, no higher-order-lambda quadratic trap); the distinct-doc
-    frequency table is exploded-distinct → one partial-agg shuffle on
-    the span; the occurrence→frequency join shuffles on the same key
-    (broadcast when the frequent-span table fits — it is tiny by
-    construction at any scale, |spans with DF ≥ m| ≪ |spans|); per-doc
-    rollup partial-aggs. Exact integer counts throughout — hash-stable
-    across engines."""
+    (linear, no higher-order-lambda quadratic trap), immediately
+    reduced to (doc_id, 60-bit span hash) and localCheckpointed so the
+    tokenize+shingle pass runs ONCE for all three consumers (frequency
+    table, membership join, per-doc span count) and every downstream
+    shuffle carries 8-byte keys instead of span text. The frequency
+    side is NOT broadcast-hinted: on a web-scale corpus |spans with
+    DF ≥ m| grows with the corpus (common 3-grams recur in ≥ m docs
+    almost surely), so a forced broadcast is an OOM at 100 TB — the
+    membership check is a plain hash semi-join on span_h and AQE picks
+    broadcast only when the table measures small at runtime
+    (tests/test_plans.py pins "no mandatory broadcast" on this edge).
+    Exact integer counts throughout — hash-stable across engines."""
     t = docs.select("doc_id", tokenize("text").alias("t")).where(F.size("t") >= n)
     spans = F.zip_with(
         F.zip_with(
@@ -324,15 +329,19 @@ def boilerplate_spans(docs: DataFrame, n: int = 3, min_docs: int = 4) -> DataFra
         F.slice("t", 3, F.size("t") - 2),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
-    occ = t.select("doc_id", F.explode(spans).alias("span"))
+    occ = (
+        t.select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", h64("span").alias("span_h"))
+        .localCheckpoint()
+    )
     freq = (
         occ.distinct()
-        .groupBy("span")
+        .groupBy("span_h")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("span")
+        .select("span_h")
     )
-    flagged = occ.join(F.broadcast(freq), "span", "left_semi")
+    flagged = occ.join(freq, "span_h", "left_semi")
     per_doc_boiler = flagged.groupBy("doc_id").agg(F.count("*").alias("n_boiler"))
     return (
         occ.groupBy("doc_id")

@@ -64,3 +64,23 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_forbid_logical_catches_mandatory_broadcast(spark):
+    """Negative control for the forbid_logical audit check (the gate
+    that keeps boilerplate_spans' frequent-span join free of a
+    mandatory broadcast): a join that DOES force F.broadcast must trip
+    the 'strategy=broadcast' marker, and the same join unhinted must
+    not — proving the gate distinguishes a code-forced hint from AQE's
+    runtime choice."""
+    from pyspark.sql import functions as F
+
+    from tools.explain_audit import audit_one
+
+    left = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    right = spark.range(10).select(F.col("id").alias("k"))
+    exp = {"forbid_logical": ["strategy=broadcast"]}
+    hinted = left.join(F.broadcast(right), "k", "left_semi")
+    assert audit_one("hinted", hinted, exp), "forced broadcast not detected"
+    unhinted = left.join(right, "k", "left_semi")
+    assert not audit_one("unhinted", unhinted, exp), "false positive on unhinted join"

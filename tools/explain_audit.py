@@ -277,13 +277,17 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
-    # the frequent-span table is tiny by construction → its membership
-    # check must broadcast; the DF count partial-aggs over the
-    # exploded-distinct occurrences
+    # the frequent-span table GROWS with the corpus (common 3-grams
+    # recur in >= min_docs documents almost surely at web scale), so a
+    # mandatory broadcast of it is an OOM at 100 TB: the membership
+    # semi-join must carry NO broadcast hint — AQE may still choose
+    # broadcast at runtime when the table measures small, which is the
+    # correct adaptive behavior. The DF count partial-aggs over the
+    # exploded-distinct occurrences.
     "boilerplate_spans": {
-        "require": ["BroadcastHashJoin"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "forbid_logical": ["strategy=broadcast"],
     },
     # COUNT(DISTINCT) must plan as the two-phase distinct aggregate:
     # partial dedup on (group, suppkey) BEFORE the shuffle, then the
@@ -520,6 +524,15 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
     for s in exp.get("forbid", []):
         if s in plan:
             fails.append(f"forbidden node {s!r} present")
+    if "forbid_logical" in exp:
+        # mandatory-strategy hints survive into the OPTIMIZED logical
+        # plan as Join ...Hint=(strategy=broadcast) — the physical plan
+        # can't distinguish "AQE chose broadcast at runtime" (fine)
+        # from "the code forces broadcast at any scale" (a 100 TB OOM)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        for s in exp["forbid_logical"]:
+            if s in logical:
+                fails.append(f"forbidden logical-plan marker {s!r} present (mandatory hint)")
     if "pushed_filters" in exp:
         blocks = _scan_blocks(plan)
         pushed = " ".join(
