@@ -371,7 +371,15 @@ def banded_signatures(wide: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("doc_id", "sig", "bb.band", "bb.band_hash")
 
 
-def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
+LSH_MAX_BUCKET = 1024  # hot-bucket cap: drop LSH buckets larger than this
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
     """LSH candidate pairs + signature-agreement similarity estimate.
 
     Bands of r=k/bands signature rows are hashed to buckets; docs
@@ -382,12 +390,40 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = MINHASH_
     zip_with — the signature table is consumed exactly ONCE (no cache,
     no scoring re-joins), and the dedup happens on the already-scored
     pairs (identical across bands) instead of a pre-scoring distinct.
+
+    Hot-bucket cap (the standard production mitigation for
+    boilerplate-driven skew): a giant template cluster puts N
+    near-identical docs in ONE band bucket, whose self-join cell is
+    N² — AQE can split the shuffle but not the quadratic pair volume.
+    Buckets with more than ``max_bucket`` docs are dropped BEFORE the
+    self-join via an anti-join on the same (band, band_hash) key (no
+    new shuffle key; the bucket-size aggregate partial-aggs). Pairs
+    inside a dropped mega-cluster are near-identical by construction
+    and already caught by exact/paragraph dedup. NOT silent: the plan
+    carries a named CollectMetrics observation
+    ``minhash_lsh_hot_buckets`` (n_hot_buckets, n_rows_dropped)
+    emitted to every QueryExecutionListener when the query runs.
     """
     # one row of k longs per doc — materialized once so the band
     # self-join doesn't run the signature Arrow pass per side (see
     # ngram_jaccard_pairs for the localCheckpoint-vs-cache rationale)
     wide = minhash_wide(docs, k).localCheckpoint()
     banded = banded_signatures(wide, k, bands)
+    hot = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+        .observe(
+            "minhash_lsh_hot_buckets",
+            F.count("*").alias("n_hot_buckets"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_rows_dropped"),
+        )
+    )
+    # unhinted anti-join: the hot list is tiny in sane corpora (AQE
+    # broadcasts it) but worst-case grows with corpus/max_bucket, so a
+    # mandatory broadcast would re-create the bug this cap fixes; the
+    # key matches the self-join's shuffle key either way
+    banded = banded.join(hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     matches = F.size(
         F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq)
@@ -730,6 +766,7 @@ def embedding_near_dup(
     threshold: float = 0.4,
     n_planes: int = NEAR_DUP_PLANES,
     n_tables: int = NEAR_DUP_TABLES,
+    max_cell: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
     threshold): LSH-bucketed candidate generation + exact per-pair
@@ -759,6 +796,16 @@ def embedding_near_dup(
     over dimensions, IEEE-identical to the Catalyst fold
     (functions.vectors.dot) and DuckDB's list_dot_product, so the SQL
     oracle hash-matches exactly.
+
+    Hot-cell cap: the work bound is Σ_cells |members|² — one
+    mega-cluster of mutually-identical embeddings (a template family)
+    makes its home cell quadratic in every table. Cells with more than
+    ``max_cell`` MEMBERS are dropped (members and visitors) before the
+    scoring shuffle; member-count is the right cap key because only
+    member×member pairs are quadratic (visitor×visitor pairs are never
+    scored). NOT silent: the plan carries the named CollectMetrics
+    observation ``embedding_near_dup_hot_cells`` (n_hot_cells,
+    n_member_rows_dropped).
     """
     import numpy as np
     import pandas as pd
@@ -796,7 +843,18 @@ def embedding_near_dup(
         ).alias("bucket"),
         F.lit(1).alias("is_probe"),
     )
-    cells = exact.unionByName(visitors)
+    hot = (
+        sigs.groupBy("table", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_cell)
+        .observe(
+            "embedding_near_dup_hot_cells",
+            F.count("*").alias("n_hot_cells"),
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_member_rows_dropped"),
+        )
+        .select("table", "bucket")
+    )
+    cells = exact.unionByName(visitors).join(hot, ["table", "bucket"], "left_anti")
 
     def _lr_sims(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
         """All-pairs cosine between row sets, accumulated LEFT-TO-RIGHT
