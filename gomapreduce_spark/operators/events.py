@@ -612,7 +612,10 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
         F.round(F.avg("k"), 6).alias("avg_k"),
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
-        F.count("m").alias("n_missing_path"),  # 0: NULL for absent paths
+        # count() counts NON-null cells, i.e. rows where the probed
+        # '$.missing' path IS present (0 on this fixture — every row
+        # lacks it); named for what it counts
+        F.count("m").alias("n_path_present"),
     )
 
 

@@ -2091,7 +2091,7 @@ ORACLES["variant_props_stats"] = """
     SELECT event_type, count(*)::BIGINT AS n,
            round(avg(k), 6) AS avg_k,
            min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
-           count(m)::BIGINT AS n_missing_path
+           count(m)::BIGINT AS n_path_present
     FROM (SELECT event_type,
                  json_extract(props, '$.k')::INT AS k,
                  json_extract_string(props, '$.missing') AS m

@@ -46,6 +46,21 @@ RUNTIME_CONFS: dict[str, str] = {
     # aggregate. The adversarial sweeps in tests/test_operators.py pin
     # this: every registered query must produce a defined result on
     # empty AND on all-identical inputs.
+    #
+    # KNOWN EXPOSURE (deliberate trade): non-ANSI also turns invalid
+    # casts into NULL and lets integer arithmetic wrap silently —
+    # which can mask genuine data bugs. Mitigations in this codebase:
+    # sums that could plausibly overflow accumulate in double or are
+    # range-bounded by construction (60-bit hashes, counts of
+    # fixture-scale cardinality); string→number casts occur only on
+    # columns the loaders type-check at ingest (sources.registry
+    # normalizes schemas, and entry() fails fast on encoding drift);
+    # and every registered query is hash-compared against DuckDB,
+    # which runs with its own strict semantics, so a wrap or
+    # cast-to-NULL divergence surfaces as an oracle mismatch rather
+    # than passing silently. New code that wants per-expression
+    # strictness should use try_cast/try_divide/try_* explicitly —
+    # those behave identically under either ANSI setting.
     "spark.sql.ansi.enabled": "false",
     # runtime re-planning: shuffle-partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",

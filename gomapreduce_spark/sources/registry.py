@@ -359,18 +359,35 @@ def compact_dataset(
 
     Returns {files_before, files_after, bytes}. The rewrite is one
     job: a scan + round-robin (or range, when ordered) repartition +
-    parquet write — no driver materialization."""
+    parquet write — no driver materialization.
+
+    Crash safety: the swap is two renames (POSIX os.rename cannot
+    exchange two directories atomically), so there is a window where
+    the dataset lives only at ``<path>__old``. Recovery is built in:
+    on entry, a leftover ``__old`` with ``path`` missing (a crash in
+    that window) is renamed back before anything else runs, and stale
+    ``__old``/``__compacting`` dirs from prior completed-or-failed
+    runs are cleared so reruns never rename onto an existing dir or
+    delete the wrong tree."""
     import glob as _glob
     import math as _math
     import os as _os
     import shutil as _shutil
 
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # recover/clean any prior run's leftovers BEFORE measuring input
+    if _os.path.isdir(old) and not _os.path.exists(path):
+        _os.rename(old, path)  # crashed mid-swap: restore the dataset
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)  # crashed after the swap: old copy is stale
+    if _os.path.isdir(tmp):
+        _shutil.rmtree(tmp)  # half-written rewrite from a failed run
+
     files_before = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     total_bytes = sum(_os.path.getsize(f) for f in files_before)
     n_out = max(1, _math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__old"
     if order_col is not None:
         out = df.repartitionByRange(n_out, F.col(order_col)).sortWithinPartitions(order_col)
     else:

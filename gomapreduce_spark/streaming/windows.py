@@ -523,18 +523,31 @@ def streaming_running_totals(
             "transformWithStateInPandas requires google.protobuf (the "
             "state-API client) — absent in this environment; see tws_available()"
         )
+    # transformWithState requires the RocksDB provider; the conf is
+    # read at query START, so set it for this query only and restore
+    # the previous value afterwards — leaking it would silently switch
+    # the provider under an unrelated streaming query resuming an
+    # HDFS-provider checkpoint in the same session
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    stream = _read_events_stream(spark, events_path, max_files_per_trigger)
-    out = stream.groupBy("user_id").transformWithStateInPandas(
-        RunningTotalsProcessor(),
-        TWS_OUT_SCHEMA,
-        "Update",
-        "None",
-    )
-    updates = _run_to_memory(out, "update")
+    try:
+        stream = _read_events_stream(spark, events_path, max_files_per_trigger)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            TWS_OUT_SCHEMA,
+            "Update",
+            "None",
+        )
+        updates = _run_to_memory(out, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     return (
         updates.groupBy("user_id")
         .agg(
@@ -632,16 +645,20 @@ def streaming_incremental_dedup(
 
     verdicts_dir = os.path.join(work_dir, "verdicts")
     index_dir = os.path.join(work_dir, "index")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def ingest(batch_df, batch_id: int):
         new_b = banded_signatures(minhash_wide(batch_df, MINHASH_K), MINHASH_K, MINHASH_BANDS)
         new_b = new_b.withColumn("batch_id", F.lit(batch_id)).localCheckpoint()
-        try:
+        # "no index yet" is decided by the path, NOT by catching read
+        # errors: a transient storage fault or corrupt parquet must
+        # fail the batch (foreachBatch retries it) — swallowing it
+        # would silently score against an EMPTY index and persist
+        # verdicts that miss every cross-batch duplicate.
+        if os.path.isdir(index_dir):
             idx = batch_df.sparkSession.read.parquet(index_dir).where(
                 F.col("batch_id") < batch_id  # a retried batch must not see itself
             )
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             idx = new_b.where(F.lit(False))
         manifest = _score_new_vs_index(
             batch_df.select("doc_id"),
@@ -651,13 +668,23 @@ def streaming_incremental_dedup(
             threshold,
             require_lower_index_id=True,
         )
+        # dynamic partition-overwrite is scoped PER WRITE (writer
+        # option, not a session conf) so a retried batch replaces only
+        # its own batch_id partition without leaking overwrite
+        # behavior into unrelated writes sharing the session
         (
             manifest.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(verdicts_dir)
         )
-        new_b.write.mode("overwrite").partitionBy("batch_id").parquet(index_dir)
+        (
+            new_b.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
 
     stream = _read_parquet_stream(spark, docs_path, max_files_per_trigger)
     q = (

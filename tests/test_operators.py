@@ -1248,7 +1248,7 @@ def test_variant_props_stats_null_paths(spark):
     click = rows["click"]
     assert click["n"] == 3 and click["avg_k"] == 20.0
     assert click["min_k"] == 10 and click["max_k"] == 30
-    assert click["n_missing_path"] == 0
+    assert click["n_path_present"] == 0
     assert rows["view"]["avg_k"] == 7.0
 
 

@@ -172,3 +172,33 @@ def test_compact_dataset_reduces_files_and_preserves_rows(spark, sf_small, tmp_p
     # ordered rewrite restored footer pruning: single file, sorted run
     ids = [r["doc_id"] for r in after_df.select("doc_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_compact_dataset_recovers_from_crash_leftovers(spark, sf_small, tmp_path):
+    """The two-rename swap has a window where the dataset exists only
+    at <path>__old; a rerun must restore it, and stale __old /
+    __compacting leftovers from completed-or-failed runs must not make
+    the rename/rmtree steps fail or delete live data."""
+    import os
+
+    from gomapreduce_spark.sources.registry import compact_dataset, load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    out = str(tmp_path / "ds")
+    docs.repartition(5).write.parquet(out)
+    before = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # simulate a crash BETWEEN the two renames: dataset only at __old
+    os.rename(out, out + "__old")
+    os.makedirs(out + "__compacting")  # plus a half-written rewrite dir
+    stats = compact_dataset(spark, out, target_mb=128)
+    assert stats["files_before"] == 5 and stats["files_after"] == 1
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
+    assert not os.path.exists(out + "__old") and not os.path.exists(out + "__compacting")
+
+    # simulate a crash AFTER the swap (stale __old beside a live path):
+    # the live dataset must win and the stale copy must be cleared
+    spark.read.parquet(out).limit(10).write.parquet(out + "__old")
+    stats = compact_dataset(spark, out, target_mb=128)
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
+    assert not os.path.exists(out + "__old")
