@@ -14,9 +14,14 @@ the driver's weaker rows-only check by design:
   - approx_distinct_users (HLL sketch; error bound asserted in tests)
   - value_deciles_approx, heavy_hitters_approx (sketch twins; error
     bounds asserted in tests)
-  - image_dhash_index, audio_spectral (real numpy codec/FFT work — not
-    SQL-expressible; exact-reference + planted-near-dup tests in
-    tests/test_multimodal_codecs.py)
+
+image_dhash_index and audio_spectral ARE hash-oracled despite being
+non-SQL codec/FFT work: the pipelines are deterministic functions of
+documents.text, so their expected outputs are precomputed into DuckDB
+VALUES tables by an independent numpy reference
+(tools/gen_codec_oracle.py, self-checked at generation; committed as
+codec_expected.py) — on top of the exact-reference + planted-near-dup
+codec tests in tests/test_multimodal_codecs.py.
 
 Every streaming query IS hash-oracled: on a finite availableNow replay
 the streaming results are deterministic functions of the input (windows,
@@ -2422,3 +2427,14 @@ ORACLES["bloom_decontamination"] = """
     FROM (SELECT doc_id FROM documents WHERE doc_id % 43 <> 0) d
     LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
+
+# Codec-pipeline oracles: deterministic numpy codec/FFT work is not
+# SQL-expressible, but its expected output at the driver's check SF is
+# — precomputed VALUES tables from an independent reference
+# (tools/gen_codec_oracle.py; self-checked against the live pipeline
+# at generation time and filtered through the documents view so subset
+# SFs still compare correctly).
+from .codec_expected import AUDIO_SPECTRAL_EXPECTED_SQL, DHASH_EXPECTED_SQL
+
+ORACLES["image_dhash_index"] = DHASH_EXPECTED_SQL
+ORACLES["audio_spectral"] = AUDIO_SPECTRAL_EXPECTED_SQL
