@@ -15,11 +15,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Every registered batch query, in inventory order; the streaming ops
-# are excluded (they run their own micro-batch lifecycle and are
-# parity-benchmarked in tests/test_streaming.py instead).
+# Every registered batch query, in inventory order. Streaming ops run
+# their own micro-batch lifecycle (availableNow replay to a memory
+# sink INSIDE the callable), so they are timed in a separate section:
+# their wall-clock is replay- and state-store-dominated, not
+# plan-dominated, and mixing them into the batch total would swamp
+# plan regressions in replay noise — but NOT timing them at all left
+# state-store/watermark regressions invisible (round-5 verdict item).
 def bench_queries(queries) -> list[str]:
     return [n for n in queries if not n.startswith("streaming_")]
+
+
+def streaming_queries(queries) -> list[str]:
+    return [n for n in queries if n.startswith("streaming_")]
 
 
 def main() -> None:
@@ -79,7 +87,25 @@ def main() -> None:
         # the JVM into GC pressure and late queries read 5-10x slow
         gc.collect()
 
+    # Streaming section: one full availableNow replay per query (the
+    # callable runs the whole micro-batch lifecycle; the noop sink
+    # then materializes the memory-table result). Single-sample: each
+    # replay already amortizes over many tasks, and best-of-N here
+    # would double a section that is replay-bound by design.
+    import time as _t
+
+    stimes: dict[str, float] = {}
+    for name in streaming_queries(QUERIES):
+        try:
+            t0 = _t.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            stimes[name] = round(_t.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+        gc.collect()
+
     total = round(sum(times.values()), 3)
+    streaming_total = round(sum(stimes.values()), 3)
     # Full per-query detail goes to a committed file; stdout carries a
     # compact summary as the LAST line. The driver captures only a
     # 2000-char tail of stdout, so the previous all-queries JSON line
@@ -93,6 +119,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "streaming_queries": stimes,
+        "streaming_sec": streaming_total,
         "sf": sf,
         "calib_sec": calib,
     }
@@ -106,10 +134,12 @@ def main() -> None:
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     summary = {
         "metric": "bench_total_wall_sec",
-        "value": total,
+        "value": total,  # batch total — comparable across rounds
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "n_queries": len(times),
+        "streaming_sec": streaming_total,
+        "n_streaming": len(stimes),
         "n_errors": len(errors),
         "sf": sf,
         "calib_sec": calib,

@@ -436,66 +436,74 @@ def _streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_chained_windows"] = _streaming_chained_windows
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
-# the first ~50 entries, so entries whose BEHAVIOR changed this round
-# (their previous rows no longer vouch for the current code) move to
-# the front, right after the reference-core four. Round 5 promotes
-# every entry NEW this round (36 of them — the final TPC-H shapes
-# completing all 22 patterns, the corpus-hygiene/quality/sampling ops,
-# the iterative/VARIANT/UDTF/PQ/chained-streaming additions, and the
-# function-family showcases). Round 4's promotions (streaming set,
-# training-data ops, q14/q16/q18/q19) all carry green r04 hash rows and
-# slide back toward the tail — every entry is still re-verified each
-# run by pytest + tools/check_oracle.py regardless of position.
-_CHANGED_THIS_ROUND = [
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_by_returnflag",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "q13_customer_distribution",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "paragraph_dedup",
-    "lm_perplexity",
-    "boilerplate_spans",
-    "incremental_dedup",
-    "ordered_funnel",
-    "rolling_active_users",
-    "retention_cohorts",
-    "image_dhash_index",
-    "audio_spectral",
-    "streaming_left_outer_join",
-    "duplicate_spans",
-    "dsir_weights",
-    "token_budget_sample",
-    "grouping_sets_revenue",
-    "k_anonymity_audit",
-    "streaming_chained_windows",
-    "knn_pq",
-    "pagerank_dedup_graph",
-    "variant_props_stats",
-    "chunk_documents_udtf",
-    "full_outer_user_activity",
-    "map_funcs_showcase",
-    "math_funcs_showcase",
-    "quality_classifier",
-    "hard_negative_mining",
-    "regression_stats",
-    "corpus_quality_report",
-    "bm25_search",
-    "distribution_drift",
-    "ngram_novelty",
-    "triangle_stats",
-    "vocab_coverage",
-    "monthly_revenue_trend",
-    "bloom_decontamination",
+# the first ~50 entries, so the front of the dict is rebuilt each
+# round as: (a) every entry whose IMPLEMENTATION changed this round —
+# their previous green rows no longer vouch for the current code —
+# including downstream consumers of changed operators; (b) entries the
+# round-5 bench refactors touched that no driver row has covered
+# since; (c) the stalest entries (last driver row r1, then r3). The
+# r4/r5-checked tail cedes its slots — every entry is still
+# re-verified each run by pytest + tools/check_oracle.py regardless of
+# position.
+_R6_PRIORITY = [
+    # (a) implementation changed in round 6
+    "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
+    "duplicate_spans",         # single-pass sentinel-window rewrite
+    "minhash_lsh_pairs",       # hot-bucket cap
+    "embedding_near_dup",      # hot-cell cap
+    "dedup_clusters",          # consumes capped minhash pairs
+    "canonical_docs",          # consumes capped minhash pairs
+    "leakage_safe_split",      # consumes capped minhash pairs
+    "embedding_dedup_clusters",  # consumes capped embedding pairs
+    "pagerank_dedup_graph",    # consumes capped minhash pairs
+    "triangle_stats",          # consumes capped minhash pairs
+    "variant_props_stats",     # n_path_present rename (operator + oracle)
+    "image_dhash_index",       # promoted rows-only -> hash oracle
+    "audio_spectral",          # promoted rows-only -> hash oracle
+    # (b) touched by round-5 bench refactors, no driver row since
+    "json_props_stats",
+    "asof_join_orders",
+    "range_join_shipments",
+    "winnow_fingerprints",
+    "q4_late_shipments",
+    "salted_user_counts",
+    # (c) stalest: last driver row round 1
+    "percentile_stats",
+    "topk_per_group",
+    "rollup_revenue",
+    "anti_join_customers",
+    "semi_join_big_spenders",
+    "order_status_pivot",
+    "tumbling_window_counts",
+    "running_totals",
+    "cube_by_type_hour",
+    "funnel_set_ops",
+    "latest_event_per_user",
+    "value_deciles",
+    "value_prop_correlation",
+    "trimmed_mean_by_type",
+    "distinct_words",
+    "string_funcs_showcase",
+    "date_funcs_showcase",
+    "window_rank_showcase",
+    # (c) stalest: last driver row round 3
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "simhash",
+    "knn_bruteforce",
+    "training_corpus",
+    "profile_events",
+    "q3_top_orders",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q5_local_supplier",
+    "q17_small_quantity",
 ]
-_order = [n for n in QUERIES if n not in _CHANGED_THIS_ROUND]
+_order = [n for n in QUERIES if n not in _R6_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
-_order[_ins:_ins] = _CHANGED_THIS_ROUND
+_order[_ins:_ins] = _R6_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
