@@ -809,3 +809,36 @@ def distribution_drift(events: DataFrame, n_bins: int = 10) -> DataFrame:
             ).alias("psi")
         )
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (event_type -> next event_type) step, the count
+    and the row-normalized transition probability — the input to
+    next-action models, funnel anomaly detection, and bot heuristics
+    (a user emitting purchase->purchase loops). No reference
+    counterpart (reference mapreduce.go has no sequence operator of
+    any kind, SURVEY §2.2); part of the event-analytics mandate.
+
+    Scale shape: ONE user-keyed shuffle feeds the lead() window
+    (per-user sequences sort independently; key cardinality = users),
+    then the (type, next) counts partial-agg into at most |types|²
+    rows, and the probability normalizer is a window over that tiny
+    aggregate partitioned by event_type — never over raw events.
+    Ordering ties are broken by event_id, so the matrix is
+    deterministic and cross-engine-stable (exact integer counts; the
+    probability rounds a ratio of those integers)."""
+    nxt = F.lead("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / total, 6).alias("p"),
+    )

@@ -1113,3 +1113,103 @@ def vocab_coverage(docs: DataFrame, ks: tuple[int, ...] = (5, 10, 25)) -> DataFr
             F.round(F.col("cum") / F.col("tot").cast("double"), 6).alias("coverage"),
         )
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = 10) -> DataFrame:
+    """One BPE-training iteration, the corpus-side half of tokenizer
+    construction (Sennrich et al. 2016): per language, the ``top_k``
+    most frequent ADJACENT CHARACTER pairs inside words — the pair a
+    byte-pair-encoding trainer would merge next. Re-running after each
+    merge (with the merged symbol substituted) is the full training
+    loop; the expensive corpus pass is exactly this query each round.
+
+    Scale shape: the pair fan-out is a narrow transform over a
+    sequence (one substr per position — linear, no quadratic lambda
+    trap), counts partial-agg on (lang, pair) whose key space is
+    bounded by the symbol alphabet squared, and the top-k window runs
+    over that tiny aggregate partitioned by lang. Exact integer
+    counts; ties rank deterministically by pair string."""
+    words = docs.select(
+        "lang", F.explode(tokenize("text")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    from pyspark.sql import Window as W
+
+    counts = pairs.groupBy("lang", "pair").agg(F.count("*").alias("n"))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), "pair"))
+    return (
+        counts.withColumn("rank", rk)
+        .where(F.col("rank") <= top_k)
+        .select("lang", "pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sparse_doc_similarity(docs: DataFrame, max_df: int = 50, top_k: int = 50) -> DataFrame:
+    """Sparse lexical doc-similarity: global top-k document pairs by
+    cosine over tf-weighted TRIGRAM-shingle vectors, computed through
+    an inverted-index self-join — the sparse complement of the dense
+    embedding ANN family and the tf-weighted cousin of
+    ngram_jaccard_pairs' set semantics.
+
+    Scale shape: shingle tf vectors come from one tokenize pass
+    (zipped-slice trigrams, 60-bit hashed, localCheckpointed for the
+    posting/norm consumers); postings with document frequency above
+    ``max_df`` are DROPPED before the self-join (the hot-posting cap —
+    the retrieval twin of the LSH hot-bucket cap: a stop-shingle's
+    posting list is quadratic in df and contributes near-zero
+    discrimination), so pair volume is bounded by Σ_terms df² ≤
+    max_df·Σdf, never |corpus|². Dot products and norms are exact
+    int64 sums (order-independent), the cosine divides those exact
+    integers once, and the global top-k is a distributed TakeOrdered
+    with (sim, doc_a, doc_b) tie-breaks — cross-engine-stable."""
+    t = docs.select("doc_id", tokenize("text").alias("t")).where(F.size("t") >= 3)
+    grams = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 2),
+            F.slice("t", 2, F.size("t") - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice("t", 3, F.size("t") - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    tf = (
+        t.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", h64("g").alias("g_h"))
+        .groupBy("doc_id", "g_h")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    keep = (
+        tf.groupBy("g_h")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g_h")
+    )
+    post = tf.join(keep, "g_h")
+    a, b = post.alias("a"), post.alias("b")
+    dots = (
+        a.join(b, (F.col("a.g_h") == F.col("b.g_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    norms = post.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nrm", "na"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nrm", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(top_k)
+    )

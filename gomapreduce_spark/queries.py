@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.skew import salted_counts
-from .operators import dedup, events, multimodal, relational, similarity, text, wordcount
+from .operators import dedup, events, linkage, multimodal, relational, similarity, text, wordcount
 from .operators.wordcount import WS_RE
 from .sources.registry import load_table, profile_table
 from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
@@ -188,6 +188,18 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "audio_spectral": lambda s, d: multimodal.audio_spectral_features(
         multimodal.synth_wav_payloads(load_table(s, d, "documents"))
+    ),
+    # -- round-6: record linkage, Markov transitions, BPE training --
+    # -- step, sparse lexical similarity                            --
+    "fuzzy_customer_links": lambda s, d: linkage.fuzzy_customer_links(
+        load_table(s, d, "customer")
+    ),
+    "event_transition_matrix": lambda s, d: events.event_transition_matrix(
+        load_table(s, d, "events")
+    ),
+    "bpe_pair_counts": lambda s, d: text.bpe_pair_counts(load_table(s, d, "documents")),
+    "sparse_doc_similarity": lambda s, d: text.sparse_doc_similarity(
+        load_table(s, d, "documents")
     ),
     # -- round-5c: repeated-substring dedup, DSIR importance weights, --
     # -- token-budget sampling, GROUPING SETS, k-anonymity audit      --
@@ -446,6 +458,11 @@ QUERIES["streaming_chained_windows"] = _streaming_chained_windows
 # re-verified each run by pytest + tools/check_oracle.py regardless of
 # position.
 _R6_PRIORITY = [
+    # (a0) NEW in round 6 — no driver row exists yet
+    "fuzzy_customer_links",
+    "event_transition_matrix",
+    "bpe_pair_counts",
+    "sparse_doc_similarity",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite
@@ -2446,3 +2463,120 @@ from .codec_expected import AUDIO_SPECTRAL_EXPECTED_SQL, DHASH_EXPECTED_SQL
 
 ORACLES["image_dhash_index"] = DHASH_EXPECTED_SQL
 ORACLES["audio_spectral"] = AUDIO_SPECTRAL_EXPECTED_SQL
+
+# -- round-6 additions ------------------------------------------------
+
+# SymSpell deletion-neighborhood linkage: the oracle regenerates the
+# deterministic typo feed, fans both sides out to their deletion
+# variants (joined on the variant STRING — equivalent to the Spark
+# side's 60-bit variant hash modulo negligible collisions), verifies
+# with DuckDB's levenshtein, and picks the same (distance, id) argmin.
+ORACLES["fuzzy_customer_links"] = """
+    WITH clean AS (SELECT c_custkey AS clean_id, c_name AS name FROM customer),
+    dirty AS (
+      SELECT c_custkey AS dirty_id,
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(c_name, 1, pos - 1) || substr(c_name, pos + 1)
+               WHEN 1 THEN substr(c_name, 1, pos - 1) || 'x' || substr(c_name, pos + 1)
+               ELSE substr(c_name, 1, pos - 1) || 'x' || substr(c_name, pos)
+             END AS name
+      FROM (SELECT *, (c_custkey % length(c_name))::INT + 1 AS pos FROM customer)
+    ),
+    cv AS (
+      SELECT DISTINCT clean_id, v FROM (
+        SELECT clean_id, name AS v FROM clean
+        UNION ALL
+        SELECT clean_id, substr(name, 1, i - 1) || substr(name, i + 1)
+        FROM clean, unnest(generate_series(1, length(name))) AS t(i)
+      )
+    ),
+    dv AS (
+      SELECT DISTINCT dirty_id, v FROM (
+        SELECT dirty_id, name AS v FROM dirty
+        UNION ALL
+        SELECT dirty_id, substr(name, 1, i - 1) || substr(name, i + 1)
+        FROM dirty, unnest(generate_series(1, length(name))) AS t(i)
+      )
+    ),
+    cand AS (SELECT DISTINCT dirty_id, clean_id FROM dv JOIN cv USING (v)),
+    scored AS (
+      SELECT c.dirty_id, c.clean_id,
+             levenshtein(d.name, cl.name) AS edit_distance
+      FROM cand c
+      JOIN dirty d USING (dirty_id)
+      JOIN clean cl USING (clean_id)
+      WHERE levenshtein(d.name, cl.name) <= 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY dirty_id ORDER BY edit_distance, clean_id) AS rk,
+             count(*) OVER (PARTITION BY dirty_id) AS n_candidates
+      FROM scored
+    )
+    SELECT dirty_id, clean_id AS matched_id, edit_distance::INT AS edit_distance,
+           n_candidates::BIGINT AS n_candidates
+    FROM ranked WHERE rk = 1
+"""
+
+ORACLES["event_transition_matrix"] = """
+    WITH steps AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, count(*)::BIGINT AS n
+      FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM c
+"""
+
+ORACLES["bpe_pair_counts"] = f"""
+    WITH words AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest({_TOKS}) AS w FROM documents
+      ) WHERE length(w) >= 2
+    ),
+    pairs AS (
+      SELECT lang, substr(w, i, 2) AS pair
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    ),
+    c AS (SELECT lang, pair, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2)
+    SELECT lang, pair, n, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rank FROM c
+    ) WHERE rank <= 10
+"""
+
+# tf-weighted trigram cosine: dot products and norms are exact BIGINT
+# sums (order-independent), so the only float op is the final division
+# — identical in both engines; the oracle groups on the raw gram
+# string where Spark groups on its 60-bit hash (collision-free at any
+# verifiable scale).
+ORACLES["sparse_doc_similarity"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM t, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+      WHERE len(ts) >= 3
+    ),
+    tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM grams GROUP BY 1, 2),
+    keep AS (
+      SELECT g FROM (SELECT g, count(*) AS df FROM tf GROUP BY g)
+      WHERE df BETWEEN 2 AND 50
+    ),
+    post AS (SELECT tf.* FROM tf JOIN keep USING (g)),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf)::BIGINT AS dot
+      FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS nrm FROM post GROUP BY 1)
+    SELECT doc_a, doc_b, dot,
+           round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 50
+"""

@@ -511,6 +511,40 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join"],
         "max_single_partition": 0,
     },
+    # SymSpell linkage: candidates must come from the variant-hash
+    # EQUI-join (narrow deletion fan-out on each side) — an all-pairs
+    # name comparison would appear as a nested-loop/cartesian; the
+    # argmin is a (sort-)aggregate on min-of-struct buffers
+    "fuzzy_customer_links": {
+        "partial_agg": True,
+        "partial_agg_kind": "sort",
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # Markov transitions: the lead() window partitions by user_id and
+    # the probability normalizer windows over the tiny aggregate — no
+    # join, no global window
+    "event_transition_matrix": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
+    # BPE pair counts: narrow pair fan-out + one (lang, pair) partial
+    # agg; the top-k window partitions by lang
+    "bpe_pair_counts": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
+    # sparse similarity: posting self-join is an equi-join on the gram
+    # hash with the hot-posting df cap applied BEFORE it; global top-k
+    # must plan as distributed TakeOrdered, never a global sort
+    "sparse_doc_similarity": {
+        "require": ["TakeOrderedAndProject"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
