@@ -842,3 +842,37 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / total, 6).alias("p"),
     )
+
+
+def scd2_user_state(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (the CDC →
+    warehouse-dimension compaction every lakehouse pipeline runs):
+    each user's event_type stream is compressed into contiguous STATE
+    RUNS — one row per run with [valid_from, valid_to) bounds, open
+    runs carrying NULL valid_to and is_current=true. The complement of
+    latest_event_per_user (which keeps only the final state): this
+    keeps the full versioned history a point-in-time join needs.
+
+    Scale shape: ONE user-keyed shuffle serves both windows (the
+    run-start detection lag and the valid_to lead run over the same
+    (user_id | ts, event_id) ordering, so Catalyst plans a single
+    Window exchange); run starts are a narrow filter; no join, no
+    global sort. Timestamps are emitted as exact integer micros —
+    hash-stable across engines."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        runs.withColumn("valid_to_us", F.lead(F.unix_micros("ts")).over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )

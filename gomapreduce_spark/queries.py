@@ -201,6 +201,7 @@ QUERIES: dict[str, QueryFn] = {
     "sparse_doc_similarity": lambda s, d: text.sparse_doc_similarity(
         load_table(s, d, "documents")
     ),
+    "scd2_user_state": lambda s, d: events.scd2_user_state(load_table(s, d, "events")),
     # -- round-5c: repeated-substring dedup, DSIR importance weights, --
     # -- token-budget sampling, GROUPING SETS, k-anonymity audit      --
     "duplicate_spans": lambda s, d: dedup.duplicate_spans(load_table(s, d, "documents")),
@@ -447,6 +448,18 @@ def _streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_chained_windows"] = _streaming_chained_windows
 
+
+def _streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_transition_matrix
+
+    return streaming_transition_matrix(spark, f"{sf_dir}/events.parquet")
+
+
+# stateful per-user last-event chaining; on a finite replay its step
+# emissions equal the batch lead() pairs, so it shares the batch
+# operator's oracle (assigned after the ORACLES dict below)
+QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
+
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
 # round as: (a) every entry whose IMPLEMENTATION changed this round —
@@ -463,6 +476,8 @@ _R6_PRIORITY = [
     "event_transition_matrix",
     "bpe_pair_counts",
     "sparse_doc_similarity",
+    "scd2_user_state",
+    "streaming_transition_matrix",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite
@@ -2580,3 +2595,20 @@ ORACLES["sparse_doc_similarity"] = f"""
     JOIN norms nb ON nb.doc_id = doc_b
     ORDER BY cosine DESC, doc_a, doc_b LIMIT 50
 """
+
+ORACLES["scd2_user_state"] = """
+    WITH runs AS (
+      SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+      ) WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM runs
+"""
+
+ORACLES["streaming_transition_matrix"] = ORACLES["event_transition_matrix"]

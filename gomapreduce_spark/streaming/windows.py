@@ -697,3 +697,77 @@ def streaming_incremental_dedup(
     return spark.read.parquet(verdicts_dir).select(
         "doc_id", "n_matches", "best_jaccard", "is_dup"
     )
+
+
+TRANSITION_STEP_SCHEMA = "user_id long, event_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_us long, last_eid long, last_type string"
+
+
+def streaming_transition_matrix(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming first-order Markov transition matrix — the stateful
+    complement of ``events.event_transition_matrix``: per user, the
+    LAST seen event rides in typed GroupState, each micro-batch chains
+    its (sorted) events onto it and emits one (event_type ->
+    next_type) step row per consecutive pair, and the returned table
+    aggregates the emitted steps into counts + row-normalized
+    probabilities. The batch operator's lead() window needs the whole
+    history; this form sees each event once and carries O(1) state per
+    user — the shape an online next-action model feeds from.
+
+    On a finite time-ordered replay (single batch, or
+    ``max_files_per_trigger`` over time-ordered files) the emitted
+    steps equal the batch window's pairs, so the DuckDB oracle is the
+    SAME SQL as the batch operator — and the parity test pins
+    stream == batch == oracle three ways. The end-of-stream open state
+    (each user's final event) correctly emits nothing, exactly like
+    lead()'s trailing NULL.
+
+    Scale shape: one user_id hash shuffle into the stateful operator;
+    state is 3 fields per user; step emissions are append-mode final;
+    the count rollup runs over |types|² aggregated rows."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        pdf = pd.concat(list(pdfs))
+        rows = sorted(
+            zip(
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist(),
+                pdf["event_id"].tolist(),
+                pdf["event_type"].tolist(),
+            )
+        )
+        prev = state.get if state.exists else None  # (last_us, last_eid, last_type)
+        steps: list[tuple] = []
+        for t_us, eid, etype in rows:
+            if prev is not None:
+                steps.append((user_id, prev[2], etype))
+            prev = (t_us, eid, etype)
+        state.update(prev)
+        yield pd.DataFrame(steps, columns=["user_id", "event_type", "next_type"])
+
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", "0 seconds"
+    )
+    step_df = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        TRANSITION_STEP_SCHEMA,
+        TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    steps = _run_to_memory(step_df, "append")
+    from pyspark.sql import Window as W
+
+    counts = steps.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / total, 6).alias("p"),
+    )

@@ -640,3 +640,29 @@ def test_streaming_queries_survive_an_empty_stream(spark, sf_small, tmp_path):
     assert streaming_tumbling_counts(spark, path).count() == 0
     assert streaming_stateful_sessions(spark, path).count() == 0
     assert streaming_chained_windows(spark, path).count() == 0
+
+
+def test_streaming_transition_matrix_matches_batch(spark, sf_small):
+    from gomapreduce_spark.operators.events import event_transition_matrix
+    from gomapreduce_spark.streaming import streaming_transition_matrix
+
+    batch = event_transition_matrix(load_table(spark, sf_small, "events"))
+    stream = streaming_transition_matrix(spark, f"{sf_small}/events.parquet")
+    assert _as_set(stream.select(*batch.columns)) == _as_set(batch)
+
+
+def test_multibatch_transition_matrix_matches_single_batch(spark, sf_small, tmp_path):
+    """Incremental replay: each user's LAST event carries across
+    micro-batch boundaries in GroupState, so the step chain over six
+    in-order batches must equal the single-batch (and thus the batch
+    window's) transition pairs."""
+    from gomapreduce_spark.streaming import streaming_transition_matrix
+
+    ev = load_table(spark, sf_small, "events")
+    mb_dir = str(tmp_path / "mb_events_tm")
+    _write_time_ordered_files(spark, ev, mb_dir, n_files=6)
+
+    single = _as_set(streaming_transition_matrix(spark, f"{sf_small}/events.parquet"))
+    multi = _as_set(streaming_transition_matrix(spark, mb_dir, max_files_per_trigger=1))
+    assert len(single) > 0
+    assert multi == single

@@ -545,6 +545,15 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # SCD2 history: both windows share the (user_id | ts, event_id)
+    # ordering so ONE user-keyed exchange serves them (+ rebalance);
+    # no join, no single-partition window
+    "scd2_user_state": {
+        "require": ["Window"],
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
 }
 
 
