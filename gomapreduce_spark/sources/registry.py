@@ -401,3 +401,38 @@ def compact_dataset(
         "files_after": len(_glob.glob(_os.path.join(path, "*.parquet"))),
         "bytes": total_bytes,
     }
+
+
+def read_jsonl_corpus(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Web-crawl-grade JSONL ingestion: parse against an EXPLICIT
+    schema (no inference scan — mandatory at 100 TB) in PERMISSIVE
+    mode with a quarantine column, so one truncated upload or
+    malformed line never kills the job OR silently vanishes.
+
+    Returns the parsed rows plus two bookkeeping columns:
+    ``_corrupt_record`` (the raw text of any unparseable line, NULL
+    for good rows) and ``is_corrupt``. Callers split on ``is_corrupt``
+    — good rows flow to the pipeline, corrupt raws to a quarantine
+    sink for re-crawl/repair accounting. A dropped-on-the-floor parse
+    failure in a 100 TB ingest is unfindable later; a quarantine table
+    with the raw line is a five-minute fix.
+
+    Caveat baked into the contract (Spark's documented PERMISSIVE
+    behavior): corrupt-record capture requires selecting the corrupt
+    column alongside the data columns from the SAME read — this helper
+    owns that so callers can't get it wrong."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # NB: each downstream consumer re-parses from the raw files unless
+    # the caller cache()/checkpoints this once — do that when splitting
+    # into good/quarantine branches (the test shows the pattern)
+    return df.withColumn("is_corrupt", F.col("_corrupt_record").isNotNull())

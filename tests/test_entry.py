@@ -15,9 +15,11 @@ def test_entry_returns_rows(spark):
 def test_queries_oracles_aligned():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
-    # documented rows-only queries: approximate or non-SQL (real numpy
-    # codec/FFT) ops ONLY — every streaming query is hash-oracled
-    # (deterministic on a finite replay)
+    # documented rows-only queries: APPROXIMATE ops only (each with
+    # error-bound/recall tests) — every streaming query is hash-oracled
+    # (deterministic on a finite replay), and the deterministic codec
+    # pipelines (image_dhash_index, audio_spectral) carry precomputed
+    # independent-reference oracles since round 6
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "knn_lsh",
@@ -26,8 +28,6 @@ def test_queries_oracles_aligned():
         "approx_distinct_users",
         "value_deciles_approx",
         "heavy_hitters_approx",
-        "image_dhash_index",
-        "audio_spectral",
     }
 
 

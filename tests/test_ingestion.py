@@ -80,3 +80,37 @@ def test_micros_and_nanos_encodings_load_identically(spark, tmp_path):
             for r in df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
         ]
     assert out["us"] == out["ns"] == _INSTANTS_US
+
+
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: good rows parse, malformed lines land
+    in the quarantine column with their raw text — nothing crashes,
+    nothing silently disappears."""
+    from pyspark.sql import types as T
+
+    from gomapreduce_spark.sources.registry import read_jsonl_corpus
+
+    p = str(tmp_path / "corpus.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "good row one"}',
+        '{"doc_id": 2, "text": "good row two"}',
+        '{"doc_id": 3, "text": "truncated',          # malformed JSON
+        'not json at all',                            # garbage line
+        '{"doc_id": 4, "text": "good row three"}',
+    ]
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl_corpus(spark, p, schema).cache()
+    try:
+        good = df.where(~df.is_corrupt)
+        bad = df.where(df.is_corrupt)
+        assert {r.doc_id for r in good.collect()} == {1, 2, 4}
+        raws = [r._corrupt_record for r in bad.collect()]
+        assert len(raws) == 2 and any("truncated" in r for r in raws)
+        assert any("not json" in r for r in raws)
+    finally:
+        df.unpersist()

@@ -74,6 +74,12 @@ PROBE_QUERIES = [
     "corpus_quality_report",
     "quality_classifier",
     "hard_negative_mining",
+    # round-6 additions
+    "fuzzy_customer_links",
+    "event_transition_matrix",
+    "bpe_pair_counts",
+    "sparse_doc_similarity",
+    "scd2_user_state",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
