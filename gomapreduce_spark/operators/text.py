@@ -1213,3 +1213,74 @@ def sparse_doc_similarity(docs: DataFrame, max_df: int = 50, top_k: int = 50) ->
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(top_k)
     )
+
+
+def synth_html_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic HTML corpus from the documents table (the fixture
+    ships no HTML; same pattern as the synthetic codec payloads): each
+    doc's text wrapped in a realistic page — head with script/style
+    blocks, nav bar, two paragraphs, footer with links — so the
+    stripper below has real chrome to remove. Pure concat, so the
+    oracle rebuilds it with ``||``."""
+    t = F.col("text")
+    half = (F.length(t) / 2).cast("int")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1; track();</script>"
+              "<style>.nav{color:#333}</style></head><body>"
+              "<nav><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></nav><p>"),
+        F.substring(t, F.lit(1), half),
+        F.lit("</p><p>"),
+        t.substr(half + 1, F.length(t)),
+        F.lit("</p><footer>&copy; 2024 Example Corp "
+              "<a href=\"/privacy\">Privacy</a> &amp; <a href=\"/tos\">Terms</a>"
+              "</footer></body></html>"),
+    )
+    return docs.select("doc_id", page.alias("html"))
+
+
+def html_boilerplate_strip(docs: DataFrame, max_link_density: float = 0.25) -> DataFrame:
+    """C4/trafilatura-style HTML → training-text extraction: drop
+    script/style blocks, count chrome (tags, links), strip the
+    remaining markup, decode the common entities, collapse whitespace
+    — and gate on LINK DENSITY (anchor-text chars / clean chars), the
+    classic nav/menu-page discriminator. Runs on the deterministic
+    synthetic pages so the whole path is oracle-verifiable; point it
+    at a real crawl column unchanged.
+
+    Every step is a built-in regexp in the Java-regex/RE2 shared
+    subset (the pii_scrub doctrine, incl. the inline (?s) DOTALL flag
+    both engines accept), so the plan is one narrow whole-stage-codegen
+    scan — zero shuffles, linear at any corpus size."""
+    pages = synth_html_pages(docs)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace("html", r"(?s)<script[^>]*>.*?</script>", " "),
+        r"(?s)<style[^>]*>.*?</style>",
+        " ",
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(no_blocks, r"<[^>]+>", " "),
+                        "&copy;", "(c)"),
+                    "&amp;", "&"),
+                "&lt;|&gt;", " "),
+            r"\s+", " ",
+        )
+    )
+    anchors = F.regexp_extract_all(no_blocks, F.lit(r"(?s)<a[^>]*>(.*?)</a>"), 1)
+    anchor_chars = F.aggregate(anchors, F.lit(0), lambda acc, a: acc + F.length(F.trim(a)))
+    link_density = F.round(
+        anchor_chars.cast("double") / F.greatest(F.length(clean), F.lit(1)), 6
+    )
+    return pages.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit(r"<a[\s>]"), 0)).cast("long").alias("n_links"),
+        F.size(F.regexp_extract_all("html", F.lit(r"<[^>]+>"), 0)).cast("long").alias("n_tags"),
+        F.length(clean).cast("long").alias("clean_len"),
+        link_density.alias("link_density"),
+        h64(clean).alias("clean_hash"),
+        (link_density <= max_link_density).alias("kept"),
+    )

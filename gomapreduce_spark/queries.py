@@ -202,6 +202,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents")
     ),
     "scd2_user_state": lambda s, d: events.scd2_user_state(load_table(s, d, "events")),
+    "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
+        load_table(s, d, "documents")
+    ),
     # -- round-5c: repeated-substring dedup, DSIR importance weights, --
     # -- token-budget sampling, GROUPING SETS, k-anonymity audit      --
     "duplicate_spans": lambda s, d: dedup.duplicate_spans(load_table(s, d, "documents")),
@@ -478,6 +481,7 @@ _R6_PRIORITY = [
     "sparse_doc_similarity",
     "scd2_user_state",
     "streaming_transition_matrix",
+    "html_boilerplate_strip",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite
@@ -2612,3 +2616,60 @@ ORACLES["scd2_user_state"] = """
 """
 
 ORACLES["streaming_transition_matrix"] = ORACLES["event_transition_matrix"]
+
+# HTML extraction: the synthetic page is rebuilt with ||, every strip
+# step is the same Java-regex/RE2 shared-subset pattern with DuckDB's
+# 'g' flag standing in for Spark's replace-all default, and the clean
+# hash reuses the cross-engine md5 h64. DuckDB `// 2` mirrors Spark's
+# truncating (length/2)::int split point.
+ORACLES["html_boilerplate_strip"] = f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><script>var x = 1; track();</script>' ||
+             '<style>.nav{{color:#333}}</style></head><body>' ||
+             '<nav><a href="/home">Home</a> | <a href="/about">About</a></nav><p>' ||
+             substr(text, 1, length(text) // 2) || '</p><p>' ||
+             substr(text, length(text) // 2 + 1) ||
+             '</p><footer>&copy; 2024 Example Corp ' ||
+             '<a href="/privacy">Privacy</a> &amp; <a href="/tos">Terms</a>' ||
+             '</footer></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(
+               regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS no_blocks
+      FROM pages
+    ),
+    cleaned AS (
+      SELECT doc_id, html, no_blocks,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(no_blocks, '<[^>]+>', ' ', 'g'),
+                     '&copy;', '(c)', 'g'),
+                   '&amp;', '&', 'g'),
+                 '&lt;|&gt;', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM stripped
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(html, '<a[\\s>]'))::BIGINT AS n_links,
+           len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+           length(clean)::BIGINT AS clean_len,
+           round(
+             list_sum(list_transform(
+               regexp_extract_all(no_blocks, '(?s)<a[^>]*>(.*?)</a>', 1),
+               a -> length(trim(a))))::DOUBLE
+             / greatest(length(clean), 1), 6) AS link_density,
+           {_H.format(s="clean")} AS clean_hash,
+           (round(
+             list_sum(list_transform(
+               regexp_extract_all(no_blocks, '(?s)<a[^>]*>(.*?)</a>', 1),
+               a -> length(trim(a))))::DOUBLE
+             / greatest(length(clean), 1), 6) <= 0.25) AS kept
+    FROM cleaned
+"""

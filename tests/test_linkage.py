@@ -99,3 +99,31 @@ def test_bpe_pair_counts_planted_frequency(spark):
     # "aaaa" has 3 'aa' pairs, "aaa" has 2 -> 'aa' dominates
     assert got["aa"] == (5, 1)
     assert got["bb"] == (1, 2) and got["cc"] == (1, 3)  # tie broken by pair asc
+
+
+def test_html_strip_gates_link_heavy_pages(spark):
+    """The link-density gate must separate content pages from nav/menu
+    chrome: a short doc (anchor text dominates the clean text) fails,
+    a normal doc passes, and script/style content never leaks into the
+    cleaned text hash (same doc_id parity => same clean hash)."""
+    from gomapreduce_spark.operators.text import html_boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a reasonably long paragraph of ordinary page text " * 5, "en", "s"),
+            (2, "hi", "en", "s"),  # clean text ~= the nav/footer anchors
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in html_boilerplate_strip(docs).collect()}
+    assert got[1].kept and not got[2].kept
+    assert got[1].n_links == 4 and got[1].n_tags > 20
+    # script/style leak check via length arithmetic: doc 2's clean text
+    # is just title + nav + "hi" + footer text (~60 chars); the script
+    # and style blocks alone are ~60 chars, so any leak is visible
+    assert got[2].clean_len < 70
+    # and the long doc's clean text is its own text plus that same
+    # fixed chrome budget — nothing more
+    chrome = got[2].clean_len - len("hi")
+    body = len("a reasonably long paragraph of ordinary page text " * 5)
+    assert abs(got[1].clean_len - (body + chrome)) <= 2  # ws collapse slack

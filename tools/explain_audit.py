@@ -545,6 +545,13 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # HTML extraction: one narrow regexp scan — no shuffle past the
+    # rebalance, no join, no window; anything else means the
+    # whole-stage-codegen single-pass shape was lost
+    "html_boilerplate_strip": {
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Join", "Window"],
+    },
     # SCD2 history: both windows share the (user_id | ts, event_id)
     # ordering so ONE user-keyed exchange serves them (+ rebalance);
     # no join, no single-partition window
