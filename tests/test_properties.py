@@ -336,3 +336,34 @@ def test_token_budget_sample_matches_python_reference(spark, sizes, budget):
         for r in text_ops.token_budget_sample(df, budget_tokens=budget, n_buckets=n_buckets).collect()
     }
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcde", min_size=2, max_size=8), min_size=1, max_size=6, unique=True
+    ),
+    edit=st.tuples(st.integers(min_value=0, max_value=2), st.integers(min_value=0, max_value=7)),
+)
+@settings(**SETTINGS)
+def test_symspell_always_finds_a_single_edit(spark, names, edit):
+    """Property: for ANY clean vocabulary and ANY single edit (delete /
+    substitute / insert at any position) applied to names[0], the
+    SymSpell matcher returns a match at distance <= 1 for the dirty
+    string — the deletion-neighborhood blocking never loses a true
+    distance-1 neighbor (completeness of the pigeonhole argument)."""
+    from gomapreduce_spark.operators.linkage import symspell_match
+
+    kind, pos = edit
+    s = names[0]
+    p = pos % len(s)
+    if kind == 0:
+        dirty_s = s[:p] + s[p + 1:]          # delete
+    elif kind == 1:
+        dirty_s = s[:p] + "z" + s[p + 1:]    # substitute (z not in alphabet)
+    else:
+        dirty_s = s[:p] + "z" + s[p:]        # insert
+    clean = spark.createDataFrame(list(enumerate(names)), "clean_id long, name string")
+    dirty = spark.createDataFrame([(100, dirty_s)], "dirty_id long, name string")
+    rows = symspell_match(clean, dirty).collect()
+    assert rows, f"lost neighbor: {s!r} -> {dirty_s!r}"
+    assert rows[0].edit_distance <= 1
