@@ -80,6 +80,7 @@ PROBE_QUERIES = [
     "bpe_pair_counts",
     "sparse_doc_similarity",
     "scd2_user_state",
+    "html_boilerplate_strip",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
