@@ -107,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_lsh": lambda s, d: similarity.knn_lsh(load_table(s, d, "embeddings")),
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "knn_pq": lambda s, d: similarity.knn_pq(load_table(s, d, "embeddings")),
+    "knn_ivf_pq": lambda s, d: similarity.knn_ivf_pq(load_table(s, d, "embeddings")),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     # -- NEW this round --
     "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
@@ -482,6 +483,7 @@ _R6_PRIORITY = [
     "scd2_user_state",
     "streaming_transition_matrix",
     "html_boilerplate_strip",
+    "knn_ivf_pq",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite

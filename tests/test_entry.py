@@ -25,6 +25,7 @@ def test_queries_oracles_aligned():
         "knn_lsh",
         "knn_ivf",
         "knn_pq",
+        "knn_ivf_pq",
         "approx_distinct_users",
         "value_deciles_approx",
         "heavy_hitters_approx",

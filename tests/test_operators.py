@@ -1618,3 +1618,26 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark, sf_med):
     others = [r for r in rows if r["doc_id"] != 999_998]
     fpr = sum(r["maybe_contaminated"] for r in others) / len(others)
     assert fpr <= 3 * fpr_bound + 0.01, (fpr, fpr_bound)
+
+
+def test_knn_ivf_pq_recall_and_exact_rerank(spark, sf_med):
+    """The composed IVFADC path: recall vs brute force stays useful
+    even though BOTH approximations stack (list restriction AND code
+    quantization), and the reranked sims are exact cosines."""
+    emb = load_table(spark, sf_med, "embeddings")
+    exact = similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    approx = similarity.knn_ivf_pq(emb, n_queries=10, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"IVF+PQ recall too low: {recall}"  # measured 0.78 at defaults
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-9
+    # the probed-cell restriction really bites: a full-probe run must
+    # dominate (equal or better recall than the restricted one)
+    full = similarity.knn_ivf_pq(emb, n_queries=10, k=5, nprobe=16).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert len(full_set & exact_set) >= len(approx_set & exact_set)
