@@ -67,6 +67,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (Spark 4.1, default off):
+    # lets sources.keyedtext prune its file listing from pushed key
+    # predicates — required for any reader implementing pushFilters
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

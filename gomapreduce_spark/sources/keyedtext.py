@@ -1,0 +1,200 @@
+"""Spark 4 Python Data Source implementing the reference's custom
+source/sink contract natively in Catalyst.
+
+The reference's extension points are a client-supplied ``Inputer``
+(ListKeys enumerates S3 objects, one map task each, GetValue fetches
+one object's bytes — reference inputer.go:11-43) and ``Outputer``
+(one object per output key — outputer.go:11-34). The MapReduce facade
+(``mapreduce/io.py``) mirrors those hooks at the RDD level; THIS
+module is the Spark-idiomatic form: a registered ``keyedtext`` format
+whose reader plans ONE InputPartition per file (or per line-aligned
+chunk, the SplitFileIntoChunks semantics, s3_utils.go:71-107) and
+whose writer materializes one file per key. Once registered, the
+contract composes with the whole SQL surface::
+
+    spark.dataSource.register(KeyedTextDataSource)
+    df = spark.read.format("keyedtext").option("chunk_bytes", 65536).load(dir)
+    word_count(df, text_col="value")          # any DataFrame op
+    out.write.format("keyedtext").mode("overwrite").save(out_dir)
+
+Planner integration is real, not cosmetic: ``pushFilters`` handles
+key equality/prefix predicates at PLANNING time by pruning the file
+list (the Python-source analog of partition pruning — Spark 4.1's
+filter-pushdown API for Python sources), and each InputPartition reads
+its bytes executor-side, so GetValue runs distributed exactly like the
+reference's per-task S3 GET.
+
+Scale notes: enumeration is a driver-side listing (exactly ListKeys);
+one partition per chunk gives Spark's scheduler the same task
+granularity the reference's M controls (jobConfig.go:10). The writer's
+one-file-per-key layout is API fidelity — at 100 TB use
+``df.write.partitionBy("key")`` (see mapreduce.PartitionedSink) —
+and is transactional per Spark's commit protocol: tasks write to a
+temp dir under the target, commit() renames into place, abort()
+removes the temp dir.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    InputPartition,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+@dataclass
+class _ChunkPartition(InputPartition):
+    path: str  # absolute file path
+    key: str  # emitted key (file name, or "name#idx" for chunks)
+    start: int  # byte offset
+    length: int  # -1 = to EOF
+
+
+def _chunk_offsets(path: str, chunk_bytes: int) -> list[tuple[int, int]]:
+    """Line-aligned (start, length) chunk spans of ``path`` — the
+    reference chunker's semantics (split at >= chunk_bytes, only on a
+    line boundary), computed from offsets without loading the file."""
+    spans: list[tuple[int, int]] = []
+    start = 0
+    size = 0
+    with open(path, "rb") as fh:
+        for line in fh:
+            size += len(line)
+            if size >= chunk_bytes:
+                spans.append((start, size))
+                start += size
+                size = 0
+        if size:
+            spans.append((start, size))
+    return spans or [(0, -1)]
+
+
+class KeyedTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("keyedtext requires a path")
+        self.chunk_bytes = int(options.get("chunk_bytes", 0))
+        self._key_eq: str | None = None
+        self._key_prefix: str | None = None
+
+    def pushFilters(self, filters):
+        # key = 'x' and startswith(key, 'x') prune the FILE LISTING at
+        # planning time; every filter is still yielded back so Spark
+        # re-applies it row-level — pruning stays a pure optimization
+        # (chunked keys are "name#i", so a file-level prune alone can
+        # be a superset of the matching rows)
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("key",):
+                self._key_eq = str(f.value)
+            elif isinstance(f, StringStartsWith) and f.attribute == ("key",):
+                self._key_prefix = str(f.value)
+            yield f
+
+    def _file_may_match(self, name: str) -> bool:
+        """Conservative file-level test: keep the file iff SOME key it
+        can emit (name, or name#i under chunking) could satisfy the
+        recorded predicates."""
+        for p in (self._key_eq, self._key_prefix):
+            if p is None:
+                continue
+            if self.chunk_bytes > 0:
+                if not (name.startswith(p) or p.startswith(name)):
+                    return False
+            else:
+                ok = name == p if p is self._key_eq else name.startswith(p)
+                if not ok:
+                    return False
+        return True
+
+    def _names(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.dir)
+            if os.path.isfile(os.path.join(self.dir, n)) and self._file_may_match(n)
+        )
+
+    def partitions(self):
+        parts: list[_ChunkPartition] = []
+        for name in self._names():
+            path = os.path.join(self.dir, name)
+            if self.chunk_bytes > 0:
+                for i, (start, length) in enumerate(_chunk_offsets(path, self.chunk_bytes)):
+                    parts.append(_ChunkPartition(path, f"{name}#{i}", start, length))
+            else:
+                parts.append(_ChunkPartition(path, name, 0, -1))
+        return parts
+
+    def read(self, partition: _ChunkPartition):
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            data = fh.read() if partition.length < 0 else fh.read(partition.length)
+        yield (partition.key, data.decode("utf-8"))
+
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    files: list  # relative names written under the temp dir
+
+
+class KeyedTextWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("keyedtext requires a path")
+        self.overwrite = overwrite
+        self.tmp = os.path.join(self.dir, f"_temporary-{uuid.uuid4().hex[:12]}")
+        os.makedirs(self.tmp, exist_ok=True)
+
+    def write(self, iterator):
+        files = []
+        for row in iterator:
+            name = str(row[0]).replace(os.sep, "_")
+            with open(os.path.join(self.tmp, name), "w", encoding="utf-8") as fh:
+                fh.write("" if row[1] is None else str(row[1]))
+            files.append(name)
+        return _WroteFiles(files)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for n in os.listdir(self.dir):
+                if not n.startswith("_temporary-"):
+                    os.remove(os.path.join(self.dir, n))
+        for msg in messages:
+            for name in msg.files:
+                os.replace(os.path.join(self.tmp, name), os.path.join(self.dir, name))
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+    def abort(self, messages):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+class KeyedTextDataSource(DataSource):
+    """``keyedtext`` — (key string, value string) over a directory of
+    files; see the module docstring for the reference-contract map."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "keyedtext"
+
+    def schema(self):
+        return StructType(
+            [StructField("key", StringType()), StructField("value", StringType())]
+        )
+
+    def reader(self, schema):  # noqa: ARG002 - fixed schema source
+        return KeyedTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool):  # noqa: ARG002
+        return KeyedTextWriter(self.options, overwrite)
