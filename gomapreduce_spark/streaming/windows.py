@@ -92,18 +92,45 @@ def _read_events_stream(
     return stream
 
 
+# Stateful operators pay a PER-PARTITION fixed cost: every shuffle
+# partition owns its own state-store instance (a stream-stream join
+# runs FOUR per partition), each with snapshot/commit I/O per batch.
+# Sizing streaming shuffle partitions to the session's batch
+# parallelism (32) made that fixed cost dominate replay wall-clock —
+# measured on the sf0.1 LEFT OUTER interval join: 13.7 s at 32
+# partitions vs 2.8 s at 8, identical results. At production scale the
+# knob goes UP with state volume (each partition's state must fit its
+# executor), not with core count.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     """Drive a streaming aggregation over a static source to completion
-    synchronously; return the materialized result table."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    synchronously; return the materialized result table.
+
+    ``spark.sql.shuffle.partitions`` is scoped to
+    STREAM_STATE_PARTITIONS for the query (the conf is read at query
+    START) and restored afterwards — stateful partition count is a
+    state-volume knob, not a core-count knob (see above)."""
+    spark = agg.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        name = "s" + uuid.uuid4().hex[:12]
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return agg.sparkSession.table(name)
 
 
