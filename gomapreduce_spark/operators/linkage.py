@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h64
+from ..functions.hashing import h64  # noqa: F401 — the long-string key variant documented below
 
 
 def deletion_variants(df: DataFrame, id_col: str, s_col: str) -> DataFrame:

@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -180,6 +181,50 @@ class KeyedTextWriter(DataSourceWriter):
         shutil.rmtree(self.tmp, ignore_errors=True)
 
 
+class KeyedTextStreamReader(SimpleDataSourceStreamReader):
+    """Files-arriving-under-a-prefix as a STREAM — the continuous form
+    of ListKeys: each micro-batch emits (key, value) for files not seen
+    by the previous offset. Offsets carry the seen-file set (exact and
+    JSON-serializable; replayable via readBetweenOffsets for recovery).
+    Demo-scale bookkeeping — a production source tracks a (mtime, name)
+    watermark instead of the full set, like Spark's own FileStreamSource."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("keyedtext requires a path")
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.dir) if os.path.isfile(os.path.join(self.dir, n))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows(self, names):
+        # a LIST ITERATOR, precisely: the runtime's prefetch wrapper
+        # both pickles the rows (generators can't) and calls next() on
+        # them to validate emptiness (bare lists can't) — iter(list)
+        # satisfies both contracts
+        out = []
+        for name in names:
+            with open(os.path.join(self.dir, name), encoding="utf-8") as fh:
+                out.append((name, fh.read()))
+        return iter(out)
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        now = self._listing()
+        new = [n for n in now if n not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return self._rows(replay)
+
+
 class KeyedTextDataSource(DataSource):
     """``keyedtext`` — (key string, value string) over a directory of
     files; see the module docstring for the reference-contract map."""
@@ -198,3 +243,6 @@ class KeyedTextDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):  # noqa: ARG002
         return KeyedTextWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002
+        return KeyedTextStreamReader(self.options)

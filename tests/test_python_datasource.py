@@ -112,3 +112,55 @@ def test_wordcount_through_the_source_matches_direct(registered, tmp_path):
     got = {r.word: r.cnt for r in word_count(df, text_col="value").collect()}
     want = Counter(w for c in FILES.values() for w in c.split())
     assert got == dict(want)
+
+
+def test_stream_reader_offsets_unit():
+    """Offset bookkeeping without Spark: new files between offsets are
+    exactly the emitted rows, and readBetweenOffsets replays them."""
+    import tempfile
+
+    from gomapreduce_spark.sources.keyedtext import KeyedTextStreamReader
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_files(d, {"a": "1", "b": "2"})
+        r = KeyedTextStreamReader({"path": d})
+        o0 = r.initialOffset()
+        rows, o1 = r.read(o0)
+        assert sorted(rows) == [("a", "1"), ("b", "2")]
+        assert o1 == {"seen": ["a", "b"]}
+        rows2, o2 = r.read(o1)
+        assert list(rows2) == [] and o2 == o1  # nothing new
+        _write_files(d, {"c": "3"})
+        rows3, o3 = r.read(o1)
+        assert list(rows3) == [("c", "3")] and o3 == {"seen": ["a", "b", "c"]}
+        assert sorted(r.readBetweenOffsets(o0, o3)) == [("a", "1"), ("b", "2"), ("c", "3")]
+
+
+def test_stream_read_picks_up_arriving_files(registered, tmp_path):
+    """Live micro-batch path: a readStream on the format sees the
+    initial files, then a file that arrives mid-stream."""
+    import time
+
+    d = _write_files(tmp_path / "arrivals", {"f1": "hello\n", "f2": "world\n"})
+    q = (
+        registered.readStream.format("keyedtext")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("kt_stream")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        def rows():
+            return {tuple(r) for r in registered.table("kt_stream").collect()}
+
+        deadline = time.time() + 60
+        while len(rows()) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        assert rows() == {("f1", "hello\n"), ("f2", "world\n")}
+        _write_files(d, {"f3": "late\n"})
+        while len(rows()) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+        assert ("f3", "late\n") in rows()
+    finally:
+        q.stop()
