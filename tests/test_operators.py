@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type hints in module globals
+
 from pyspark.sql import functions as F
 
 from gomapreduce_spark.operators import dedup, events, relational, similarity, text, wordcount
@@ -1561,9 +1563,9 @@ def test_every_batch_query_survives_identical_rows(spark, tmp_path):
 
 
 def test_map_in_arrow_token_counts_match_catalyst(spark, sf_small):
-    """mapInArrow — the last Python-exchange API in the matrix
-    (pandas_udf / mapInPandas / applyInPandas / applyInPandasWithState /
-    transformWithState / UDTF are all exercised elsewhere): raw
+    """mapInArrow in the Python-exchange API matrix (mapInPandas /
+    applyInPandas / applyInPandasWithState / transformWithState / UDTF
+    are exercised by the operators; pandas_udf by the test below): raw
     RecordBatches in, zero pandas materialization, exact parity with
     the Catalyst tokenizer on per-doc token counts."""
     import pyarrow as pa
@@ -1641,3 +1643,44 @@ def test_knn_ivf_pq_recall_and_exact_rerank(spark, sf_med):
     full = similarity.knn_ivf_pq(emb, n_queries=10, k=5, nprobe=16).collect()
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
     assert len(full_set & exact_set) >= len(approx_set & exact_set)
+
+
+def test_pandas_udf_scalar_and_grouped_agg_match_catalyst(spark, sf_small):
+    """pandas_udf — the remaining Python-exchange API: the SCALAR form
+    (Arrow-vectorized per-batch numpy) must agree with the equivalent
+    Catalyst expression bit-for-bit, and the GROUPED_AGG form must
+    agree with the native aggregate. These stay out of the operator
+    hot paths on purpose (built-ins win there); this pins that the
+    vectorized UDF path itself is sound when an expression genuinely
+    needs numpy."""
+    from pyspark.sql.functions import pandas_udf
+
+    ev = load_table(spark, sf_small, "events")
+
+    @pandas_udf("double")
+    def np_log1p(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.log1p(v.to_numpy()))
+
+    got = {r.event_id: r.lv for r in ev.select("event_id", np_log1p("value").alias("lv")).collect()}
+    want = {r.event_id: r.lv for r in ev.select("event_id", F.log1p("value").alias("lv")).collect()}
+    import math
+
+    # numpy's and the JVM's log1p may differ in the final ulp
+    assert got.keys() == want.keys()
+    assert all(math.isclose(got[k], want[k], rel_tol=1e-12) for k in got)
+
+    @pandas_udf("double")
+    def np_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    got_m = {
+        r.event_type: round(r.m, 9)
+        for r in ev.groupBy("event_type").agg(np_mean("value").alias("m")).collect()
+    }
+    want_m = {
+        r.event_type: round(r.m, 9)
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    assert got_m == want_m
