@@ -109,7 +109,7 @@ def perturbed_customers(customers: DataFrame) -> DataFrame:
     """Deterministic 'dirty' feed derived from customer names (the
     fixture ships no dirty table, same pattern as the synthetic codec
     payloads): per customer one typo'd copy — delete / substitute-'x' /
-    insert-'x' at a key-dependent position, cycling by c_custkey %% 3.
+    insert-'x' at a key-dependent position, cycling by c_custkey % 3.
     Reproducible in ANSI SQL, so the oracle regenerates it exactly."""
     name = F.col("c_name")
     pos = (F.col("c_custkey") % F.length(name)) + 1  # 1-based

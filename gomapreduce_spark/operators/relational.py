@@ -923,3 +923,88 @@ def monthly_revenue_trend(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.round(F.col("revenue") - F.coalesce(prev, F.col("revenue")), 2).alias("mom_delta"),
         F.round(F.col("revenue") - ma, 2).alias("dev_from_ma3"),
     )
+
+
+def synth_customer_changes(customers: DataFrame) -> DataFrame:
+    """Deterministic CDC change feed derived from the customer table
+    (the fixture ships no change log; same pattern as the synthetic
+    codec/HTML/typo feeds): DELETE every custkey % 13 == 0, UPDATE
+    (acctbal + 100) every remaining custkey % 7 == 0, and INSERT one
+    brand-new customer per nation (key = 1_000_000 + nationkey).
+    Reproducible in ANSI SQL, so the MERGE oracle regenerates it."""
+    deletes = customers.where(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    updates = (
+        customers.where((F.col("c_custkey") % 13 != 0) & (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("U").alias("op"),
+        )
+    )
+    inserts = (
+        customers.select("c_nationkey")
+        .distinct()
+        .select(
+            (F.lit(1_000_000) + F.col("c_nationkey")).cast("long").alias("c_custkey"),
+            F.concat(F.lit("NewCustomer#"), F.col("c_nationkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+            F.lit("I").alias("op"),
+        )
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def merge_upsert_customers(customers: DataFrame) -> DataFrame:
+    """MERGE INTO semantics — the lakehouse CDC apply (Delta/Iceberg
+    MERGE: WHEN MATCHED AND op='D' THEN DELETE / AND op='U' THEN UPDATE
+    / WHEN NOT MATCHED AND op='I' THEN INSERT), expressed as ONE
+    full-outer join + conditional projection, which is exactly how
+    table-format engines physically execute it. Output is the merged
+    snapshot plus a last_op audit column ('K' = untouched base row).
+
+    Scale shape: one equi-join on the merge key — at 100 TB the change
+    feed is the small side (AQE broadcasts it; a forced hint is
+    deliberately absent) and the base side would be a partitioned table
+    so the rewrite touches only matched files. The conditional
+    projection is narrow; no second scan of either side."""
+    ch = synth_customer_changes(customers)
+    base = customers.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nationkey"),
+        F.col("c_acctbal").alias("b_acctbal"),
+        F.col("c_mktsegment").alias("b_mktsegment"),
+    )
+    chg = ch.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("n_name"),
+        F.col("c_nationkey").alias("n_nationkey"),
+        F.col("c_acctbal").alias("n_acctbal"),
+        F.col("c_mktsegment").alias("n_mktsegment"),
+        "op",
+    )
+    merged = base.join(chg, "k", "full_outer")
+    keep = merged.where(F.coalesce(F.col("op"), F.lit("K")) != "D")
+    use_new = F.col("op").isin("U", "I")
+    return keep.select(
+        F.col("k").alias("c_custkey"),
+        F.when(use_new, F.col("n_name")).otherwise(F.col("b_name")).alias("c_name"),
+        F.when(use_new, F.col("n_nationkey")).otherwise(F.col("b_nationkey"))
+        .cast("int")
+        .alias("c_nationkey"),
+        F.when(use_new, F.col("n_acctbal")).otherwise(F.col("b_acctbal")).alias("c_acctbal"),
+        F.when(use_new, F.col("n_mktsegment")).otherwise(F.col("b_mktsegment")).alias("c_mktsegment"),
+        F.coalesce(F.col("op"), F.lit("K")).alias("last_op"),
+    )

@@ -203,6 +203,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents")
     ),
     "scd2_user_state": lambda s, d: events.scd2_user_state(load_table(s, d, "events")),
+    "merge_upsert_customers": lambda s, d: relational.merge_upsert_customers(
+        load_table(s, d, "customer")
+    ),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -484,6 +487,7 @@ _R6_PRIORITY = [
     "streaming_transition_matrix",
     "html_boilerplate_strip",
     "knn_ivf_pq",
+    "merge_upsert_customers",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite
@@ -2674,4 +2678,35 @@ ORACLES["html_boilerplate_strip"] = f"""
                a -> length(trim(a))))::DOUBLE
              / greatest(length(clean), 1), 6) <= 0.25) AS kept
     FROM cleaned
+"""
+
+ORACLES["merge_upsert_customers"] = """
+    WITH changes AS (
+      SELECT c_custkey, NULL::VARCHAR AS c_name, NULL::INT AS c_nationkey,
+             NULL::DOUBLE AS c_acctbal, NULL::VARCHAR AS c_mktsegment, 'D' AS op
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100.0, 2), c_mktsegment, 'U'
+      FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+      UNION ALL
+      SELECT (1000000 + c_nationkey)::BIGINT, 'NewCustomer#' || c_nationkey,
+             c_nationkey, 0.0, 'BUILDING', 'I'
+      FROM (SELECT DISTINCT c_nationkey FROM customer)
+    ),
+    merged AS (
+      SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+             b.c_name AS b_name, b.c_nationkey AS b_nationkey,
+             b.c_acctbal AS b_acctbal, b.c_mktsegment AS b_mktsegment,
+             c.c_name AS n_name, c.c_nationkey AS n_nationkey,
+             c.c_acctbal AS n_acctbal, c.c_mktsegment AS n_mktsegment,
+             coalesce(c.op, 'K') AS last_op
+      FROM customer b FULL OUTER JOIN changes c USING (c_custkey)
+    )
+    SELECT c_custkey,
+           CASE WHEN last_op IN ('U','I') THEN n_name ELSE b_name END AS c_name,
+           (CASE WHEN last_op IN ('U','I') THEN n_nationkey ELSE b_nationkey END)::INT AS c_nationkey,
+           CASE WHEN last_op IN ('U','I') THEN n_acctbal ELSE b_acctbal END AS c_acctbal,
+           CASE WHEN last_op IN ('U','I') THEN n_mktsegment ELSE b_mktsegment END AS c_mktsegment,
+           last_op
+    FROM merged WHERE last_op <> 'D'
 """

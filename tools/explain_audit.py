@@ -552,6 +552,13 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 1,  # rebalance only
         "forbid": ["CartesianProduct", "Join", "Window"],
     },
+    # MERGE apply: ONE full-outer equi-join on the merge key + a
+    # narrow conditional projection — never a per-clause re-join or a
+    # nested loop
+    "merge_upsert_customers": {
+        "require": ["FullOuter"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
     # SCD2 history: both windows share the (user_id | ts, event_id)
     # ordering so ONE user-keyed exchange serves them (+ rebalance);
     # no join, no single-partition window
