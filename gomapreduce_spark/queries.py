@@ -206,6 +206,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert_customers": lambda s, d: relational.merge_upsert_customers(
         load_table(s, d, "customer")
     ),
+    "interarrival_stats": lambda s, d: events.interarrival_stats(load_table(s, d, "events")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -488,6 +489,7 @@ _R6_PRIORITY = [
     "html_boilerplate_strip",
     "knn_ivf_pq",
     "merge_upsert_customers",
+    "interarrival_stats",
     # (a) implementation changed in round 6
     "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
     "duplicate_spans",         # single-pass sentinel-window rewrite
@@ -2709,4 +2711,25 @@ ORACLES["merge_upsert_customers"] = """
            CASE WHEN last_op IN ('U','I') THEN n_mktsegment ELSE b_mktsegment END AS c_mktsegment,
            last_op
     FROM merged WHERE last_op <> 'D'
+"""
+
+ORACLES["interarrival_stats"] = """
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               / 1000000 AS gap_s
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap_s) AS s1,
+             sum(gap_s * gap_s) AS s2, max(gap_s) AS max_gap_s
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round(s1 / n_gaps, 6) AS mean_gap_s,
+           round(max_gap_s, 6) AS max_gap_s,
+           round((sqrt(greatest(s2 / n_gaps - (s1/n_gaps)*(s1/n_gaps), 0.0)) - s1/n_gaps)
+                 / (sqrt(greatest(s2 / n_gaps - (s1/n_gaps)*(s1/n_gaps), 0.0)) + s1/n_gaps), 6)
+             AS burstiness
+    FROM agg WHERE n_gaps >= 2
 """

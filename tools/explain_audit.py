@@ -552,6 +552,14 @@ AUDITS: dict[str, dict] = {
         "max_exchanges": 1,  # rebalance only
         "forbid": ["CartesianProduct", "Join", "Window"],
     },
+    # inter-arrival timing: one user-keyed window, mergeable-moment
+    # partial agg, no join, no global window
+    "interarrival_stats": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
     # MERGE apply: ONE full-outer equi-join on the merge key + a
     # narrow conditional projection — never a per-clause re-join or a
     # nested loop
