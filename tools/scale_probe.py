@@ -81,6 +81,9 @@ PROBE_QUERIES = [
     "sparse_doc_similarity",
     "scd2_user_state",
     "html_boilerplate_strip",
+    "knn_ivf_pq",
+    "merge_upsert_customers",
+    "interarrival_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
