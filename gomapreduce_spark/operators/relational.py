@@ -8,7 +8,16 @@ pushdown, column pruning, partial aggregation, and join-strategy
 selection (broadcast for the dimension tables here).
 
 Scale notes per operator are inline; the common themes:
-- dimension joins (region/nation/supplier) are broadcast — no shuffle;
+- FIXED-size dimensions (nation: 25 rows, region: 5 rows, 1-row scalar
+  aggregates) carry explicit ``F.broadcast`` hints — bounded by
+  construction at any SF;
+- SF-SCALING dimensions (customer/supplier/part grow linearly with the
+  corpus) are joined UNHINTED: at sf0.1 Spark's size stats / AQE pick
+  BroadcastHashJoin anyway (pinned by tools/explain_audit.py, which
+  forbids mandatory hints on these sides and asserts the EXECUTED AQE
+  plan still broadcasts at test scale), while at SF≈100k — where a
+  filtered customer side is ~3B rows — the same code degrades to a
+  shuffled join instead of an executor OOM;
 - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
   AQE handles skew;
 - top-k is window row_number ≤ k (one shuffle, no global sort).
@@ -57,8 +66,9 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
 
 
 def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
-    """TPC-H Q3-style shipping priority: broadcast the filtered customer
-    dim into orders, shuffle-join lineitem on orderkey, top-k by revenue.
+    """TPC-H Q3-style shipping priority: join the filtered customer dim
+    into orders (unhinted — customer scales with SF; AQE broadcasts it
+    while small), shuffle-join lineitem on orderkey, top-k by revenue.
 
     Top-k is ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     the distributed partial top-k (every partition keeps its local k,
@@ -80,7 +90,7 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k
     )
     revenue = (
         orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(rev, F.col("o_orderkey") == rev.l_orderkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue")
     )
@@ -108,9 +118,10 @@ def q5_local_supplier_volume(
     lineitem: DataFrame,
 ) -> DataFrame:
     """TPC-H Q5-style: six-table join, revenue per nation where customer
-    and supplier share the nation. region/nation/supplier/customer are
-    broadcast dims; the only shuffles are orders⋈lineitem and the final
-    small aggregate."""
+    and supplier share the nation. nation⋈region is a hinted broadcast
+    (fixed 25/5 rows); supplier/customer join UNHINTED (SF-scaling —
+    AQE broadcasts them at test scale, shuffles at 100 TB); the only
+    guaranteed shuffles are orders⋈lineitem and the final aggregate."""
     nations = (
         nation.join(F.broadcast(region.where(F.col("r_name").isin("ASIA", "AMERICA"))),
                     nation.n_regionkey == region.r_regionkey)
@@ -118,13 +129,13 @@ def q5_local_supplier_volume(
     )
     return (
         lineitem
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nations), F.col("s_nationkey") == nations.n_nationkey)
         .join(orders.where(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         ), lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), (F.col("o_custkey") == customer.c_custkey)
+        .join(customer, (F.col("o_custkey") == customer.c_custkey)
               & (customer.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -190,14 +201,14 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str 
     brand.
 
     The correlated scalar subquery (per-part avg over *all* lineitems)
-    is decorrelated into an explicit aggregate + broadcast join — the
+    is decorrelated into an explicit aggregate + unhinted dim join — the
     plan Catalyst would rewrite to anyway, stated directly so the
     fact table is scanned exactly twice (once for thresholds, once for
     revenue) with both scans column-pruned."""
     thresholds = lineitem.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
     return (
-        lineitem.join(F.broadcast(brand_parts), lineitem.l_partkey == brand_parts.p_partkey)
+        lineitem.join(brand_parts, lineitem.l_partkey == brand_parts.p_partkey)
         .join(thresholds, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -224,7 +235,8 @@ def q4_late_shipments(orders: DataFrame, lineitem: DataFrame, grace_days: int = 
 
 def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20) -> DataFrame:
     """TPC-H Q10-style: top-k customers by revenue lost to returned
-    items ('R' flag). Fact-fact shuffle join + broadcast customer dim +
+    items ('R' flag). Fact-fact shuffle join + unhinted customer dim
+    join (AQE broadcasts at test scale) +
     distributed top-k: ``orderBy().limit(k)`` plans
     TakeOrderedAndProject (per-partition partial top-k, driver merge of
     k·partitions rows — never the full customer set through one task);
@@ -235,7 +247,7 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFra
         .groupBy("o_custkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    joined = rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+    joined = rev.join(customer, rev.o_custkey == customer.c_custkey)
     order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
     return (
         joined.orderBy(*order)
@@ -250,15 +262,15 @@ def q14_promo_revenue(
 ) -> DataFrame:
     """TPC-H Q14-style: share of revenue from promotional parts in a
     ship-date window. Conditional aggregation (CASE inside SUM) over a
-    broadcast part join — one fact scan, no shuffle besides the final
-    single-row aggregate; the date range is pushed to the parquet scan."""
+    part join (unhinted — part scales with SF; AQE broadcasts it while
+    small) — one fact scan; the date range is pushed to the parquet scan."""
     price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
         )
-        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", price).otherwise(F.lit(0.0))) / F.sum(price),
@@ -275,8 +287,9 @@ def q18_large_volume_orders(
     """TPC-H Q18-style: top-k largest orders by total line-item quantity
     (HAVING-filtered aggregate subquery). The quantity rollup shuffles
     lineitem once on orderkey and the HAVING filter drops ~99% of groups
-    BEFORE the orders join, so the join probe side is tiny; customer is
-    a broadcast dim; top-k is TakeOrderedAndProject (per-partition
+    BEFORE the orders join, so the join probe side is tiny; the customer
+    join is unhinted (AQE broadcasts at test scale); top-k is
+    TakeOrderedAndProject (per-partition
     partial top-k, never the full order set through one task)."""
     big = (
         lineitem.groupBy("l_orderkey")
@@ -285,7 +298,7 @@ def q18_large_volume_orders(
     )
     joined = (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
     )
     order = [F.col("total_qty").desc(), F.col("o_orderkey").asc()]
     return (
@@ -307,7 +320,8 @@ def q18_large_volume_orders(
 def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q19-style: revenue from three OR'd brand/size/quantity
     bands. Exercises disjunctive predicate handling — the shared
-    equi-key (partkey) keeps this a single BroadcastHashJoin with the
+    equi-key (partkey) keeps this a single equi-join (AQE-broadcast at
+    test scale) with the
     disjunction evaluated as a post-join filter; no plan split, no
     nested-loop fallback. Catalyst extracts the common l_quantity
     bounds (1..30) as a pushable conjunct from the OR."""
@@ -319,7 +333,7 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .where(cond)
@@ -336,7 +350,7 @@ def q16_supplier_part_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     brand (the fixture has no partsupp table, so lineitem's
     (partkey, suppkey) pairs stand in as the observed supply relation).
 
-    COUNT(DISTINCT) after a broadcast join: Catalyst plans the standard
+    COUNT(DISTINCT) after the part equi-join: Catalyst plans the standard
     two-phase distinct aggregate — partial dedup keyed on
     (group, suppkey) BEFORE the shuffle, then partial/final distinct
     count — so no distinct-set ever materializes per group."""
@@ -346,7 +360,7 @@ def q16_supplier_part_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -396,7 +410,8 @@ def q21_suppliers_kept_waiting(
     late (order, supplier) pair, 'another supplier exists' ⇔
     n_suppliers ≥ 2 and 'no other late supplier' ⇔ n_late_suppliers = 1.
     One lineitem⋈orders shuffle on orderkey feeds both counts and the
-    late-pair set; supplier⋈nation is a broadcast dim; top-k is
+    late-pair set; nation is hinted-broadcast into supplier (fixed 25
+    rows) but the supplier side itself joins unhinted; top-k is
     TakeOrderedAndProject."""
     o_f = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     l = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -424,7 +439,7 @@ def q21_suppliers_kept_waiting(
         .select("s_suppkey", "s_name")
     )
     numwait = (
-        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
+        sole_late.join(sup, sole_late.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -496,8 +511,9 @@ def q2_min_cost_supplier(
     arithmetic), so the min-equality filter is bit-stable across engines.
 
     Scale shape: the (partkey, suppkey) cost rollup is one partial-agg
-    shuffle over lineitem; supplier⋈nation⋈region is a broadcast dim
-    chain (region prunes BEFORE the fact join, so non-regional suppliers
+    shuffle over lineitem; nation/region hint-broadcast into supplier
+    (fixed-size) and the regional supplier set joins the facts UNHINTED
+    (region prunes BEFORE the fact join, so non-regional suppliers
     never enter the shuffle); the per-part min is a window over the
     already-aggregated pair rows (|pairs| ≪ |lineitem|), and top-k is
     TakeOrderedAndProject — no global sort."""
@@ -514,8 +530,8 @@ def q2_min_cost_supplier(
         "p_partkey", "p_brand"
     )
     pairs = (
-        cost.join(F.broadcast(parts), cost.l_partkey == parts.p_partkey)
-        .join(F.broadcast(regsup), cost.l_suppkey == regsup.s_suppkey)
+        cost.join(parts, cost.l_partkey == parts.p_partkey)
+        .join(regsup, cost.l_suppkey == regsup.s_suppkey)
         .withColumn("mincost", F.min("cost").over(W.partitionBy("p_partkey")))
         .where(F.col("cost") == F.col("mincost"))
     )
@@ -554,9 +570,10 @@ def q7_nation_volume_shipping(
     both directions — the double-nation-join shape (supplier nation via
     lineitem, customer nation via orders) with the symmetric pair filter.
 
-    Scale shape: both nation joins are broadcast (supplier and customer
-    dims are each pre-filtered to the two nations BEFORE touching the
-    facts, so the fact shuffles carry only pair-relevant rows); the
+    Scale shape: the fixed nation dim hint-broadcasts into supplier and
+    customer, which pre-filter to the two nations BEFORE touching the
+    facts and then join the facts UNHINTED (AQE broadcasts the filtered
+    sides at test scale, shuffles at 100 TB); the
     lineitem⋈orders equi-join on orderkey is the one fact-fact shuffle;
     the final group-by is 2 nations × years — tiny."""
     nat = nation.where(F.col("n_name").isin(nation_a, nation_b))
@@ -573,8 +590,8 @@ def q7_nation_volume_shipping(
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .where(
             ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
             | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
@@ -600,8 +617,9 @@ def q8_market_share(
     of regional sales volume for one part type, per order year — the
     conditional-aggregate-ratio shape over a five-table join.
 
-    Scale shape: part (type-filtered), supplier⋈nation, and
-    customer⋈nation⋈region are all broadcast dims; the part filter
+    Scale shape: nation/region hint-broadcast inside the dim prep; the
+    part (type-filtered), supplier, and customer sides join the facts
+    UNHINTED (AQE-broadcast at test scale); the part filter
     reaches the lineitem join before the orders join, so the fact-fact
     orderkey shuffle carries only the type's lines. The ratio is
     computed inside one aggregate pass (sum of CASE over sum), per year
@@ -619,10 +637,10 @@ def q8_market_share(
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        lineitem.join(parts, lineitem.l_partkey == parts.p_partkey)
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(sup, lineitem.l_suppkey == sup.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -647,7 +665,8 @@ def q9_product_profit(
     discounted revenue − retailprice × quantity); the part-name LIKE
     filter and the nation × year rollup keep the original's shape.
 
-    Scale shape: part (name-filtered) and supplier⋈nation broadcast;
+    Scale shape: nation hint-broadcasts into supplier; the name-filtered
+    part and supplier sides join the facts unhinted;
     lineitem⋈orders shuffles on orderkey once; the grouped result is
     |nations| × |years|. The LIKE filter lands in PushedFilters as a
     StringContains on the part scan."""
@@ -665,9 +684,9 @@ def q9_product_profit(
         - F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(28,6)")
     return (
-        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        lineitem.join(parts, lineitem.l_partkey == parts.p_partkey)
         .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        .join(sup, lineitem.l_suppkey == sup.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         # round the EXACT decimal (half-away-from-zero in both engines),
         # THEN cast: rounding after a double cast re-introduces the
@@ -688,8 +707,9 @@ def q11_important_parts(
     the scalar-subquery-in-HAVING shape. No partsupp, so value is the
     summed extended price of the nation's lineitem rows per part.
 
-    Scale shape: the nation's supplier keys broadcast into the lineitem
-    scan (filter before shuffle); one partial-agg shuffle on partkey;
+    Scale shape: the nation's supplier keys join the lineitem scan
+    unhinted (AQE broadcasts them at test scale — filter before
+    shuffle); one partial-agg shuffle on partkey;
     the global total is a 1-row aggregate of the per-part rollup
     broadcast-crossed into the HAVING filter — the same decorrelation
     Catalyst applies to an uncorrelated scalar subquery, never a second
@@ -699,7 +719,7 @@ def q11_important_parts(
         "s_suppkey"
     )
     per_part = (
-        lineitem.join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+        lineitem.join(sup, lineitem.l_suppkey == sup.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
@@ -791,15 +811,15 @@ def q20_excess_suppliers(
     integral quantities are exact doubles, so the strict > is
     cross-engine stable.
 
-    Scale shape: the name-prefix part keys broadcast into the year-
-    filtered lineitem scan; the pair rollup and its per-part total share
+    Scale shape: the name-prefix part keys join the year-filtered
+    lineitem scan unhinted (AQE-broadcast at test scale); the pair rollup and its per-part total share
     one partkey-partitioned shuffle (the total is a re-aggregation of
     the pair rollup, not a second scan); the supplier set then
     DISTINCTs on suppkey — rows ≪ lineitem throughout."""
     parts = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
     qty = (
         lineitem.where(F.year("l_shipdate") == year)
-        .join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .join(parts, lineitem.l_partkey == parts.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
     )

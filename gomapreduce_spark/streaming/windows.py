@@ -458,10 +458,16 @@ def streaming_static_enrichment(
     """Stream-static enrichment join: each streaming event joined to
     the static customer dimension (c_custkey = user_id) — the canonical
     streaming lookup pattern. The static side is a plain DataFrame;
-    Spark re-broadcasts it per micro-batch, no watermark or join state
-    needed (unlike stream-stream joins), so state stays O(1) at any
-    ingest rate and the dimension can be swapped for a slowly-changing
-    table between batches.
+    no watermark or join state is needed (unlike stream-stream joins),
+    so state stays O(1) at any ingest rate and the dimension can be
+    swapped for a slowly-changing table between batches.
+
+    The user dimension GROWS with the corpus (customer is SF-scaling),
+    so it carries NO mandatory broadcast hint — a forced broadcast of
+    a ~3B-row dim at SF≈100k is an executor OOM. Per micro-batch Spark
+    re-plans the join; while the dim measures under the adaptive
+    threshold it broadcasts (verified by test), and past that it
+    degrades to a shuffled join instead of failing.
 
     Row-level and deterministic (no windows, no state), so this is the
     one streaming query with a full value-hash DuckDB oracle — the
@@ -472,7 +478,7 @@ def streaming_static_enrichment(
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("acctbal"),
     )
-    joined = stream.join(F.broadcast(dim), "user_id", "left").select(
+    joined = stream.join(dim, "user_id", "left").select(
         "event_id", "user_id", "event_type", "segment", "acctbal"
     )
     return _run_to_memory(joined, "append")

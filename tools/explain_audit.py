@@ -39,30 +39,37 @@ def _scan_blocks(plan: str) -> list[str]:
 AUDITS: dict[str, dict] = {
     # query -> expectations
     "q6_forecast_revenue": {
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate", "l_quantity"],
         "read_schema_max_cols": 4,
         "forbid": ["CartesianProduct"],
     },
     "q1_pricing_summary": {
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate"],
         "read_schema_max_cols": 7,
         "partial_agg": True,
         "forbid": ["CartesianProduct"],
     },
     "q3_top_orders": {
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
         # top-k must be the distributed partial top-k, never a global
         # single-partition sort/window over the full aggregate
-        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "require": ["TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_single_partition": 0,
     },
     "q10_returned_items": {
-        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
+        "require": ["TakeOrderedAndProject"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_single_partition": 0,
     },
     "q5_local_supplier": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 4)],
+        "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "wordcount": {
@@ -124,17 +131,21 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "q17_small_quantity": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "q14_promo_revenue": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 1)],
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "q18_large_orders": {
-        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
+        "require": ["TakeOrderedAndProject"],
         "partial_agg": True,  # quantity rollup combines map-side
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_single_partition": 0,
@@ -143,7 +154,8 @@ AUDITS: dict[str, dict] = {
     # partkey with the disjunction as a filter — never a plan split or
     # nested-loop fallback
     "q19_disjunctive_revenue": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 1)],
+        "forbid_scaling_hints": True,
         # CNF extraction (PushExtraPredicateThroughJoin) pushes the
         # per-band disjunction (1..11 OR 10..20 OR 20..30) on l_quantity
         "pushed_filters": ["l_quantity"],
@@ -153,6 +165,7 @@ AUDITS: dict[str, dict] = {
     # side PRE-AGGREGATED (count per custkey before the join), and both
     # count layers must combine map-side
     "q13_customer_distribution": {
+        "forbid_scaling_hints": True,
         "pushed_filters": ["o_orderpriority"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -162,7 +175,9 @@ AUDITS: dict[str, dict] = {
     # supplier⋈nation broadcast, distributed top-k — never a correlated
     # re-scan per row, never a nested loop
     "q21_suppliers_kept_waiting": {
-        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "require_executed": [("BroadcastHashJoin", 4)],
+        "forbid_scaling_hints": True,
+        "require": ["TakeOrderedAndProject"],
         "pushed_filters": ["o_orderstatus"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -173,6 +188,7 @@ AUDITS: dict[str, dict] = {
     # single aggregate row); the NOT EXISTS must be a LeftAnti equi-join
     # with the date filter pushed to the orders scan
     "q22_global_sales_opportunity": {
+        "forbid_scaling_hints": True,
         "require": ["LeftAnti"],
         "pushed_filters": ["o_orderdate"],
         "partial_agg": True,
@@ -182,7 +198,9 @@ AUDITS: dict[str, dict] = {
     # every dim (part, supplier⋈nation⋈region) broadcasts, and top-k is
     # distributed — the window min runs over already-aggregated pairs
     "q2_min_cost_supplier": {
-        "require": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "require_executed": [("BroadcastHashJoin", 3)],
+        "forbid_scaling_hints": True,
+        "require": ["TakeOrderedAndProject"],
         "pushed_filters": ["p_type"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -190,7 +208,8 @@ AUDITS: dict[str, dict] = {
     # both nation dims broadcast pre-filtered; the only shuffle join is
     # lineitem⋈orders on orderkey; shipdate window pushed to the scan
     "q7_nation_volume": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 4)],
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -199,7 +218,8 @@ AUDITS: dict[str, dict] = {
     # by type, customer pre-joined to region); the conditional share
     # ratio is ONE aggregate pass — no second scan of the join
     "q8_market_share": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 6)],
+        "forbid_scaling_hints": True,
         "pushed_filters": ["p_type"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -207,7 +227,8 @@ AUDITS: dict[str, dict] = {
     # name LIKE filter must reach the part scan (StringContains); dims
     # broadcast; single orderkey shuffle; nation×year rollup partial
     "q9_product_profit": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 3)],
+        "forbid_scaling_hints": True,
         "pushed_filters": ["p_name"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -216,13 +237,15 @@ AUDITS: dict[str, dict] = {
     # total is a 1-row broadcast cross back into the filter (the one
     # legitimate BroadcastNestedLoopJoin), never a lineitem re-scan
     "q11_important_parts": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
         "partial_agg": True,
         "forbid": ["CartesianProduct"],
     },
     # conditional double-count in one aggregate pass over one orderkey
     # equi-join; the ship-window reaches the lineitem scan
     "q12_late_by_returnflag": {
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -231,7 +254,8 @@ AUDITS: dict[str, dict] = {
     # 1-row broadcast cross; supplier dim equi-joins — no re-scan of
     # lineitem for the max
     "q15_top_supplier": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 2)],
+        "forbid_scaling_hints": True,
         "pushed_filters": ["l_shipdate"],
         "partial_agg": True,
         "forbid": ["CartesianProduct"],
@@ -241,7 +265,8 @@ AUDITS: dict[str, dict] = {
     # the supplier membership is an equi-(semi-)join — no correlated
     # re-scan, no nested loop
     "q20_excess_suppliers": {
-        "require": ["BroadcastHashJoin"],
+        "require_executed": [("BroadcastHashJoin", 3)],
+        "forbid_scaling_hints": True,
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
@@ -294,7 +319,9 @@ AUDITS: dict[str, dict] = {
     # distinct count — never a per-group collect_set. (Expand would
     # only appear with mixed distinct/non-distinct aggregates.)
     "q16_supplier_parts": {
-        "require": ["BroadcastHashJoin", "partial_count(distinct"],
+        "require_executed": [("BroadcastHashJoin", 1)],
+        "forbid_scaling_hints": True,
+        "require": ["partial_count(distinct"],
         "partial_agg": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "collect_set"],
     },
@@ -579,6 +606,33 @@ AUDITS: dict[str, dict] = {
 }
 
 
+#: fixed-cardinality join keys whose broadcast hints are legitimate at
+#: any SF (nation = 25 rows, region = 5 rows — constant in TPC-H).
+_FIXED_DIM_KEYS = ("n_nationkey", "r_regionkey", "n_regionkey")
+
+
+def scaling_hint_lines(df: DataFrame) -> list[str]:
+    """Lines of the optimized logical plan carrying a mandatory broadcast
+    hint on anything OTHER than a fixed-size dimension or a scalar cross.
+
+    A `strategy=broadcast` hint line is allowed only when (a) the join
+    key is a nation/region key (fixed 25/5 rows at every SF) or (b) the
+    join is a Cross of a 1-row aggregate (scalar subquery decorrelation)
+    — every other hinted side could grow with the corpus, and a
+    mandatory hint there is an executor OOM at 100 TB."""
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for line in logical.splitlines():
+        if "strategy=broadcast" not in line:
+            continue
+        if any(k in line for k in _FIXED_DIM_KEYS):
+            continue
+        if "Join Cross" in line:
+            continue
+        bad.append(line.strip())
+    return bad
+
+
 def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
     """Return a list of failure strings (empty = pass)."""
     plan = plan_str(df)
@@ -586,6 +640,32 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
     for s in exp.get("require", []):
         if s not in plan:
             fails.append(f"missing required node {s!r}")
+    if exp.get("forbid_scaling_hints"):
+        for line in scaling_hint_lines(df):
+            fails.append(f"mandatory broadcast hint on a non-fixed side: {line[:120]}")
+    if "require_executed" in exp:
+        # Execute the query (bounded result at audit scale), then read
+        # the AQE-final plan: this distinguishes "AQE chose broadcast at
+        # runtime from measured sizes" (the behavior we pin) from a
+        # compile-time plan that merely estimated one. collect() runs
+        # THIS dataset's own QueryExecution, so executedPlan() below is
+        # the adaptively re-planned physical plan of this exact query.
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        if "isFinalPlan=true" not in executed:
+            fails.append("executed plan is not an AQE final plan")
+        # an executed AdaptiveSparkPlan prints "== Final Plan ==" then
+        # "== Initial Plan ==" — check the final section only, else the
+        # (pre-adaptive) initial plan double-counts nodes
+        final = executed.split("== Initial Plan ==")[0]
+        for s in exp["require_executed"]:
+            if isinstance(s, tuple):
+                node, n_min = s
+                n = final.count(node)
+                if n < n_min:
+                    fails.append(f"{n} {node!r} in EXECUTED plan < required {n_min}")
+            elif s not in final:
+                fails.append(f"missing {s!r} in EXECUTED (AQE-final) plan")
     for s in exp.get("forbid", []):
         if s in plan:
             fails.append(f"forbidden node {s!r} present")
