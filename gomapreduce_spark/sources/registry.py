@@ -280,16 +280,35 @@ def write_zordered(
     first for usable pruning on both — the right layout when two query
     predicates matter at 100 TB.
 
-    One range shuffle (reservoir-sampled bounds) + per-shard sort, the
-    write_training_shards machinery on a computed key."""
+    One range shuffle + per-shard sort, the write_training_shards
+    machinery on a computed key. Range bounds come from sampling; the
+    default 100 points/partition makes file boundaries (and hence each
+    file's min/max envelope) drift with whatever physical partitioning
+    the input happens to have — harmless for correctness but it makes
+    layout properties nondeterministic run-to-run. Pin a large
+    per-partition sample instead: Spark caps the TOTAL range sample at
+    1e6 rows (RangePartitioner.sketch), so driver memory stays bounded
+    at any input size while small-to-medium writers get exact,
+    partitioning-independent bounds. Scoped save/restore — the session
+    conf is never left mutated."""
     keyed = df.withColumn("_z", zorder_key(c1, c2, bits))
-    (
-        keyed.repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    sess = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    saved = sess.conf.get(key, None)
+    try:
+        sess.conf.set(key, "100000")
+        (
+            keyed.repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if saved is None:
+            sess.conf.unset(key)
+        else:
+            sess.conf.set(key, saved)
 
 
 def write_dataset_manifest(path: str, order_col: str | None = None) -> dict:

@@ -36,3 +36,45 @@ def sf_small() -> str:
 @pytest.fixture(scope="session")
 def sf_med() -> str:
     return SF_MED
+
+
+# Round-7 deflake guard (round-6 verdict "What's wrong #1"): a test that
+# mutates session confs without save/restore silently changes the plans
+# of every LATER test in the shared session — the z-order flake was
+# exactly this class of leak. Snapshot the confs that steer physical
+# planning around every test and fail the leaking test itself, not its
+# downstream victim.
+_GUARDED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.sources.partitionOverwriteMode",
+    "spark.sql.execution.arrow.maxRecordsPerBatch",
+)
+
+
+@pytest.fixture(autouse=True)
+def _no_session_conf_leaks():
+    """Assert the test left every plan-steering session conf unchanged."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:  # test never touched Spark — nothing to guard
+        yield
+        return
+    before = {k: s.conf.get(k, None) for k in _GUARDED_CONFS}
+    yield
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    after = {k: s.conf.get(k, None) for k in _GUARDED_CONFS}
+    leaked = {k: (before[k], after[k]) for k in _GUARDED_CONFS if before[k] != after[k]}
+    assert not leaked, f"test leaked session confs (fix with save/restore): {leaked}"

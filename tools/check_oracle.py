@@ -92,6 +92,8 @@ def main() -> int:
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
+    from gomapreduce_spark.queries import PRECOMPUTED_ORACLE_SF as PRECOMPUTED_SF
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     unknown = ONLY - set(qs)
     if unknown:
@@ -101,8 +103,21 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
+        # precomputed VALUES oracles are literals valid only at their
+        # generation SF — elsewhere degrade to rows-only with a reason
+        # instead of hard-failing on stale literals (round-6 advisor)
+        gen_sf = PRECOMPUTED_SF.get(name)
+        sf_mismatch = gen_sf is not None and os.path.normpath(gen_sf) != os.path.normpath(SF_DIR)
         try:
             sdf = fn(spark, SF_DIR)
+            if sf_mismatch:
+                n = len(sdf.collect())
+                print(
+                    f"ok   {name}: rows-only ({n} rows, {time.time()-t0:.1f}s) "
+                    f"[precomputed oracle generated at {gen_sf}, checking {SF_DIR} — value compare skipped]"
+                )
+                n_pass += 1
+                continue
             if name not in oracles:
                 # collect(), not count(): count() lets Catalyst prune
                 # unprojected columns, so a runtime error inside a column

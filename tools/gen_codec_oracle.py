@@ -152,8 +152,10 @@ def main() -> int:
             "(independent numpy reference, self-checked against the live\n"
             "pipeline at generation time). Valid for the deterministic\n"
             "testdata generation seeded at that sf; regenerate if testdata\n"
-            "or the synth/codec parameters change.\n"
+            "or the synth/codec parameters change. Check tooling consults\n"
+            "GENERATED_SF_DIR and skips the value compare at any other SF.\n"
             '"""\n\n'
+            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
             f"DHASH_EXPECTED_SQL = '''\n{dhash_sql}\n'''\n\n"
             f"AUDIO_SPECTRAL_EXPECTED_SQL = '''\n{audio_sql}\n'''\n"
         )
