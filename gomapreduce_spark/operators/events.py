@@ -889,33 +889,44 @@ def interarrival_stats(events: DataFrame, min_events: int = 3) -> DataFrame:
     Scale shape: ONE user-keyed shuffle feeds the lag window; gap
     moments then partial-agg per user (count/sum/sum-of-squares — all
     mergeable), and σ derives from the moments so nothing needs a
-    second pass. Gaps are exact integer micros; only the final
-    mean/σ/B expressions are float, computed identically in the
-    oracle."""
+    second pass.
+
+    The moments ACCUMULATE in exact integer micros: s1 as a 64-bit
+    sum, s2 (sum of squared micros — up to ~10^22 on day-long gaps) as
+    DECIMAL(38,0), both associative and hence independent of Spark's
+    partial-agg merge order and of DuckDB's sum order. A double gap_s
+    summed before the round-6 fix was order-dependent in its last bits
+    — a value landing exactly on a round(,6) boundary could flip the
+    hash oracle (advisor finding). Only the final mean/σ/B expressions
+    are float, written operation-for-operation identically in the
+    oracle so the IEEE results match bit-for-bit."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         events.select("user_id", "ts", "event_id")
         .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
         .where(F.col("prev_us").isNotNull())
-        .select("user_id", ((F.unix_micros("ts") - F.col("prev_us")) / 1_000_000).alias("gap_s"))
+        .select("user_id", (F.unix_micros("ts") - F.col("prev_us")).alias("gap_us"))
     )
     agg = gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        F.sum("gap_s").alias("s1"),
-        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
-        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_us").alias("s1u"),
+        F.sum((F.col("gap_us").cast("decimal(19,0)") * F.col("gap_us").cast("decimal(19,0)"))).alias("s2u"),
+        F.max("gap_us").alias("max_gap_us"),
     )
-    mu = F.col("s1") / F.col("n_gaps")
+    # float enters HERE only, after exact accumulation; the oracle SQL
+    # repeats these expressions verbatim (left-assoc divisions)
+    mu = F.col("s1u").cast("double") / F.col("n_gaps") / 1_000_000.0
+    msq = F.col("s2u").cast("double") / F.col("n_gaps") / 1e12
     # population variance from mergeable moments; guard the sqrt of
     # tiny negative float residue on near-constant gaps
-    sigma = F.sqrt(F.greatest(F.col("s2") / F.col("n_gaps") - mu * mu, F.lit(0.0)))
+    sigma = F.sqrt(F.greatest(msq - mu * mu, F.lit(0.0)))
     return (
         agg.where(F.col("n_gaps") >= min_events - 1)
         .select(
             "user_id",
             F.col("n_gaps").cast("long").alias("n_gaps"),
             F.round(mu, 6).alias("mean_gap_s"),
-            F.round("max_gap_s", 6).alias("max_gap_s"),
+            F.round(F.col("max_gap_us") / 1_000_000.0, 6).alias("max_gap_s"),
             F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
         )
     )

@@ -43,7 +43,13 @@ def deletion_variants(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
     over ~4.5M variant rows at sf0.1 cost more than the join it fed).
     For LONG strings (addresses, titles) swap in ``h64(variant)`` to
     cut shuffle bytes; nothing else changes (the h64 import stays for
-    that variant)."""
+    that variant).
+
+    Degenerate inputs (advisor round-6 finding): ``sequence(1, 0)`` on
+    an EMPTY string steps DOWNWARD to [1, 0] — two bogus variant rows —
+    and a NULL string propagates NULL variants into the join key; both
+    are filtered out up front (a zero-/NULL-length identifier has no
+    meaningful deletion neighborhood to match on)."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length(s_col)),
         lambda i: F.concat(
@@ -52,7 +58,7 @@ def deletion_variants(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
         ),
     )
     variants = F.array_union(F.array(F.col(s_col)), dels)
-    return df.select(
+    return df.where(F.length(s_col) >= 1).select(
         F.col(id_col),
         F.col(s_col).alias("__s"),
         F.explode(variants).alias("variant"),

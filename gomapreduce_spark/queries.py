@@ -2769,19 +2769,28 @@ ORACLES["interarrival_stats"] = """
     WITH gaps AS (
       SELECT user_id,
              (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-               / 1000000 AS gap_s
+               AS gap_us
       FROM events
     ),
+    -- moments accumulate in EXACT integers (HUGEINT for the squares),
+    -- associative hence order-independent — mirrors the Spark side's
+    -- long / DECIMAL(38,0) accumulation; float enters only below
     agg AS (
-      SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap_s) AS s1,
-             sum(gap_s * gap_s) AS s2, max(gap_s) AS max_gap_s
-      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+      SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap_us) AS s1u,
+             sum(gap_us::HUGEINT * gap_us::HUGEINT) AS s2u, max(gap_us) AS max_gap_us
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, n_gaps, max_gap_us,
+             s1u::DOUBLE / n_gaps / 1000000.0 AS mu,
+             s2u::DOUBLE / n_gaps / 1e12 AS msq
+      FROM agg
     )
     SELECT user_id, n_gaps,
-           round(s1 / n_gaps, 6) AS mean_gap_s,
-           round(max_gap_s, 6) AS max_gap_s,
-           round((sqrt(greatest(s2 / n_gaps - (s1/n_gaps)*(s1/n_gaps), 0.0)) - s1/n_gaps)
-                 / (sqrt(greatest(s2 / n_gaps - (s1/n_gaps)*(s1/n_gaps), 0.0)) + s1/n_gaps), 6)
+           round(mu, 6) AS mean_gap_s,
+           round(max_gap_us / 1000000.0, 6) AS max_gap_s,
+           round((sqrt(greatest(msq - mu*mu, 0.0)) - mu)
+                 / (sqrt(greatest(msq - mu*mu, 0.0)) + mu), 6)
              AS burstiness
-    FROM agg WHERE n_gaps >= 2
+    FROM m WHERE n_gaps >= 2
 """

@@ -29,9 +29,10 @@ one partition per chunk gives Spark's scheduler the same task
 granularity the reference's M controls (jobConfig.go:10). The writer's
 one-file-per-key layout is API fidelity — at 100 TB use
 ``df.write.partitionBy("key")`` (see mapreduce.PartitionedSink) —
-and is transactional per Spark's commit protocol: tasks write to a
-temp dir under the target, commit() renames into place, abort()
-removes the temp dir.
+and is transactional per Spark's commit protocol: each task ATTEMPT
+writes to its own subdir of a job temp dir under the target, commit()
+renames only the files named in the winning attempts' commit messages
+into place, abort() removes the temp dir.
 """
 
 from __future__ import annotations
@@ -146,10 +147,22 @@ class KeyedTextReader(DataSourceReader):
 
 @dataclass
 class _WroteFiles(WriterCommitMessage):
-    files: list  # relative names written under the temp dir
+    attempt: str  # this task attempt's private subdir under the temp dir
+    files: list  # relative names written under that subdir
 
 
 class KeyedTextWriter(DataSourceWriter):
+    """One-file-per-key sink with a two-level commit protocol.
+
+    Every task ATTEMPT writes into its own private subdir of the job
+    temp dir (keyed on partition id + task attempt id), so a retried or
+    speculative zombie attempt can never race the winning attempt on a
+    shared filename or get a half-written file renamed into place:
+    commit() moves only files named in the commit MESSAGES Spark
+    delivers — exactly one per task, from the attempt that won
+    (advisor round-6 finding). Duplicate keys across partitions still
+    last-write-win at the target, but each source file is complete."""
+
     def __init__(self, options, overwrite: bool):
         self.dir = options.get("path")
         if not self.dir:
@@ -159,22 +172,39 @@ class KeyedTextWriter(DataSourceWriter):
         os.makedirs(self.tmp, exist_ok=True)
 
     def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = (
+            f"attempt-{ctx.partitionId()}-{ctx.taskAttemptId()}"
+            if ctx is not None
+            else f"attempt-{uuid.uuid4().hex[:12]}"
+        )
+        adir = os.path.join(self.tmp, attempt)
+        os.makedirs(adir, exist_ok=True)
         files = []
         for row in iterator:
             name = str(row[0]).replace(os.sep, "_")
-            with open(os.path.join(self.tmp, name), "w", encoding="utf-8") as fh:
+            with open(os.path.join(adir, name), "w", encoding="utf-8") as fh:
                 fh.write("" if row[1] is None else str(row[1]))
             files.append(name)
-        return _WroteFiles(files)
+        return _WroteFiles(attempt, files)
 
     def commit(self, messages):
         if self.overwrite:
             for n in os.listdir(self.dir):
-                if not n.startswith("_temporary-"):
-                    os.remove(os.path.join(self.dir, n))
+                if n.startswith("_temporary-"):
+                    continue
+                p = os.path.join(self.dir, n)
+                # a directory in the target (e.g. an old partitioned
+                # layout) must not crash the cleanup (os.remove raises)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
         for msg in messages:
             for name in msg.files:
-                os.replace(os.path.join(self.tmp, name), os.path.join(self.dir, name))
+                os.replace(os.path.join(self.tmp, msg.attempt, name), os.path.join(self.dir, name))
         shutil.rmtree(self.tmp, ignore_errors=True)
 
     def abort(self, messages):

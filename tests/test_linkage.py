@@ -127,3 +127,17 @@ def test_html_strip_gates_link_heavy_pages(spark):
     chrome = got[2].clean_len - len("hi")
     body = len("a reasonably long paragraph of ordinary page text " * 5)
     assert abs(got[1].clean_len - (body + chrome)) <= 2  # ws collapse slack
+
+
+def test_deletion_variants_guard_empty_and_null(spark):
+    """sequence(1, 0) steps DOWNWARD on an empty string ([1, 0] — two
+    bogus variants) and a NULL name yields NULL variants; both inputs
+    are dropped before the fan-out (advisor round-6 finding)."""
+    from gomapreduce_spark.operators.linkage import deletion_variants
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "id long, name string"
+    )
+    rows = deletion_variants(df, "id", "name").collect()
+    assert {r.id for r in rows} == {1}
+    assert sorted(r.variant for r in rows) == ["a", "ab", "b"]

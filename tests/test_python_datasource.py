@@ -164,3 +164,23 @@ def test_stream_read_picks_up_arriving_files(registered, tmp_path):
         assert ("f3", "late\n") in rows()
     finally:
         q.stop()
+
+
+def test_keyed_writer_overwrite_survives_stray_subdir(registered, tmp_path):
+    """Overwrite cleanup must rmtree directories in the target (an old
+    partitioned layout) instead of crashing in os.remove, and the
+    per-attempt temp layout still lands one complete file per key
+    (advisor round-6 finding)."""
+    d = str(tmp_path / "out")
+    os.makedirs(os.path.join(d, "lang=en"))
+    with open(os.path.join(d, "lang=en", "old.txt"), "w") as fh:
+        fh.write("stale")
+    with open(os.path.join(d, "stale_key"), "w") as fh:
+        fh.write("stale")
+    registered.createDataFrame(
+        [("k1", "alpha"), ("k2", "beta")], "key string, value string"
+    ).repartition(2).write.format("keyedtext").mode("overwrite").save(d)
+    assert sorted(n for n in os.listdir(d) if not n.startswith("_")) == ["k1", "k2"]
+    assert open(os.path.join(d, "k1")).read() == "alpha"
+    # the job temp dir (and its per-attempt subdirs) are gone
+    assert not [n for n in os.listdir(d) if n.startswith("_temporary-")]
