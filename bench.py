@@ -114,13 +114,22 @@ def main() -> None:
     # keeps the driver's expected shape ({metric, value, unit, queries,
     # sf}) but limits "queries" to the 10 slowest — budget well under
     # 1500 chars even with error entries.
+    # Calibration-normalized figures (round-6 verdict item 5): r6's
+    # host ran 1.5x slower than r5 by its own calibration, making raw
+    # tails misleading — t/calib is the load-invariant number, emitted
+    # per query so a round-over-round comparison is one field, not a
+    # judge-side recomputation.
+    norm = (lambda t: round(t / calib, 3)) if calib > 0 else (lambda t: -1.0)
     detail = {
         "metric": "bench_total_wall_sec",
         "value": total,
+        "value_norm": norm(total),
         "unit": "sec",
         "queries": times,
+        "queries_norm": {k: norm(v) for k, v in times.items()},
         "streaming_queries": stimes,
         "streaming_sec": streaming_total,
+        "streaming_sec_norm": norm(streaming_total),
         "sf": sf,
         "calib_sec": calib,
     }
@@ -135,6 +144,7 @@ def main() -> None:
     summary = {
         "metric": "bench_total_wall_sec",
         "value": total,  # batch total — comparable across rounds
+        "value_norm": norm(total),  # total / calib_sec — host-speed invariant
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "n_queries": len(times),

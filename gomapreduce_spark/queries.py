@@ -71,6 +71,12 @@ def _t(name: str):
 # Spark-side queries
 # ---------------------------------------------------------------------------
 
+def _keyedtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.keyedtext import keyedtext_roundtrip_wordcount
+
+    return keyedtext_roundtrip_wordcount(spark, sf_dir)
+
+
 def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count through the MapReduce facade — proves the reference's
     Mapper/Reducer/Inputer/Outputer path end-to-end (reference
@@ -108,6 +114,9 @@ QUERIES: dict[str, QueryFn] = {
     # -- reference core dataflow (SURVEY §2.1) --
     "wordcount": lambda s, d: wordcount.word_count(load_table(s, d, "documents")),
     "mr_wordcount": _mr_wordcount,
+    # the registered Python Data Source (O1-O3 reader/chunker + O12
+    # sink) exercised end-to-end under the hash oracle (round 7)
+    "keyedtext_wordcount": lambda s, d: _keyedtext_wordcount(s, d),
     "group_collect": lambda s, d: wordcount.group_collect(load_table(s, d, "documents")),
     "sum_reduce": lambda s, d: wordcount.sum_reduce(load_table(s, d, "events")),
     # -- no round-1 driver row --
@@ -658,6 +667,16 @@ ORACLES: dict[str, str] = {
     "mr_wordcount": r"""
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents)
+        WHERE strlen(word) > 0
+        GROUP BY word
+    """,
+    # the keyedtext roundtrip writes doc_id % 25 = 0 through the sink
+    # and word-counts what the chunked reader returns — line-aligned
+    # chunks with '\n' a token separator make it equal to counting the
+    # subset's raw text, which is what this computes from the parquet
+    "keyedtext_wordcount": r"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents WHERE doc_id % 25 = 0)
         WHERE strlen(word) > 0
         GROUP BY word
     """,

@@ -276,3 +276,35 @@ class KeyedTextDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002
         return KeyedTextStreamReader(self.options)
+
+
+def keyedtext_roundtrip_wordcount(
+    spark, sf_dir: str, every: int = 25, chunk_bytes: int = 2048
+):
+    """Drive the registered Python Data Source END-TO-END under the
+    driver's value-hash oracle (round-6 verdict item 6): export a
+    deterministic subset of ``documents`` through the keyedtext WRITER
+    (one file per doc via Spark's commit protocol), read it back
+    through the keyedtext READER with line-aligned chunking, and
+    word-count the values. Equal to word-counting the subset's raw
+    text directly — chunk boundaries are line-aligned and '\\n' is a
+    token separator, so chunking can never merge or split a token —
+    which is exactly what the DuckDB oracle computes from the parquet
+    table. Covers O1/O2/O3 (list keys, per-partition reads, chunker)
+    and O12 (keyed sink) in one driver-checked row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.wordcount import word_count
+    from .registry import load_table
+
+    spark.dataSource.register(KeyedTextDataSource)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % every == 0)
+    out = tempfile.mkdtemp(prefix="keyedtext_oracle_")
+    docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("key"),
+        F.col("text").alias("value"),
+    ).write.format("keyedtext").mode("overwrite").save(out)
+    back = spark.read.format("keyedtext").option("chunk_bytes", str(chunk_bytes)).load(out)
+    return word_count(back, text_col="value")
