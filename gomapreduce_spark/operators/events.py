@@ -930,3 +930,87 @@ def interarrival_stats(events: DataFrame, min_events: int = 3) -> DataFrame:
             F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
         )
     )
+
+
+SESSION_GAP_MINUTES = 240  # matches the fixture's ~hours-scale per-user cadence
+
+
+def session_window_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window`` — the
+    merging-window aggregate the STREAMING twin uses, run in batch so
+    the oracle pins its boundary semantics exactly: a session spans
+    [first event, last event + gap), and an event landing exactly at
+    the current end opens a NEW session (>= gap — one boundary stricter
+    than :func:`sessionize`'s ``> gap`` lag rule; the oracle re-derives
+    sessions with the lag/cumsum rewrite under the >= rule).
+
+    Scale shape: session_window plans as a single user-keyed
+    aggregation with in-partition window merging — state is bounded by
+    open sessions per user, the property that makes the streaming form
+    viable at any ingest rate."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def incremental_user_rollup(events: DataFrame, cutoff: str = "2024-01-08") -> DataFrame:
+    """Incremental aggregate MAINTENANCE: per-user stats computed as
+    two independent partial states (history before ``cutoff``, delta
+    since) MERGED by re-aggregation — the nightly-delta pattern that
+    replaces full recomputes at 100 TB. The driver's oracle compares
+    against a single-pass recompute, so the merge's correctness (not
+    just its plumbing) is hash-verified.
+
+    Every mergeable moment accumulates exactly: counts and integer-cent
+    value sums (the fixture's values carry 2 decimals) are 64-bit ints,
+    min/max are order-free — so partial+merge equals one-pass
+    bit-for-bit regardless of split point or merge order. Floats appear
+    only in the final mean/total expressions.
+
+    Scale shape: each half is a partial+final agg over its (pruned)
+    scan; the merge re-aggregates |users| rows — at scale the history
+    half is a stored rollup table read back, and only the delta scans
+    raw events."""
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("cents"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+
+    cut = F.lit(cutoff).cast("timestamp")
+    states = partial(events.where(F.col("ts") < cut)).unionByName(
+        partial(events.where(F.col("ts") >= cut))
+    )
+    return (
+        states.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("cents").alias("tot_cents"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("tot_cents") / 100.0, 2).alias("total_value"),
+            F.round(F.col("tot_cents") / 100.0 / F.col("n_events"), 6).alias("mean_value"),
+            "first_us",
+            "last_us",
+        )
+    )
+

@@ -1284,3 +1284,70 @@ def html_boilerplate_strip(docs: DataFrame, max_link_density: float = 0.25) -> D
         h64(clean).alias("clean_hash"),
         (link_density <= max_link_density).alias("kept"),
     )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information — the classic multiword-expression miner (Church &
+    Hanks 1990): PMI = ln(P(w1,w2) / (P(w1)P(w2))) over the adjacent-
+    pair event space, high when a pair co-occurs far above chance.
+    Tokenizer-vocabulary curation uses exactly this signal to decide
+    which frequent pairs deserve a merged token.
+
+    Every probability is a ratio of EXACT integer counts from one
+    tokenize scan (unigram and bigram counts are both partial+final
+    aggs), and the PMI expression is written operation-for-operation
+    identically in the DuckDB oracle, so the 1e-6-rounded score is
+    hash-stable. The ``min_count`` floor drops the unstable singleton
+    tail BEFORE the joins (PMI is maximal for hapax pairs — pure
+    noise — and the floor is also what bounds the join input).
+
+    Scale shape: the bigram rollup shuffles once on the pair; the two
+    unigram joins are vocabulary-keyed equi-joins left UNHINTED
+    (vocabulary grows with the corpus — AQE broadcasts the filtered
+    count tables at test scale, shuffles at 100 TB, per the no-forced-
+    broadcast doctrine); the corpus totals are 1-row broadcast crosses;
+    the global top-k is TakeOrdered, never a full sort."""
+    t = docs.select(tokenize("text").alias("t"))
+    uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("c1"))
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    pair = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big_all = (
+        t.where(F.size("t") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    n2 = big_all.agg(F.sum("c2").alias("n2"))
+    scored = (
+        big_all.where(F.col("c2") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("c2"),
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") * F.col("n1") * F.col("n1"))
+                    / (F.col("n2").cast("double") * F.col("c1a") * F.col("c1b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    order = [F.desc("pmi"), F.asc("w1"), F.asc("w2")]
+    return (
+        scored.orderBy(*order)
+        .limit(k)  # TakeOrderedAndProject: distributed partial top-k
+        .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
+    )

@@ -230,6 +230,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "customer")
     ),
     "interarrival_stats": lambda s, d: events.interarrival_stats(load_table(s, d, "events")),
+    # -- round-7 additions --
+    "session_window_stats": lambda s, d: events.session_window_stats(load_table(s, d, "events")),
+    "incremental_user_rollup": lambda s, d: events.incremental_user_rollup(load_table(s, d, "events")),
+    "pmi_collocations": lambda s, d: text.pmi_collocations(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -493,84 +497,73 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round as: (a) every entry whose IMPLEMENTATION changed this round —
-# their previous green rows no longer vouch for the current code —
-# including downstream consumers of changed operators; (b) entries the
-# round-5 bench refactors touched that no driver row has covered
-# since; (c) the stalest entries (last driver row r1, then r3). The
-# r4/r5-checked tail cedes its slots — every entry is still
-# re-verified each run by pytest + tools/check_oracle.py regardless of
-# position.
-_R6_PRIORITY = [
-    # (a0) NEW in round 6 — no driver row exists yet
-    "fuzzy_customer_links",
-    "event_transition_matrix",
-    "bpe_pair_counts",
-    "sparse_doc_similarity",
-    "scd2_user_state",
-    "streaming_transition_matrix",
-    "html_boilerplate_strip",
+# round as: (a) every entry whose IMPLEMENTATION or ORACLE changed
+# this round — their previous green rows no longer vouch for the
+# current code — including downstream consumers of changed operators;
+# then (b) the stalest entries by last driver row (union of
+# CORRECTNESS_r01..r06). Every entry is still re-verified each round
+# by pytest + tools/check_oracle.py regardless of position.
+_R7_PRIORITY = [
+    # (a0) NEW in round 7 — no driver row exists yet
+    "keyedtext_wordcount",       # Python Data Source roundtrip under the oracle
+    "session_window_stats",      # native session_window, boundary-pinned
+    "incremental_user_rollup",   # merged partial states == one-pass recompute
+    "pmi_collocations",          # collocation mining, exact-count PMI
+    # (a1) oracle PROMOTED rows-only -> full hash in round 7
+    "knn_ivf",
+    "knn_pq",
     "knn_ivf_pq",
-    "merge_upsert_customers",
-    "interarrival_stats",
-    # (a) implementation changed in round 6
-    "boilerplate_spans",       # unhinted hash-keyed semi-join + checkpoint
-    "duplicate_spans",         # single-pass sentinel-window rewrite
-    "minhash_lsh_pairs",       # hot-bucket cap
-    "embedding_near_dup",      # hot-cell cap
-    "dedup_clusters",          # consumes capped minhash pairs
-    "canonical_docs",          # consumes capped minhash pairs
-    "leakage_safe_split",      # consumes capped minhash pairs
-    "embedding_dedup_clusters",  # consumes capped embedding pairs
-    "pagerank_dedup_graph",    # consumes capped minhash pairs
-    "triangle_stats",          # consumes capped minhash pairs
-    "variant_props_stats",     # n_path_present rename (operator + oracle)
-    "image_dhash_index",       # promoted rows-only -> hash oracle
-    "audio_spectral",          # promoted rows-only -> hash oracle
-    # (b) touched by round-5 bench refactors, no driver row since
-    "json_props_stats",
-    "asof_join_orders",
-    "range_join_shipments",
-    "winnow_fingerprints",
-    "q4_late_shipments",
-    "salted_user_counts",
-    # (c) stalest: last driver row round 1
-    "percentile_stats",
-    "topk_per_group",
-    "rollup_revenue",
-    "anti_join_customers",
-    "semi_join_big_spenders",
-    "order_status_pivot",
-    "tumbling_window_counts",
-    "running_totals",
-    "cube_by_type_hour",
-    "funnel_set_ops",
-    "latest_event_per_user",
-    "value_deciles",
-    "value_prop_correlation",
-    "trimmed_mean_by_type",
-    "distinct_words",
-    "string_funcs_showcase",
-    "date_funcs_showcase",
-    "window_rank_showcase",
-    # (c) stalest: last driver row round 3
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "simhash",
-    "knn_bruteforce",
-    "training_corpus",
-    "profile_events",
+    "heavy_hitters_approx",
+    # (a2) implementation changed in round 7
+    "interarrival_stats",        # exact-integer moment accumulation (advisor)
+    "fuzzy_customer_links",      # deletion_variants empty/NULL guard (advisor)
+    "streaming_static_enrichment",  # user-dim broadcast hint removed
+    # (a3) relational family: forced dim-broadcast hints removed
     "q3_top_orders",
+    "q5_local_supplier",
     "q10_returned_items",
+    "q17_small_quantity",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q16_supplier_parts",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    # (b) stalest: last driver row r1/r3
+    "window_rank_showcase",
+    "exact_dedup",
+    "knn_bruteforce",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "profile_events",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q5_local_supplier",
-    "q17_small_quantity",
+    "simhash",
+    "training_corpus",
+    # (b) stalest: last driver row r4
+    "approx_distinct_users",
+    "array_funcs_showcase",
+    "audio_chunk_stats",
+    "benchmark_overlap",
+    "bigram_stats",
+    "chunk_documents",
+    "corpus_mixture",
+    "doc_fingerprint",
+    "embedding_doc_join",
+    "frame_stats",
+    "gopher_rules",
+    "heavy_hitters",
+    "inverted_index",
 ]
-_order = [n for n in QUERIES if n not in _R6_PRIORITY]
+_order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
-_order[_ins:_ins] = _R6_PRIORITY
+_order[_ins:_ins] = _R7_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
@@ -2812,4 +2805,67 @@ ORACLES["interarrival_stats"] = """
                  / (sqrt(greatest(msq - mu*mu, 0.0)) + mu), 6)
              AS burstiness
     FROM m WHERE n_gaps >= 2
+"""
+
+
+# session_window semantics: [first event, last event + gap), with an
+# event exactly at the current end opening a NEW session — re-derived
+# here with the lag/cumsum rewrite under the >= boundary rule
+ORACLES["session_window_stats"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+    f AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 240::BIGINT * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS seq FROM f
+    )
+    SELECT user_id,
+           min(us)::BIGINT AS start_us,
+           (max(us) + 240::BIGINT * 60 * 1000000)::BIGINT AS end_us,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, seq
+"""
+
+# the oracle recomputes in ONE pass what the Spark side computes as
+# two merged partial states — the merge IS what the hash verifies
+ORACLES["incremental_user_rollup"] = """
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS total_value,
+           round(sum(round(value * 100)::BIGINT) / 100.0 / count(*), 6) AS mean_value,
+           min(epoch_us(ts))::BIGINT AS first_us,
+           max(epoch_us(ts))::BIGINT AS last_us
+    FROM events GROUP BY user_id
+"""
+
+ORACLES["pmi_collocations"] = f"""
+    WITH t AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
+    ),
+    n1 AS (SELECT sum(c1) AS n1 FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS c2
+      FROM (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM t, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+      ) GROUP BY w1, w2
+    ),
+    n2 AS (SELECT sum(c2) AS n2 FROM big),
+    scored AS (
+      SELECT w1, w2, c2::BIGINT AS c2,
+             round(ln((c2::DOUBLE * n1 * n1) / (n2::DOUBLE * a.c1 * b.c1)), 6) AS pmi
+      FROM big, n1, n2
+      JOIN uni a ON a.w = w1
+      JOIN uni b ON b.w = w2
+      WHERE c2 >= 5
+    )
+    SELECT w1, w2, c2, pmi,
+           (row_number() OVER (ORDER BY pmi DESC, w1, w2))::BIGINT AS rk
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30
 """

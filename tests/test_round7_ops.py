@@ -1,0 +1,66 @@
+"""Round-7 operators: session_window boundary semantics, incremental
+rollup merge-equals-recompute invariance, PMI collocation sanity."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def test_session_window_boundary_semantics(spark):
+    """An event exactly gap after the previous one opens a NEW session
+    (session end = last event + gap, [start, end) half-open), while one
+    a microsecond earlier extends the session — the >= rule the oracle
+    re-derives."""
+    from gomapreduce_spark.operators.events import session_window_stats
+
+    t0 = datetime(2024, 1, 1)
+    gap = timedelta(minutes=240)
+    rows = [
+        (1, 1, t0, 1.0),                                   # session A
+        (2, 1, t0 + gap - timedelta(microseconds=1), 1.0), # extends A
+        (3, 1, t0 + 2 * gap, 1.0),                         # exactly at A's new end -> B
+        (4, 2, t0, 1.0),                                   # other user
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.start_us): (r.end_us, r.n_events)
+        for r in session_window_stats(ev, gap_minutes=240).collect()
+    }
+    us = lambda dt: int(dt.timestamp() * 1_000_000)  # noqa: E731
+    gap_us = 240 * 60 * 1_000_000
+    a_last = t0 + gap - timedelta(microseconds=1)
+    assert got[(1, us(t0))] == (us(a_last) + gap_us, 2)
+    assert got[(1, us(t0 + 2 * gap))] == (us(t0 + 2 * gap) + gap_us, 1)
+    assert got[(2, us(t0))] == (us(t0) + gap_us, 1)
+
+
+def test_incremental_rollup_invariant_under_cutoff(spark, sf_med):
+    """The merged two-state rollup equals itself at ANY split point —
+    including degenerate cutoffs where one half is empty — because
+    every moment accumulates exactly (ints, min/max)."""
+    from gomapreduce_spark.operators.events import incremental_user_rollup
+    from gomapreduce_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_med, "events")
+    base = {tuple(r) for r in incremental_user_rollup(ev, cutoff="2024-01-08").collect()}
+    for cutoff in ("2024-01-03", "2024-06-01", "1970-01-01"):
+        assert {tuple(r) for r in incremental_user_rollup(ev, cutoff=cutoff).collect()} == base
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    """A pair that ALWAYS co-occurs ("new york") outranks frequent
+    independent pairs; a pair of independently-frequent words gets
+    low PMI."""
+    from gomapreduce_spark.operators.text import pmi_collocations
+
+    filler = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"new york {filler}" if i % 2 == 0 else f"{filler} the cat", "en")
+         for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    got = pmi_collocations(docs, min_count=5, k=5).collect()
+    assert (got[0].w1, got[0].w2) == ("new", "york")
+    assert got[0].rk == 1 and got[0].pmi > 0

@@ -587,6 +587,43 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join"],
         "max_single_partition": 0,
     },
+    # the Python Data Source roundtrip: wordcount over the keyedtext
+    # reader must still partial-agg map-side (the token count combines
+    # before the shuffle even though the scan is a Python source)
+    "keyedtext_wordcount": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    # native session windows: the dedicated MergingSessions operator
+    # (sort + in-partition window merge) behind ONE user-keyed
+    # exchange — no join, no global window, no single-partition stage
+    "session_window_stats": {
+        "require": ["MergingSessions"],
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join", "Window"],
+        "max_single_partition": 0,
+    },
+    # incremental maintenance: two pruned scans -> partial states ->
+    # Union -> merge re-aggregation; every layer partial-aggs and the
+    # merge is user-keyed (no join, no window, no global stage)
+    "incremental_user_rollup": {
+        "require": ["Union"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "Join", "Window"],
+        "max_single_partition": 0,
+    },
+    # PMI: unigram/bigram rollups partial-agg; the vocabulary joins are
+    # UNHINTED equi-joins (AQE broadcasts at test scale — the no-forced-
+    # broadcast doctrine); the two corpus totals are the only legitimate
+    # single-partition stages (1-row aggregates); global top-k is the
+    # distributed TakeOrdered
+    "pmi_collocations": {
+        "require": ["TakeOrderedAndProject"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct"],
+        "max_single_partition": 2,
+    },
     # MERGE apply: ONE full-outer equi-join on the merge key + a
     # narrow conditional projection — never a per-clause re-join or a
     # nested loop
