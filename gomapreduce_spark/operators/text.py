@@ -1351,3 +1351,150 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 30) -> DataFr
         .limit(k)  # TakeOrderedAndProject: distributed partial top-k
         .withColumn("rk", F.row_number().over(W.orderBy(*order)).cast("long"))
     )
+
+
+# BPE training knobs: the merge table is the TRAINED ARTIFACT (its
+# size is the vocab budget); the word-frequency head bounds driver
+# state — classic BPE (Sennrich et al. 2016) trains on the word-freq
+# dictionary, so the corpus-scale work is exactly one word count.
+BPE_N_MERGES = 24
+BPE_TOP_WORDS = 2000
+
+
+def _bpe_word_freqs(docs: DataFrame, top_words: int) -> list[tuple[str, int]]:
+    """The DISTRIBUTED half of BPE training: one corpus word count
+    (tokenize scan + partial+final agg), reduced to the deterministic
+    frequency head via TakeOrdered (count desc, word asc). Driver
+    state is bounded by ``top_words`` at any corpus size."""
+    rows = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(top_words)
+        .collect()
+    )
+    return [(r["w"], r["n"]) for r in rows]
+
+
+def _bpe_merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge selection over the bounded word-freq dict —
+    the loop every BPE trainer runs (HF tokenizers included): count
+    adjacent symbol pairs weighted by word frequency, merge the
+    argmax, repeat. Deterministic: ties break (count desc, pair lex
+    asc); words carry an end-of-word sentinel so suffixes and free
+    tokens stay distinct symbols."""
+    from collections import Counter
+
+    words = [([*w] + ["</w>"], n) for w, n in freqs]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, n in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, cnt))
+        fused = left + right
+        for k, (syms, n) in enumerate(words):
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[k] = (out, n)
+    return merges
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, top_words: int = BPE_TOP_WORDS
+) -> DataFrame:
+    """Full BPE tokenizer training: the learned merge table
+    (rank, left, right, pair_count) — ``bpe_pair_counts`` showed ONE
+    iteration's corpus statistics; this runs the whole loop. The
+    distributed cost is the word count (the only corpus-sized pass);
+    merge selection operates on the bounded frequency head, exactly
+    how production BPE trainers split the work. Oracle: precomputed
+    VALUES from an independent reference implementation
+    (tools/gen_bpe_oracle.py), self-checked at generation time."""
+    spark = docs.sparkSession
+    merges = _bpe_merge_loop(_bpe_word_freqs(docs, top_words), n_merges)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = BPE_N_MERGES, top_words: int = BPE_TOP_WORDS
+) -> DataFrame:
+    """Apply the learned merge table to the WHOLE corpus — the encode
+    pass every training-data pipeline runs after tokenizer training —
+    and report per-language compression: words, BPE tokens, fertility
+    (tokens/word, the tokenizer-quality headline number), and how many
+    words encode to a single symbol.
+
+    Scale shape: the merge table rides in the task closure (bounded
+    artifact); encoding is ONE Arrow-batched mapInPandas pass with a
+    per-word memo (Zipf makes the hit rate extreme), followed by a
+    per-lang partial+final agg — no shuffle before the tiny rollup.
+    Exact integer counts; the fertility ratio rounds once."""
+    import pandas as pd
+
+    from .wordcount import PY_WS_RE
+
+    merges = [(m[1], m[2]) for m in _bpe_merge_loop(_bpe_word_freqs(docs, top_words), n_merges)]
+
+    def encode(batches):
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            syms = [*word] + ["</w>"]
+            for left, right in merges:
+                i, out = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            langs, n_words, n_toks, n_single = [], [], [], []
+            for lang, txt in zip(pdf["lang"], pdf["text"]):
+                words = [w for w in PY_WS_RE.split(txt or "") if w]
+                toks = [n_tokens(w) for w in words]
+                langs.append(lang)
+                n_words.append(len(words))
+                n_toks.append(sum(toks))
+                n_single.append(sum(1 for t in toks if t == 1))
+            yield pd.DataFrame(
+                {"lang": langs, "n_words": n_words, "n_tokens": n_toks, "n_single": n_single}
+            )
+
+    per_doc = docs.select("lang", "text").mapInPandas(
+        encode, "lang string, n_words long, n_tokens long, n_single long"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_single").cast("long").alias("n_single_token_words"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6),
+        )
+    )

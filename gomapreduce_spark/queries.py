@@ -234,6 +234,8 @@ QUERIES: dict[str, QueryFn] = {
     "session_window_stats": lambda s, d: events.session_window_stats(load_table(s, d, "events")),
     "incremental_user_rollup": lambda s, d: events.incremental_user_rollup(load_table(s, d, "events")),
     "pmi_collocations": lambda s, d: text.pmi_collocations(load_table(s, d, "documents")),
+    "bpe_learn_merges": lambda s, d: text.bpe_learn_merges(load_table(s, d, "documents")),
+    "bpe_encode_stats": lambda s, d: text.bpe_encode_stats(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -509,6 +511,8 @@ _R7_PRIORITY = [
     "session_window_stats",      # native session_window, boundary-pinned
     "incremental_user_rollup",   # merged partial states == one-pass recompute
     "pmi_collocations",          # collocation mining, exact-count PMI
+    "bpe_learn_merges",          # full BPE merge loop, VALUES oracle
+    "bpe_encode_stats",          # corpus encode + fertility, VALUES oracle
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -2547,7 +2551,21 @@ ORACLES["heavy_hitters_approx"] = ORACLES["heavy_hitters"]
 # when the SF under check differs from the generation SF.
 from .codec_expected import GENERATED_SF_DIR as _CODEC_SF
 
+# BPE oracles: the iterative merge loop is not SQL-expressible; the
+# expected tables come from tools/gen_bpe_oracle.py (independent
+# reference, self-checked), valid at the generation SF only.
+from .bpe_expected import (
+    GENERATED_SF_DIR as _BPE_SF,
+    BPE_ENCODE_EXPECTED_SQL,
+    BPE_MERGES_EXPECTED_SQL,
+)
+
+ORACLES["bpe_learn_merges"] = BPE_MERGES_EXPECTED_SQL
+ORACLES["bpe_encode_stats"] = BPE_ENCODE_EXPECTED_SQL
+
 PRECOMPUTED_ORACLE_SF = {
+    "bpe_learn_merges": _BPE_SF,
+    "bpe_encode_stats": _BPE_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
     "knn_ivf": _ANN_SF,

@@ -64,3 +64,25 @@ def test_pmi_ranks_planted_collocation_first(spark):
     got = pmi_collocations(docs, min_count=5, k=5).collect()
     assert (got[0].w1, got[0].w2) == ("new", "york")
     assert got[0].rk == 1 and got[0].pmi > 0
+
+
+def test_bpe_learns_planted_frequent_pair_first(spark):
+    """A corpus dominated by one word must merge that word's first
+    character pair at rank 1, and encoding must compress the fully
+    merged word to a single token once enough merges exist."""
+    from gomapreduce_spark.operators.text import bpe_encode_stats, bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(i, "aaab " + ("xy" if i % 5 == 0 else "zq"), "en") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=6, top_words=100).collect()
+    assert (merges[0].rank, merges[0].left, merges[0].right) == (1, "a", "a")
+    assert merges[0].pair_count == 100  # two 'aa' occurrences x 50 docs
+    stats = {r.lang: r for r in bpe_encode_stats(docs, n_merges=6, top_words=100).collect()}
+    en = stats["en"]
+    assert en.n_words == 100
+    # 'aaab' needs 4 merges to fuse to one symbol; 'xy'/'zq' need 2 —
+    # 6 deterministic merges cover the dominant word at least
+    assert en.n_single_token_words >= 50
+    assert en.fertility < 3.0

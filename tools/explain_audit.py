@@ -594,6 +594,17 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # BPE corpus encode: ONE Arrow pass (MapInPandas) + per-lang
+    # partial+final agg — no join, no window, no single-partition stage
+    # (the learn twin returns a driver-built local relation; its
+    # distributed half, the word count, is the wordcount gate's shape)
+    "bpe_encode_stats": {
+        "require": ["MapInPandas"],
+        "partial_agg": True,
+        "max_exchanges": 2,  # rebalance + lang hash
+        "forbid": ["CartesianProduct", "Join", "Window"],
+        "max_single_partition": 0,
+    },
     # native session windows: the dedicated MergingSessions operator
     # (sort + in-partition window merge) behind ONE user-keyed
     # exchange — no join, no global window, no single-partition stage
