@@ -667,13 +667,14 @@ ORACLES: dict[str, str] = {
         WHERE strlen(word) > 0
         GROUP BY word
     """,
-    # the keyedtext roundtrip writes doc_id % 25 = 0 through the sink
+    # the keyedtext roundtrip writes its fixed-size documents subset
+    # (doc_id % 50 = 0, doc_id < 2500) through the sink
     # and word-counts what the chunked reader returns — line-aligned
     # chunks with '\n' a token separator make it equal to counting the
     # subset's raw text, which is what this computes from the parquet
     "keyedtext_wordcount": r"""
         SELECT word, count(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents WHERE doc_id % 25 = 0)
+        FROM (SELECT unnest(regexp_split_to_array(text, '[\s  \p{Zs}]+')) AS word FROM documents WHERE doc_id % 50 = 0 AND doc_id < 2500)
         WHERE strlen(word) > 0
         GROUP BY word
     """,
