@@ -139,6 +139,13 @@ class KeyedTextReader(DataSourceReader):
         return parts
 
     def read(self, partition: _ChunkPartition):
+        if partition is None:
+            # an EMPTY directory: partitions() returned [], and Spark's
+            # Python-source runner still schedules one task with a None
+            # partition — a defined empty result, not a crash (this is
+            # day one of a pipeline: the ingest dir exists, nothing has
+            # arrived yet)
+            return
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             data = fh.read() if partition.length < 0 else fh.read(partition.length)

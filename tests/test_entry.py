@@ -15,20 +15,18 @@ def test_entry_returns_rows(spark):
 def test_queries_oracles_aligned():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
-    # documented rows-only queries: APPROXIMATE ops only (each with
-    # error-bound/recall tests) — every streaming query is hash-oracled
-    # (deterministic on a finite replay), and the deterministic codec
-    # pipelines (image_dhash_index, audio_spectral) carry precomputed
-    # independent-reference oracles since round 6
+    # documented rows-only queries — ONLY ops whose output depends on
+    # run-time nondeterminism (multi-probe bucket recall, HLL sketch,
+    # GK-sketch merge order), each with error-bound/recall tests.
+    # Everything deterministic is hash-oracled: streaming (finite
+    # replay), the codec pipelines (r6) and the ANN family + BPE loop
+    # (r7) via precomputed independent-reference VALUES oracles,
+    # heavy_hitters_approx via the exact top-k SQL (r7).
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "knn_lsh",
-        "knn_ivf",
-        "knn_pq",
-        "knn_ivf_pq",
         "approx_distinct_users",
         "value_deciles_approx",
-        "heavy_hitters_approx",
     }
 
 
