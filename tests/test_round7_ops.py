@@ -86,3 +86,42 @@ def test_bpe_learns_planted_frequent_pair_first(spark):
     # 6 deterministic merges cover the dominant word at least
     assert en.n_single_token_words >= 50
     assert en.fertility < 3.0
+
+
+def test_scaling_hint_gate_negative_control(spark, sf_med):
+    """The forbid_scaling_hints gate must FLAG a mandatory broadcast of
+    an SF-scaling dimension (customer) and must ALLOW the legitimate
+    hints: fixed nation/region keys and 1-row scalar crosses — proof
+    the round-7 gate detects exactly the violation it forbids."""
+    from tools.explain_audit import scaling_hint_lines
+
+    from gomapreduce_spark.sources.registry import load_table
+
+    customer = load_table(spark, sf_med, "customer")
+    nation = load_table(spark, sf_med, "nation")
+    orders = load_table(spark, sf_med, "orders")
+
+    # violation: forced broadcast of the SF-scaling customer side
+    bad = orders.join(
+        F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    assert scaling_hint_lines(bad), "gate missed a forced customer broadcast"
+
+    # legitimate: fixed 25-row nation hint on its key
+    ok_dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    assert scaling_hint_lines(ok_dim) == []
+
+    # legitimate: 1-row scalar aggregate broadcast-crossed
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("ab"))
+    ok_cross = customer.crossJoin(F.broadcast(avg_bal))
+    assert scaling_hint_lines(ok_cross) == []
+
+    # and the unhinted form of the violation is clean
+    good = orders.join(
+        customer.where(F.col("c_mktsegment") == "BUILDING"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    assert scaling_hint_lines(good) == []

@@ -84,6 +84,13 @@ PROBE_QUERIES = [
     "knn_ivf_pq",
     "merge_upsert_customers",
     "interarrival_stats",
+    # round-7 additions
+    "keyedtext_wordcount",
+    "session_window_stats",
+    "incremental_user_rollup",
+    "pmi_collocations",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
