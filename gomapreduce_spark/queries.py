@@ -236,6 +236,7 @@ QUERIES: dict[str, QueryFn] = {
     "pmi_collocations": lambda s, d: text.pmi_collocations(load_table(s, d, "documents")),
     "bpe_learn_merges": lambda s, d: text.bpe_learn_merges(load_table(s, d, "documents")),
     "bpe_encode_stats": lambda s, d: text.bpe_encode_stats(load_table(s, d, "documents")),
+    "distinctive_terms": lambda s, d: text.distinctive_terms(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -513,6 +514,7 @@ _R7_PRIORITY = [
     "pmi_collocations",          # collocation mining, exact-count PMI
     "bpe_learn_merges",          # full BPE merge loop, VALUES oracle
     "bpe_encode_stats",          # corpus encode + fertility, VALUES oracle
+    "distinctive_terms",         # Monroe log-odds per-source vocabulary
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -2887,4 +2889,29 @@ ORACLES["pmi_collocations"] = f"""
     SELECT w1, w2, c2, pmi,
            (row_number() OVER (ORDER BY pmi DESC, w1, w2))::BIGINT AS rk
     FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+# Monroe-2008 informative-Dirichlet log-odds: exact integer counts from
+# one tokenize pass; the float delta/var/z expressions mirror the
+# Spark side operation-for-operation (left-assoc, same literals)
+ORACLES["distinctive_terms"] = f"""
+    WITH toks AS (SELECT source AS grp, unnest({_TOKS}) AS w FROM documents),
+    ygw AS (SELECT grp, w, count(*) AS ygw FROM toks GROUP BY grp, w),
+    yw AS (SELECT w, sum(ygw) AS yw FROM ygw GROUP BY w),
+    ng AS (SELECT grp, sum(ygw) AS ng FROM ygw GROUP BY grp),
+    n AS (SELECT sum(ygw) AS n FROM ygw),
+    scored AS (
+      SELECT grp AS source, ygw.w AS token, ygw::BIGINT AS n_in_group,
+             round(
+               (ln((ygw + 500.0 * yw / n) / (ng + 500.0 - ygw - 500.0 * yw / n))
+                - ln(((yw - ygw) + 500.0 * yw / n) / ((n - ng) + 500.0 - (yw - ygw) - 500.0 * yw / n)))
+               / sqrt(1.0 / (ygw + 500.0 * yw / n) + 1.0 / ((yw - ygw) + 500.0 * yw / n)),
+               6) AS z
+      FROM ygw JOIN yw USING (w) JOIN ng USING (grp), n
+      WHERE ygw >= 5
+    )
+    SELECT source, token, n_in_group, z,
+           (row_number() OVER (PARTITION BY source ORDER BY z DESC, token))::BIGINT AS rk
+    FROM scored
+    QUALIFY rk <= 10
 """

@@ -125,3 +125,26 @@ def test_scaling_hint_gate_negative_control(spark, sf_med):
         orders.o_custkey == customer.c_custkey,
     )
     assert scaling_hint_lines(good) == []
+
+
+def test_distinctive_terms_finds_planted_source_vocabulary(spark):
+    """A token exclusive to one source must top that source's list
+    with a strongly positive z; a token uniform across sources must
+    never rank near the top anywhere."""
+    from gomapreduce_spark.operators.text import distinctive_terms
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{common} quux quux" if i % 2 == 0 else common,
+             "srcA" if i % 2 == 0 else "srcB")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = distinctive_terms(docs, k=3, min_count=5).collect()
+    a = sorted((r.rk, r.token, r.z) for r in got if r.source == "srcA")
+    assert a[0][1] == "quux" and a[0][2] > 0
+    # the uniform tokens never beat the planted one anywhere
+    b = sorted((r.rk, r.token, r.z) for r in got if r.source == "srcB")
+    assert all(t != "quux" for _, t, _ in b)

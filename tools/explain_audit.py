@@ -594,6 +594,18 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # Monroe log-odds: one tokenize scan feeds every count layer
+    # (aggregate-of-aggregate, no second scan); vocabulary joins are
+    # UNHINTED; the 1-row corpus total is the only single-partition
+    # stage; the top-k window partitions by group (WindowGroupLimit
+    # prunes per-partition before the final rank)
+    "distinctive_terms": {
+        "require": ["WindowGroupLimit"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_single_partition": 1,
+    },
     # BPE corpus encode: ONE Arrow pass (MapInPandas) + per-lang
     # partial+final agg — no join, no window, no single-partition stage
     # (the learn twin returns a driver-built local relation; its
