@@ -563,9 +563,6 @@ _R7_PRIORITY = [
     "doc_fingerprint",
     "embedding_doc_join",
     "frame_stats",
-    "gopher_rules",
-    "heavy_hitters",
-    "inverted_index",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
