@@ -1299,3 +1299,57 @@ def bloom_decontamination(
             (F.coalesce("n_hits", F.lit(0)) == k).alias("maybe_contaminated"),
         )
     )
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Pairwise shingle-set overlap BETWEEN sources — the
+    source-vs-source half of the contamination family
+    (bloom_decontamination / benchmark_overlap audit corpus-vs-
+    benchmark; this audits what each ingested source duplicates of the
+    others, the first question when deciding whether a new crawl adds
+    anything): for every source pair, the count of shared distinct
+    word n-gram shingles and the Jaccard similarity of the two
+    sources' shingle sets. Zero-overlap pairs are omitted (sparse
+    matrix semantics — the join that discovers overlap cannot emit
+    what it never sees, and an absent row IS the answer).
+
+    Scale shape: one shingle Arrow pass (reused shingle_arrays) → a
+    doc-keyed join to attach source → distinct (source, 60-bit
+    shingle-hash) — the per-source shingle SET, with the two-phase
+    distinct combining map-side. The overlap self-join is keyed on the
+    shingle hash and its fan-out per shingle is bounded by
+    |sources|²/2 (the source domain is catalog-sized — no hot-key cap
+    needed, unlike doc-pair joins where multiplicity is corpus-sized);
+    the per-pair rollup partial-aggs, and the size joins move
+    |sources| rows. Exact integer counts; one rounded ratio."""
+    sh = (
+        shingle_arrays(docs, n)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("s"))
+        .select("source", h64(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

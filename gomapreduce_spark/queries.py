@@ -237,6 +237,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_learn_merges": lambda s, d: text.bpe_learn_merges(load_table(s, d, "documents")),
     "bpe_encode_stats": lambda s, d: text.bpe_encode_stats(load_table(s, d, "documents")),
     "distinctive_terms": lambda s, d: text.distinctive_terms(load_table(s, d, "documents")),
+    "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -515,6 +516,7 @@ _R7_PRIORITY = [
     "bpe_learn_merges",          # full BPE merge loop, VALUES oracle
     "bpe_encode_stats",          # corpus encode + fertility, VALUES oracle
     "distinctive_terms",         # Monroe log-odds per-source vocabulary
+    "source_overlap_matrix",     # source-vs-source shingle Jaccard
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -2911,4 +2913,27 @@ ORACLES["distinctive_terms"] = f"""
            (row_number() OVER (PARTITION BY source ORDER BY z DESC, token))::BIGINT AS rk
     FROM scored
     QUALIFY rk <= 10
+"""
+
+# source-vs-source shingle overlap: the per-source shingle SET is the
+# distinct (source, shingle) projection; sparse semantics (zero-overlap
+# pairs omitted) match the Spark side's inner overlap join
+ORACLES["source_overlap_matrix"] = f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common::BIGINT AS n_common,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
 """

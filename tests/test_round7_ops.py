@@ -148,3 +148,23 @@ def test_distinctive_terms_finds_planted_source_vocabulary(spark):
     # the uniform tokens never beat the planted one anywhere
     b = sorted((r.rk, r.token, r.z) for r in got if r.source == "srcB")
     assert all(t != "quux" for _, t, _ in b)
+
+
+def test_source_overlap_matrix_planted_duplication(spark):
+    """Two sources sharing half their shingle text overlap strongly; a
+    disjoint third source appears in NO pair with them (sparse
+    semantics) except through genuinely shared shingles."""
+    from gomapreduce_spark.operators.dedup import source_overlap_matrix
+
+    shared = "the quick brown fox jumps over the lazy dog entirely"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta gamma", "srcA"),
+            (1, shared + " delta epsilon zeta", "srcB"),
+            (2, "completely different tokens here nothing matches at all ever", "srcC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.src_a, r.src_b): (r.n_common, r.jaccard) for r in source_overlap_matrix(docs).collect()}
+    assert ("srcA", "srcB") in rows and rows[("srcA", "srcB")][1] > 0.4
+    assert all("srcC" not in pair for pair in rows)

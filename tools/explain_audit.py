@@ -594,6 +594,18 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # source-overlap matrix: ONE shingle Arrow pass; the per-source
+    # shingle set is a two-phase distinct; the overlap self-join keys
+    # on the shingle hash (fan-out bounded by the catalog-sized source
+    # domain squared — no hot-key cap needed); no hints, no cartesian,
+    # no single-partition stage
+    "source_overlap_matrix": {
+        "require": ["MapInPandas"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
     # Monroe log-odds: one tokenize scan feeds every count layer
     # (aggregate-of-aggregate, no second scan); vocabulary joins are
     # UNHINTED; the 1-row corpus total is the only single-partition

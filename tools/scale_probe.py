@@ -91,6 +91,8 @@ PROBE_QUERIES = [
     "pmi_collocations",
     "bpe_learn_merges",
     "bpe_encode_stats",
+    "distinctive_terms",
+    "source_overlap_matrix",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
