@@ -563,8 +563,6 @@ _R7_PRIORITY = [
     "chunk_documents",
     "corpus_mixture",
     "doc_fingerprint",
-    "embedding_doc_join",
-    "frame_stats",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
