@@ -367,3 +367,21 @@ def test_symspell_always_finds_a_single_edit(spark, names, edit):
     rows = symspell_match(clean, dirty).collect()
     assert rows, f"lost neighbor: {s!r} -> {dirty_s!r}"
     assert rows[0].edit_distance <= 1
+
+
+@given(st.permutations(list(range(12))))
+@settings(**SETTINGS)
+def test_bpe_merge_table_is_input_order_invariant(perm):
+    """The learned BPE merge table is a pure function of the word-freq
+    DICT — shuffling the frequency-head list (any layout the
+    distributed word count might deliver after TakeOrdered ties) never
+    changes a single merge. This is the layout-independence the VALUES
+    oracle relies on."""
+    from gomapreduce_spark.operators.text import _bpe_merge_loop
+
+    base = [("aab", 9), ("abab", 7), ("ba", 7), ("cc", 5), ("abc", 4),
+            ("ccc", 3), ("b", 3), ("aa", 2), ("cab", 2), ("bb", 1),
+            ("ac", 1), ("a", 1)]
+    want = _bpe_merge_loop(list(base), 8)
+    got = _bpe_merge_loop([base[i] for i in perm], 8)
+    assert got == want
