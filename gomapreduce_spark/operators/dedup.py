@@ -1353,3 +1353,39 @@ def source_overlap_matrix(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_recall_audit(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Dedup-pipeline QA: precision/recall of the LSH candidate
+    generator against exact n-gram Jaccard ground truth — the
+    evaluation every near-dedup deployment runs before trusting its
+    banding parameters (and re-runs when the corpus shifts). One row:
+    true pairs (exact jaccard >= threshold), LSH candidates, their
+    intersection, precision and recall.
+
+    At audit scale the exact side is the quadratic-worst-case
+    ngram_jaccard_pairs — this is a VERIFICATION query in the
+    value_deciles/value_deciles_approx twin tradition: ground truth is
+    computed exactly on a sample-sized corpus to certify the banding
+    the 100 TB run then uses WITHOUT ground truth. Both inputs are
+    existing oracle-verified operators; the audit adds one full-outer
+    pair join (pair-keyed, both sides already deduplicated) and a
+    1-row aggregate."""
+    exact = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    joined = exact.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6).alias("precision"),
+        F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
+    )

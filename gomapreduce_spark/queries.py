@@ -238,6 +238,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode_stats": lambda s, d: text.bpe_encode_stats(load_table(s, d, "documents")),
     "distinctive_terms": lambda s, d: text.distinctive_terms(load_table(s, d, "documents")),
     "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(load_table(s, d, "documents")),
+    "dedup_recall_audit": lambda s, d: dedup.dedup_recall_audit(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -517,6 +518,7 @@ _R7_PRIORITY = [
     "bpe_encode_stats",          # corpus encode + fertility, VALUES oracle
     "distinctive_terms",         # Monroe log-odds per-source vocabulary
     "source_overlap_matrix",     # source-vs-source shingle Jaccard
+    "dedup_recall_audit",        # LSH precision/recall vs exact jaccard
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -562,7 +564,6 @@ _R7_PRIORITY = [
     "bigram_stats",
     "chunk_documents",
     "corpus_mixture",
-    "doc_fingerprint",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -2935,3 +2936,28 @@ ORACLES["source_overlap_matrix"] = f"""
     JOIN sizes sa ON sa.source = src_a
     JOIN sizes sb ON sb.source = src_b
 """
+
+# composes the two already-verified pair oracles: ground truth from the
+# exact-jaccard SELECT, candidates from the LSH SELECT, one full-outer
+# pair join + a single aggregate row
+def _recall_audit_sql() -> str:
+    truth = ORACLES["ngram_jaccard_pairs"]
+    cand = ORACLES["minhash_lsh_pairs"]
+    return f"""
+    WITH t AS (SELECT doc_a, doc_b FROM ({truth})),
+    c AS (SELECT doc_a, doc_b FROM ({cand})),
+    j AS (
+      SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+             t.doc_a IS NOT NULL AS is_true, c.doc_a IS NOT NULL AS is_cand
+      FROM t FULL OUTER JOIN c USING (doc_a, doc_b)
+    )
+    SELECT sum(is_true::INT)::BIGINT AS n_true,
+           sum(is_cand::INT)::BIGINT AS n_candidates,
+           sum((is_true AND is_cand)::INT)::BIGINT AS n_hit,
+           round(sum((is_true AND is_cand)::INT)::DOUBLE / sum(is_cand::INT), 6) AS precision,
+           round(sum((is_true AND is_cand)::INT)::DOUBLE / sum(is_true::INT), 6) AS recall
+    FROM j
+    """
+
+
+ORACLES["dedup_recall_audit"] = _recall_audit_sql()

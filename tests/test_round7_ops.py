@@ -168,3 +168,22 @@ def test_source_overlap_matrix_planted_duplication(spark):
     rows = {(r.src_a, r.src_b): (r.n_common, r.jaccard) for r in source_overlap_matrix(docs).collect()}
     assert ("srcA", "srcB") in rows and rows[("srcA", "srcB")][1] > 0.4
     assert all("srcC" not in pair for pair in rows)
+
+
+def test_dedup_recall_audit_counts_planted_pairs(spark):
+    """Planted near-identical docs are true pairs AND LSH candidates;
+    unrelated docs are neither — the audit's counts and ratios follow."""
+    from gomapreduce_spark.operators.dedup import dedup_recall_audit
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en"),
+            (1, base + " extra", "en"),                       # near-dup of 0
+            (2, "completely unrelated words nowhere near the others at all", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    row = dedup_recall_audit(docs).collect()[0]
+    assert row.n_true >= 1 and row.n_hit == row.n_true and row.recall == 1.0
+    assert 0 < row.precision <= 1.0

@@ -594,6 +594,17 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # dedup QA: ground truth and candidates are the two existing pair
+    # operators; the audit adds ONE pair-keyed full-outer join and a
+    # 1-row aggregate (its single-partition merge + the exact side's
+    # bounded final agg are the two legitimate SP stages)
+    "dedup_recall_audit": {
+        "require": ["FullOuter"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 2,
+    },
     # source-overlap matrix: ONE shingle Arrow pass; the per-source
     # shingle set is a two-phase distinct; the overlap self-join keys
     # on the shingle hash (fan-out bounded by the catalog-sized source

@@ -93,6 +93,7 @@ PROBE_QUERIES = [
     "bpe_encode_stats",
     "distinctive_terms",
     "source_overlap_matrix",
+    "dedup_recall_audit",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
