@@ -1558,3 +1558,35 @@ def distinctive_terms(
         scored.withColumn("rk", F.row_number().over(w_).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def hashed_features(docs: DataFrame, dim: int = 64, sample_every: int = 10) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    each token counts into bucket h(token) mod dim with a ±1 sign from
+    an independent hash bit, giving every document a fixed-width sparse
+    feature vector with NO vocabulary dictionary — the standard
+    featurizer for streaming text classifiers (Vowpal Wabbit, sklearn
+    HashingVectorizer) and the input the quality-classifier family
+    consumes at scale (no vocab build pass, no OOV handling, bounded
+    width whatever the corpus).
+
+    Emitted LONG-FORM (doc_id, bucket, weight) rather than as an array
+    column: exact integer weights, and the driver's row comparator
+    sorts flat scalar cells only. Sign-sum weights are unbiased
+    (E[collision contribution] = 0 — the point of the signed variant).
+
+    Scale shape: tokenize → bucket/sign projection (both from the
+    cross-engine 60-bit md5 hash — JVM-side, no Python) → ONE
+    (doc, bucket) partial+final agg. Zero joins; output bounded by
+    |docs| × dim. ``sample_every`` bounds the oracle row count; the
+    featurization itself is corpus-wide by dropping it."""
+    toks = docs.where(F.col("doc_id") % sample_every == 0).select(
+        "doc_id", F.explode(tokenize("text")).alias("w")
+    )
+    sign = F.when(h64(F.col("w"), seed="sign") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", (h64(F.col("w")) % dim).cast("long").alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )

@@ -239,6 +239,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinctive_terms": lambda s, d: text.distinctive_terms(load_table(s, d, "documents")),
     "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(load_table(s, d, "documents")),
     "dedup_recall_audit": lambda s, d: dedup.dedup_recall_audit(load_table(s, d, "documents")),
+    "hashed_features": lambda s, d: text.hashed_features(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -519,6 +520,7 @@ _R7_PRIORITY = [
     "distinctive_terms",         # Monroe log-odds per-source vocabulary
     "source_overlap_matrix",     # source-vs-source shingle Jaccard
     "dedup_recall_audit",        # LSH precision/recall vs exact jaccard
+    "hashed_features",           # hashing-trick featurization
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -563,7 +565,6 @@ _R7_PRIORITY = [
     "benchmark_overlap",
     "bigram_stats",
     "chunk_documents",
-    "corpus_mixture",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -2961,3 +2962,19 @@ def _recall_audit_sql() -> str:
 
 
 ORACLES["dedup_recall_audit"] = _recall_audit_sql()
+
+# feature hashing: bucket/sign both from the 60-bit md5 (duck twin of
+# functions.hashing.h64 with the "sign" seed); signed counts are exact
+# ints so the rollup is order-free
+ORACLES["hashed_features"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           ({_H.format(s="w")} % 64)::BIGINT AS bucket,
+           sum(CASE WHEN ('0x' || substr(md5('sign' || w), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END)::BIGINT AS weight
+    FROM toks
+    GROUP BY doc_id, bucket
+    HAVING weight != 0
+"""

@@ -187,3 +187,23 @@ def test_dedup_recall_audit_counts_planted_pairs(spark):
     row = dedup_recall_audit(docs).collect()[0]
     assert row.n_true >= 1 and row.n_hit == row.n_true and row.recall == 1.0
     assert 0 < row.precision <= 1.0
+
+
+def test_hashed_features_signed_counts(spark):
+    """Repeated tokens accumulate |weight| = count in ONE bucket; the
+    same token always lands in the same signed bucket (vocabulary-free
+    determinism), and exact sign-cancellation rows are dropped."""
+    from gomapreduce_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(0, "tok tok tok", "en"), (10, "tok", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = hashed_features(docs, sample_every=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.bucket, r.weight))
+    assert len(by_doc[0]) == 1 and len(by_doc[10]) == 1
+    (b0, w0), (b1, w1) = by_doc[0][0], by_doc[10][0]
+    assert b0 == b1 and abs(w0) == 3 and abs(w1) == 1
+    assert (w0 > 0) == (w1 > 0)

@@ -594,6 +594,15 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # hashing-trick featurization: a pure narrow projection + ONE
+    # (doc, bucket) partial+final agg — no join, no window, no vocab
+    # build pass anywhere
+    "hashed_features": {
+        "partial_agg": True,
+        "max_exchanges": 2,  # rebalance + (doc, bucket) hash
+        "forbid": ["CartesianProduct", "Join", "Window"],
+        "max_single_partition": 0,
+    },
     # dedup QA: ground truth and candidates are the two existing pair
     # operators; the audit adds ONE pair-keyed full-outer join and a
     # 1-row aggregate (its single-partition merge + the exact side's

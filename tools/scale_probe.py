@@ -94,6 +94,7 @@ PROBE_QUERIES = [
     "distinctive_terms",
     "source_overlap_matrix",
     "dedup_recall_audit",
+    "hashed_features",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
