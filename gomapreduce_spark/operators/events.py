@@ -1014,3 +1014,38 @@ def incremental_user_rollup(events: DataFrame, cutoff: str = "2024-01-08") -> Da
         )
     )
 
+
+
+def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
+    """Robust outlier screen per event type: the modified z-score
+    0.6745·(x − median)/MAD (Iglewicz & Hoaglin 1993) — the
+    data-quality gate that, unlike mean/σ z-scores, is not dragged by
+    the outliers it hunts. Reports, per type, the median, the MAD, how
+    many events exceed the cutoff, and the worst score.
+
+    Exact medians (PERCENTILE_CONT interpolation, identical in Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``) over a bounded group
+    domain; both median passes and the final rollup key on event_type,
+    so the whole query is two sort-aggregates and one bounded join —
+    at unbounded group counts the sketch twin (approx_percentile)
+    substitutes, per the exact/approx twin doctrine in SCALE.md."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(med, "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    scored = (
+        events.join(mad, "event_type")
+        .withColumn("mz", F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.when(F.abs(F.col("mz")) > cutoff, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("mz"))), 6).alias("max_abs_z"),
+    )

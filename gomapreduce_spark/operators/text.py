@@ -1590,3 +1590,28 @@ def hashed_features(docs: DataFrame, dim: int = 64, sample_every: int = 10) -> D
         .agg(F.sum("s").cast("long").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+def fixed_k_sample(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Exactly min(k, |stratum|) documents per language — the exact-k
+    complement to rate-based ``stratified_sample`` (an eval-set build
+    wants "exactly 100 docs per language", not a rate whose realized
+    count wobbles). Deterministic: rank by the seeded 60-bit hash of
+    doc_id (a reproducible shuffle — same sample on every run and every
+    engine), tie-broken by doc_id.
+
+    Scale shape: ONE language-keyed exchange; the rank window
+    partitions by stratum and Spark's WindowGroupLimit prunes each
+    partition to k rows BEFORE the final rank, so no stratum's full
+    membership ever sorts through one task beyond its local top-k. For
+    corpus-scale strata, pre-thin with a Bernoulli sampleBy at
+    ~2k/|stratum| and apply the same exact window to the survivors —
+    same result distribution, scan-bound cost."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(h64(F.col("doc_id"), seed="fk"), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "lang", "source", "rk")
+    )

@@ -240,6 +240,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(load_table(s, d, "documents")),
     "dedup_recall_audit": lambda s, d: dedup.dedup_recall_audit(load_table(s, d, "documents")),
     "hashed_features": lambda s, d: text.hashed_features(load_table(s, d, "documents")),
+    "fixed_k_sample": lambda s, d: text.fixed_k_sample(load_table(s, d, "documents")),
+    "mad_outliers": lambda s, d: events.mad_outliers(load_table(s, d, "events")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -521,6 +523,8 @@ _R7_PRIORITY = [
     "source_overlap_matrix",     # source-vs-source shingle Jaccard
     "dedup_recall_audit",        # LSH precision/recall vs exact jaccard
     "hashed_features",           # hashing-trick featurization
+    "fixed_k_sample",            # exact-k deterministic stratified sample
+    "mad_outliers",              # robust modified-z outlier screen
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -563,8 +567,6 @@ _R7_PRIORITY = [
     "array_funcs_showcase",
     "audio_chunk_stats",
     "benchmark_overlap",
-    "bigram_stats",
-    "chunk_documents",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -2977,4 +2979,40 @@ ORACLES["hashed_features"] = f"""
     FROM toks
     GROUP BY doc_id, bucket
     HAVING weight != 0
+"""
+
+# exact-k stratified sample: rank by the seeded 60-bit hash, doc_id
+# tie-break — the reproducible shuffle both engines compute identically
+ORACLES["fixed_k_sample"] = """
+    SELECT doc_id, lang, source, rk FROM (
+      SELECT doc_id, lang, source,
+             (row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substr(md5('fk' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+             ))::BIGINT AS rk
+      FROM documents
+    ) WHERE rk <= 20
+"""
+
+# modified z-score outlier screen: exact PERCENTILE_CONT medians
+# (quantile_cont matches Spark's percentile interpolation — pinned by
+# percentile_stats); float expressions mirrored op-for-op
+ORACLES["mad_outliers"] = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad, any_value(med) AS med
+      FROM events JOIN med USING (event_type) GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_type, 0.6745 * (value - med) / mad AS mz, med, mad
+      FROM events e JOIN mad USING (event_type)
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(any_value(med), 6) AS median,
+           round(any_value(mad), 6) AS mad,
+           sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(max(abs(mz)), 6) AS max_abs_z
+    FROM scored GROUP BY event_type
 """

@@ -207,3 +207,33 @@ def test_hashed_features_signed_counts(spark):
     (b0, w0), (b1, w1) = by_doc[0][0], by_doc[10][0]
     assert b0 == b1 and abs(w0) == 3 and abs(w1) == 1
     assert (w0 > 0) == (w1 > 0)
+
+
+def test_fixed_k_sample_exact_counts_and_determinism(spark, sf_med):
+    """Exactly min(k, |stratum|) rows per language, identical across
+    runs (seeded-hash order, no RNG)."""
+    from gomapreduce_spark.operators.text import fixed_k_sample
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_med, "documents")
+    s1 = {tuple(r) for r in fixed_k_sample(docs, k=7).collect()}
+    s2 = {tuple(r) for r in fixed_k_sample(docs, k=7).collect()}
+    assert s1 == s2
+    from collections import Counter
+
+    per_lang = Counter(lang for _, lang, _, _ in s1)
+    strata = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per_lang == {lang: min(7, n) for lang, n in strata.items()}
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """A single huge value among tight ones is flagged; a clean group
+    reports zero outliers (MAD is not dragged by the spike)."""
+    from gomapreduce_spark.operators.events import mad_outliers
+
+    rows = [(i, "spiky", 10.0 + (i % 5) * 0.1) for i in range(20)] + [(99, "spiky", 1e6)]
+    rows += [(200 + i, "clean", 5.0 + (i % 3) * 0.2) for i in range(21)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r for r in mad_outliers(ev).collect()}
+    assert got["spiky"].n_outliers == 1 and got["spiky"].max_abs_z > 1000
+    assert got["clean"].n_outliers == 0

@@ -594,6 +594,24 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["CartesianProduct", "Join"],
     },
+    # exact-k sample: ONE stratum-keyed exchange; WindowGroupLimit
+    # prunes each stratum to its local top-k before the final rank —
+    # no stratum's membership sorts through one task
+    "fixed_k_sample": {
+        "require": ["WindowGroupLimit"],
+        "forbid": ["CartesianProduct", "Join"],
+        "max_single_partition": 0,
+    },
+    # robust outlier screen: exact medians are per-type
+    # ObjectHashAggregates (partial+final — map-side combine on the
+    # percentile buffers), joins key on the bounded type domain, no
+    # cartesian/global stage
+    "mad_outliers": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
     # hashing-trick featurization: a pure narrow projection + ONE
     # (doc, bucket) partial+final agg — no join, no window, no vocab
     # build pass anywhere

@@ -95,6 +95,8 @@ PROBE_QUERIES = [
     "source_overlap_matrix",
     "dedup_recall_audit",
     "hashed_features",
+    "fixed_k_sample",
+    "mad_outliers",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
