@@ -1615,3 +1615,34 @@ def fixed_k_sample(docs: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("doc_id", "lang", "source", "rk")
     )
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation against the corpus's labeled ``lang``:
+    the (true, predicted) confusion matrix with within-truth fractions
+    — the quality gate a pipeline runs before trusting a classifier to
+    route documents (mis-routing silently poisons per-language corpora
+    downstream: tokenizer stats, LM perplexity, mixtures all key on
+    lang).
+
+    Scale shape: the classifier is a narrow scan (lang_id); the label
+    join keys on doc_id (co-partitioned projections of one table —
+    AQE-broadcast at test scale); the matrix is a
+    |langs|² partial+final agg, and the normalizing window runs over
+    that tiny aggregate partitioned by the true label."""
+    from pyspark.sql import Window as W
+
+    pred = lang_id(docs)
+    matrix = (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("lang_true"))
+    return matrix.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("frac"),
+    )

@@ -242,6 +242,7 @@ QUERIES: dict[str, QueryFn] = {
     "hashed_features": lambda s, d: text.hashed_features(load_table(s, d, "documents")),
     "fixed_k_sample": lambda s, d: text.fixed_k_sample(load_table(s, d, "documents")),
     "mad_outliers": lambda s, d: events.mad_outliers(load_table(s, d, "events")),
+    "lang_id_confusion": lambda s, d: text.lang_id_confusion(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -525,6 +526,7 @@ _R7_PRIORITY = [
     "hashed_features",           # hashing-trick featurization
     "fixed_k_sample",            # exact-k deterministic stratified sample
     "mad_outliers",              # robust modified-z outlier screen
+    "lang_id_confusion",         # classifier eval vs labeled lang
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -566,7 +568,6 @@ _R7_PRIORITY = [
     "approx_distinct_users",
     "array_funcs_showcase",
     "audio_chunk_stats",
-    "benchmark_overlap",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -3016,3 +3017,18 @@ ORACLES["mad_outliers"] = """
            round(max(abs(mz)), 6) AS max_abs_z
     FROM scored GROUP BY event_type
 """
+
+# confusion matrix over the already-verified lang_id SELECT: join back
+# to the labeled lang, count, normalize within the true label
+def _lang_confusion_sql() -> str:
+    return f"""
+    WITH pred AS ({ORACLES["lang_id"]})
+    SELECT d.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS frac
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """
+
+
+ORACLES["lang_id_confusion"] = _lang_confusion_sql()

@@ -237,3 +237,21 @@ def test_mad_outliers_flags_planted_spike(spark):
     got = {r.event_type: r for r in mad_outliers(ev).collect()}
     assert got["spiky"].n_outliers == 1 and got["spiky"].max_abs_z > 1000
     assert got["clean"].n_outliers == 0
+
+
+def test_lang_id_confusion_fractions_sum_to_one(spark, sf_med):
+    """Within every true label the fractions sum to ~1 and counts sum
+    to the label's corpus size — the matrix is complete and normalized."""
+    from gomapreduce_spark.operators.text import lang_id_confusion
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_med, "documents")
+    rows = lang_id_confusion(docs).collect()
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_true = {}
+    for r in rows:
+        agg = by_true.setdefault(r.lang_true, [0, 0.0])
+        agg[0] += r.n
+        agg[1] += r.frac
+    assert {t: a[0] for t, a in by_true.items()} == sizes
+    assert all(abs(a[1] - 1.0) < 1e-4 for a in by_true.values())

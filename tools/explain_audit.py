@@ -612,6 +612,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_single_partition": 0,
     },
+    # lang-ID eval: classifier is a narrow scan; the label join is a
+    # doc_id equi-join of two projections of ONE table; the matrix agg
+    # partial+finals and the normalizer windows over the tiny matrix
+    "lang_id_confusion": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
     # hashing-trick featurization: a pure narrow projection + ONE
     # (doc, bucket) partial+final agg — no join, no window, no vocab
     # build pass anywhere

@@ -97,6 +97,7 @@ PROBE_QUERIES = [
     "hashed_features",
     "fixed_k_sample",
     "mad_outliers",
+    "lang_id_confusion",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
