@@ -484,6 +484,15 @@ def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_left_outer_join"] = _streaming_left_outer_join
 
 
+def _streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_full_outer_interval_join
+
+    return streaming_full_outer_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["streaming_full_outer_join"] = _streaming_full_outer_join
+
+
 def _streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import streaming_chained_windows
 
@@ -527,6 +536,7 @@ _R7_PRIORITY = [
     "fixed_k_sample",            # exact-k deterministic stratified sample
     "mad_outliers",              # robust modified-z outlier screen
     "lang_id_confusion",         # classifier eval vs labeled lang
+    "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
     "knn_pq",
@@ -567,7 +577,6 @@ _R7_PRIORITY = [
     # (b) stalest: last driver row r4
     "approx_distinct_users",
     "array_funcs_showcase",
-    "audio_chunk_stats",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -1256,6 +1265,40 @@ ORACLES: dict[str, str] = {
         FROM clicks c, wm
         WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
           AND c.click_ts + INTERVAL 60 MINUTE < wm.w
+    """,
+    # FULL OUTER twin: same matches and unmatched-click rows, plus a
+    # null-padded row per unmatched purchase once the watermark passes
+    # purchase_ts (any later click fails purchase_ts >= click_ts)
+    "streaming_full_outer_join": """
+        WITH clicks AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+          SELECT least(
+            (SELECT date_trunc('milliseconds', max(click_ts)) FROM clicks),
+            (SELECT date_trunc('milliseconds', max(purchase_ts)) FROM purchases)
+          ) - INTERVAL 1 HOUR AS w
+        ), matched AS (
+          SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts
+          FROM clicks c JOIN purchases p
+            ON c.user_id = p.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+        )
+        SELECT user_id, click_id, purchase_id FROM matched
+        UNION ALL
+        SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+        FROM clicks c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+          AND c.click_ts + INTERVAL 60 MINUTE < wm.w
+        UNION ALL
+        SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id
+        FROM purchases p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id)
+          AND p.purchase_ts < wm.w
     """,
     "streaming_session_windows": """
         -- session_window merges events only when windows OVERLAP

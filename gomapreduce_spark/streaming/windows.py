@@ -372,6 +372,63 @@ def streaming_left_outer_interval_join(
     return _run_to_memory(joined, "append")
 
 
+def streaming_full_outer_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    within_minutes: int = 60,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join matrix next to the inner and LEFT OUTER forms: every click AND
+    every purchase is eventually emitted, matched when the interval
+    condition holds, null-padded otherwise. Two independent eviction
+    clocks drive the null rows: a click is declared unmatched when the
+    watermark passes the END of its match window (click_ts + interval),
+    while a purchase is declared unmatched as soon as the watermark
+    passes purchase_ts itself — any later click has click_ts >
+    purchase_ts and can no longer satisfy purchase_ts >= click_ts, and
+    Spark derives exactly that state-value watermark from the join
+    predicate.
+
+    On a finite availableNow replay the final watermark is
+    max(event time) − 1 hour (ms-truncated), so the result is a
+    deterministic function of the input — all inner matches, plus null
+    rows for clicks with click_ts + interval < watermark and purchases
+    with purchase_ts < watermark — which is what makes it
+    hash-oracleable like the LEFT OUTER form."""
+    stream = _read_events_stream(spark, events_path, max_files_per_trigger)
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+    return _run_to_memory(joined, "append")
+
+
 def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes: int = 30) -> DataFrame:
     """Native session windows (session_window) — the streaming
     counterpart of operators.events.sessionize."""

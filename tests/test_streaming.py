@@ -666,3 +666,50 @@ def test_multibatch_transition_matrix_matches_single_batch(spark, sf_small, tmp_
     multi = _as_set(streaming_transition_matrix(spark, mb_dir, max_files_per_trigger=1))
     assert len(single) > 0
     assert multi == single
+
+
+def test_streaming_full_outer_join_matches_watermark_filtered_batch(spark, sf_small):
+    """FULL OUTER stream-stream join: all inner matches, null-padded
+    unmatched clicks whose window closed before the final watermark,
+    AND null-padded unmatched purchases with purchase_ts before it —
+    the purchase side evicts as soon as the watermark passes
+    purchase_ts (any later click fails purchase_ts >= click_ts). Pins
+    both eviction predicates the hash oracle encodes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.streaming import streaming_full_outer_interval_join
+
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    inner = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+    mx_c, mx_p = clicks.agg(F.max("click_ts")).first()[0], purchases.agg(F.max("purchase_ts")).first()[0]
+    trunc = lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000)  # noqa: E731
+    wm = min(trunc(mx_c), trunc(mx_p)) - datetime.timedelta(hours=1)
+    null_clicks = (
+        clicks.join(inner.select("click_id").distinct(), "click_id", "left_anti")
+        .where(F.col("click_ts") + F.expr("INTERVAL 60 MINUTES") < F.lit(wm))
+        .select(F.col("c_user").alias("user_id"), "click_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    null_purchases = (
+        purchases.join(inner.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .where(F.col("purchase_ts") < F.lit(wm))
+        .select(F.col("p_user").alias("user_id"), F.lit(None).cast("long").alias("click_id"), "purchase_id")
+    )
+    want = _as_set(inner) | _as_set(null_clicks) | _as_set(null_purchases)
+
+    got = _as_set(streaming_full_outer_interval_join(spark, f"{sf_small}/events.parquet"))
+    assert len(_as_set(null_purchases)) > 0, "vacuous: no unmatched purchases in fixture"
+    assert got == want
