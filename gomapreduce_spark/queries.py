@@ -52,7 +52,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.skew import salted_counts
-from .operators import dedup, events, linkage, multimodal, relational, similarity, text, wordcount
+from .operators import (
+    clustering,
+    dedup,
+    events,
+    linkage,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    wordcount,
+)
 from .operators.wordcount import WS_RE
 from .sources.registry import load_table, profile_table
 from .mapreduce import DemoMapper, DemoReducer, DataFrameInputer, JobConfig, MapReduceEngine, MemoryOutputer
@@ -243,6 +253,7 @@ QUERIES: dict[str, QueryFn] = {
     "fixed_k_sample": lambda s, d: text.fixed_k_sample(load_table(s, d, "documents")),
     "mad_outliers": lambda s, d: events.mad_outliers(load_table(s, d, "events")),
     "lang_id_confusion": lambda s, d: text.lang_id_confusion(load_table(s, d, "documents")),
+    "kmeans_embeddings": lambda s, d: clustering.kmeans_embeddings(load_table(s, d, "embeddings")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -536,6 +547,7 @@ _R7_PRIORITY = [
     "fixed_k_sample",            # exact-k deterministic stratified sample
     "mad_outliers",              # robust modified-z outlier screen
     "lang_id_confusion",         # classifier eval vs labeled lang
+    "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_ivf",
@@ -574,9 +586,9 @@ _R7_PRIORITY = [
     "q6_forecast_revenue",
     "simhash",
     "training_corpus",
-    # (b) stalest: last driver row r4
+    # (b) stalest: last driver row r4 (array_funcs_showcase ceded its
+    # slot to kmeans_embeddings; it rotates up in r8)
     "approx_distinct_users",
-    "array_funcs_showcase",
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -2611,9 +2623,21 @@ from .bpe_expected import (
 ORACLES["bpe_learn_merges"] = BPE_MERGES_EXPECTED_SQL
 ORACLES["bpe_encode_stats"] = BPE_ENCODE_EXPECTED_SQL
 
+# k-means oracle (round 7): the integer-exact Lloyd loop of
+# operators/clustering.py is deterministic end-to-end, so
+# tools/gen_kmeans_oracle.py precomputes its per-cluster summary from
+# an independent numpy restatement (self-checked at generation time).
+from .kmeans_expected import (
+    GENERATED_SF_DIR as _KMEANS_SF,
+    KMEANS_EXPECTED_SQL,
+)
+
+ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
+
 PRECOMPUTED_ORACLE_SF = {
     "bpe_learn_merges": _BPE_SF,
     "bpe_encode_stats": _BPE_SF,
+    "kmeans_embeddings": _KMEANS_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
     "knn_ivf": _ANN_SF,

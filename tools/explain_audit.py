@@ -630,6 +630,17 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join", "Window"],
         "max_single_partition": 0,
     },
+    # k-means summary plan (final assignment onward): the per-cluster
+    # stats are a map-side-combined partial agg over the Arrow
+    # assignment pass (the MapInPandas itself sits behind the
+    # localCheckpoint lineage cut, so it can't be asserted here); the
+    # k-row stats/label/norm joins are equi-joins on cluster (k=8
+    # fixed — never a nested loop)
+    "kmeans_embeddings": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # dedup QA: ground truth and candidates are the two existing pair
     # operators; the audit adds ONE pair-keyed full-outer join and a
     # 1-row aggregate (its single-partition merge + the exact side's

@@ -1,0 +1,149 @@
+"""Generate the DuckDB literal-table oracle for ``kmeans_embeddings``
+— the gen_ann_oracle.py mechanism applied to the integer-exact k-means
+of operators/clustering.py.
+
+Reference independence: Lloyd's algorithm is restated here from the
+published description (quantize → nearest-centroid by integer L2² →
+integer half-up mean, k-lowest-vec_id init, fixed rounds), sharing
+NOTHING with the operator module but the two stated numerical
+conventions that define the pipeline: ``floor(x*1e6 + 0.5)``
+quantization and ``(2s+n)//(2n)`` half-toward-+inf integer division.
+Every branch-influencing quantity is an exact int64, so the restated
+loop lands on bit-identical clusters by construction — no float
+fold-order contracts are needed at all (unlike the ANN generator).
+
+A self-check compares the generated table against the live Spark
+pipeline and refuses to write on any mismatch.
+
+Run: python tools/gen_kmeans_oracle.py [sf_dir]
+Writes: gomapreduce_spark/kmeans_expected.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# pipeline knobs, restated (asserted against the module before writing)
+KM_K = 8
+KM_ROUNDS = 4
+KM_SCALE = 1_000_000
+
+
+def half_up6(x: float) -> float:
+    """Spark round(col, 6): HALF_UP over the shortest decimal repr."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def lloyd(ids: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """KM_ROUNDS of integer-exact Lloyd; returns final k×d centroids."""
+    order = np.argsort(ids, kind="stable")[:KM_K]
+    cents = Q[order].astype(np.int64).copy()
+    while len(cents) < KM_K:
+        cents = np.vstack([cents, cents[-1:]])
+    for _ in range(KM_ROUNDS):
+        diff = Q[:, None, :] - cents[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        owner = np.argmin(d2, axis=1)
+        for j in range(KM_K):
+            mine = Q[owner == j]
+            if len(mine):
+                s = mine.sum(axis=0, dtype=np.int64)
+                n = np.int64(len(mine))
+                cents[j] = (2 * s + n) // (2 * n)  # half-toward-+inf
+    return cents
+
+
+def main() -> int:
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from gomapreduce_spark.operators import clustering as pipe
+
+    assert (pipe.KM_K, pipe.KM_ROUNDS, pipe.KM_SCALE) == (KM_K, KM_ROUNDS, KM_SCALE)
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    E = np.array([np.asarray(r[2], dtype=np.float32) for r in rows]).astype(np.float64)
+    Q = np.floor(E * KM_SCALE + 0.5).astype(np.int64)
+
+    cents = lloyd(ids, Q)
+    diff = Q[:, None, :] - cents[None, :, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    owner = np.argmin(d2, axis=1)
+    mind2 = d2[np.arange(len(owner)), owner]
+
+    out = []
+    for j in sorted(set(int(o) for o in owner)):
+        mask = owner == j
+        n = int(mask.sum())
+        # majority label: max count, ties to the LOWEST label
+        labs, cnts = np.unique(labels[mask], return_counts=True)
+        best = int(labs[np.argmax(cnts)])  # np.unique sorts labels asc; argmax is first-match
+        c_maj = int(cnts[np.argmax(cnts)])
+        inertia = half_up6(float(int(mind2[mask].sum())) / (KM_SCALE * float(KM_SCALE)))
+        c_norm = half_up6(
+            float(math.sqrt(sum(int(v) * int(v) for v in cents[j]))) / KM_SCALE
+        )
+        out.append((j, n, best, half_up6(c_maj / n), inertia, c_norm))
+
+    # self-check vs the LIVE Spark pipeline, cell-for-cell
+    from gomapreduce_spark.queries import QUERIES
+    from gomapreduce_spark.session import get_spark
+
+    spark = get_spark("gen_kmeans_oracle", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    got = sorted(
+        (r.cluster_id, r.n_points, r.majority_label, f"{r.purity:.9g}", f"{r.inertia:.9g}", f"{r.c_norm:.9g}")
+        for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    )
+    want = sorted((c, n, m, f"{p:.9g}", f"{i:.9g}", f"{cn:.9g}") for c, n, m, p, i, cn in out)
+    assert got == want, (
+        "reference disagrees with the Spark pipeline\n"
+        f"  only-spark: {[x for x in got if x not in want][:3]}\n"
+        f"  only-ref:   {[x for x in want if x not in got][:3]}"
+    )
+
+    values = ",\n".join(
+        f"  ({c}, {n}, {m}, {p!r}, {i!r}, {cn!r})" for c, n, m, p, i, cn in out
+    )
+    sql = (
+        "SELECT v.cluster_id::BIGINT AS cluster_id, v.n_points::BIGINT AS n_points,\n"
+        "       v.majority_label::BIGINT AS majority_label, v.purity::DOUBLE AS purity,\n"
+        "       v.inertia::DOUBLE AS inertia, v.c_norm::DOUBLE AS c_norm\n"
+        "FROM (VALUES\n" + values + "\n) AS v(cluster_id, n_points, majority_label, purity, inertia, c_norm)\n"
+        "WHERE EXISTS (SELECT 1 FROM embeddings)"
+    )
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "gomapreduce_spark",
+        "kmeans_expected.py",
+    )
+    with open(out_path, "w") as fh:
+        fh.write(
+            '"""Precomputed k-means oracle (GENERATED — do not edit).\n\n'
+            "Source: tools/gen_kmeans_oracle.py (independent numpy reference,\n"
+            "self-checked against the live pipeline at generation time).\n"
+            "Valid ONLY at the scale factor below — check tooling degrades to\n"
+            "rows-only elsewhere instead of failing on stale literals.\n"
+            '"""\n\n'
+            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
+            f"KMEANS_EXPECTED_SQL = '''\n{sql}\n'''\n"
+        )
+    print(f"wrote {out_path}: {len(out)} clusters (sf_dir={sf_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
