@@ -550,6 +550,7 @@ _R7_PRIORITY = [
     "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
+    "knn_lsh",
     "knn_ivf",
     "knn_pq",
     "knn_ivf_pq",
@@ -586,9 +587,9 @@ _R7_PRIORITY = [
     "q6_forecast_revenue",
     "simhash",
     "training_corpus",
-    # (b) stalest: last driver row r4 (array_funcs_showcase ceded its
-    # slot to kmeans_embeddings; it rotates up in r8)
-    "approx_distinct_users",
+    # (b) stalest r4 entries approx_distinct_users/array_funcs_showcase
+    # ceded their slots to kmeans_embeddings + the knn_lsh promotion;
+    # they rotate up in r8
 ]
 _order = [n for n in QUERIES if n not in _R7_PRIORITY]
 _ins = _order.index("sum_reduce") + 1
@@ -2589,9 +2590,11 @@ from .ann_expected import (
     GENERATED_SF_DIR as _ANN_SF,
     KNN_IVF_EXPECTED_SQL,
     KNN_IVF_PQ_EXPECTED_SQL,
+    KNN_LSH_EXPECTED_SQL,
     KNN_PQ_EXPECTED_SQL,
 )
 
+ORACLES["knn_lsh"] = KNN_LSH_EXPECTED_SQL
 ORACLES["knn_ivf"] = KNN_IVF_EXPECTED_SQL
 ORACLES["knn_pq"] = KNN_PQ_EXPECTED_SQL
 ORACLES["knn_ivf_pq"] = KNN_IVF_PQ_EXPECTED_SQL
@@ -2640,6 +2643,7 @@ PRECOMPUTED_ORACLE_SF = {
     "kmeans_embeddings": _KMEANS_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
+    "knn_lsh": _ANN_SF,
     "knn_ivf": _ANN_SF,
     "knn_pq": _ANN_SF,
     "knn_ivf_pq": _ANN_SF,

@@ -16,15 +16,14 @@ def test_queries_oracles_aligned():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
     # documented rows-only queries — ONLY ops whose output depends on
-    # run-time nondeterminism (multi-probe bucket recall, HLL sketch,
-    # GK-sketch merge order), each with error-bound/recall tests.
-    # Everything deterministic is hash-oracled: streaming (finite
-    # replay), the codec pipelines (r6) and the ANN family + BPE loop
-    # (r7) via precomputed independent-reference VALUES oracles,
-    # heavy_hitters_approx via the exact top-k SQL (r7).
+    # run-time nondeterminism (HLL sketch internals, GK-sketch merge
+    # order), each with error-bound/recall tests. Everything
+    # deterministic is hash-oracled: streaming (finite replay), the
+    # codec pipelines (r6) and the FULL ANN family (knn_lsh included)
+    # + BPE loop + k-means (r7) via precomputed independent-reference
+    # VALUES oracles, heavy_hitters_approx via the exact top-k SQL.
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "knn_lsh",
         "approx_distinct_users",
         "value_deciles_approx",
     }

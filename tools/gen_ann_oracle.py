@@ -1,7 +1,7 @@
 """Generate DuckDB literal-table oracles for the deterministic ANN
-queries (``knn_ivf``, ``knn_pq``, ``knn_ivf_pq``), promoting them from
-rows-only to full hash-verified queries — the same mechanism as
-tools/gen_codec_oracle.py.
+queries (``knn_lsh``, ``knn_ivf``, ``knn_pq``, ``knn_ivf_pq``),
+promoting them from rows-only to full hash-verified queries — the same
+mechanism as tools/gen_codec_oracle.py.
 
 Every stage of those pipelines is deterministic by construction
 (fixed training sample = first IVF_SAMPLE vec_ids, md5-derived init,
@@ -51,6 +51,7 @@ PQ_M, PQ_KSUB, PQ_ITERS = 16, 16, 5
 IVF_NPROBE = 4
 PQ_RERANK = 48
 IVFPQ_NPROBE, IVFPQ_RERANK = 8, 64
+LSH_PLANES, LSH_TABLES = 6, 6  # multi-probe radius 1 (bucket ^ each bit)
 
 
 def half_up6(x: float) -> float:
@@ -171,8 +172,12 @@ def main() -> int:
 
     from gomapreduce_spark.operators import similarity as pipe
 
+    import inspect
+
     assert (pipe.IVF_SEED, pipe.IVF_SAMPLE, pipe.IVF_ITERS) == (KM_SEED, KM_SAMPLE, KM_ITERS)
     assert (pipe.PQ_M, pipe.PQ_KSUB, pipe.PQ_ITERS) == (PQ_M, PQ_KSUB, PQ_ITERS)
+    lsh_sig = inspect.signature(pipe.knn_lsh).parameters
+    assert (lsh_sig["n_planes"].default, lsh_sig["n_tables"].default) == (LSH_PLANES, LSH_TABLES)
 
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
@@ -187,6 +192,29 @@ def main() -> int:
     cell = np.argmax(E @ cents.T, axis=1)
     codes = encode_pq(E, books)
     Eunit = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+
+    # knn_lsh restatement: sign-bit signatures of the md5-derived
+    # hyperplanes (plane index = table*1009 + bit, same as
+    # lsh_signatures), candidates = bucket-or-Hamming-1-probe matches
+    # in ANY table, exact rounded cosine + (sim desc, id asc) top-k.
+    planes = np.stack(
+        [md5_unit(t * 1009 + i, DIM) for t in range(LSH_TABLES) for i in range(LSH_PLANES)]
+    )
+    bits = (E @ planes.T >= 0).reshape(len(E), LSH_TABLES, LSH_PLANES)
+    buckets = (bits * (1 << np.arange(LSH_PLANES, dtype=np.int64))).sum(axis=2)  # n × tables
+
+    lsh_rows = []
+    for qi in qixs:
+        qid = int(ids[qi])
+        cand_mask = np.zeros(len(E), dtype=bool)
+        for t in range(LSH_TABLES):
+            probes = {int(buckets[qi, t])} | {
+                int(buckets[qi, t]) ^ (1 << i) for i in range(LSH_PLANES)
+            }
+            cand_mask |= np.isin(buckets[:, t], list(probes))
+        cand_mask[qi] = False
+        cand = np.flatnonzero(cand_mask & (ids != qid))
+        lsh_rows += [(qid, n, s, r) for n, s, r in exact_cos_topk(E, norms, ids, qi, cand, K)]
 
     ivf_rows, pq_rows, ivfpq_rows = [], [], []
     for qi in qixs:
@@ -217,7 +245,12 @@ def main() -> int:
 
     spark = get_spark("gen_ann_oracle", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    for qname, expected in (("knn_ivf", ivf_rows), ("knn_pq", pq_rows), ("knn_ivf_pq", ivfpq_rows)):
+    for qname, expected in (
+        ("knn_lsh", lsh_rows),
+        ("knn_ivf", ivf_rows),
+        ("knn_pq", pq_rows),
+        ("knn_ivf_pq", ivfpq_rows),
+    ):
         got = sorted(
             (r.query_id, r.neighbor_id, f"{r.sim:.9g}", r.rk)
             for r in QUERIES[qname](spark, sf_dir).collect()
@@ -253,12 +286,13 @@ def main() -> int:
             "comparison elsewhere instead of failing on stale literals.\n"
             '"""\n\n'
             f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
+            f"KNN_LSH_EXPECTED_SQL = '''\n{values_sql(lsh_rows)}\n'''\n\n"
             f"KNN_IVF_EXPECTED_SQL = '''\n{values_sql(ivf_rows)}\n'''\n\n"
             f"KNN_PQ_EXPECTED_SQL = '''\n{values_sql(pq_rows)}\n'''\n\n"
             f"KNN_IVF_PQ_EXPECTED_SQL = '''\n{values_sql(ivfpq_rows)}\n'''\n"
         )
     print(
-        f"wrote {out_path}: {len(ivf_rows)} ivf, {len(pq_rows)} pq, "
+        f"wrote {out_path}: {len(lsh_rows)} lsh, {len(ivf_rows)} ivf, {len(pq_rows)} pq, "
         f"{len(ivfpq_rows)} ivfpq rows (sf_dir={sf_dir})"
     )
     return 0
