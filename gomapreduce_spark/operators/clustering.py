@@ -118,6 +118,27 @@ def _update_centroids(assigned: DataFrame, prev: list[list[int]]) -> list[list[i
     return cents
 
 
+def fit_centroids(q: DataFrame, k: int, rounds: int) -> list[list[int]] | None:
+    """The Lloyd fit on a quantized relation: k-lowest-vec_id seeds,
+    ``rounds`` assignment/update passes, integer-exact throughout.
+    Returns the k×d centroid matrix (int lists) or None on empty
+    input. Driver state is k×d integers — fixed-size, not data-sized."""
+    # TakeOrdered delivers sorted rows today, but the seed→cluster_id
+    # mapping must not depend on collect order — re-sort driver-side
+    seeds = sorted(
+        q.orderBy("vec_id").limit(k).select("vec_id", "qvec").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not seeds:
+        return None
+    cents = [[int(v) for v in r["qvec"]] for r in seeds]
+    while len(cents) < k:  # degenerate tiny input: duplicate last seed
+        cents.append(list(cents[-1]))
+    for _ in range(rounds):
+        cents = _update_centroids(_assign(q, cents), cents)
+    return cents
+
+
 def kmeans_embeddings(
     emb: DataFrame, k: int = KM_K, rounds: int = KM_ROUNDS
 ) -> DataFrame:
@@ -129,23 +150,13 @@ def kmeans_embeddings(
     import math
 
     q = _quantized(emb).localCheckpoint()
-    # TakeOrdered delivers sorted rows today, but the seed→cluster_id
-    # mapping must not depend on collect order — re-sort driver-side
-    seeds = sorted(
-        q.orderBy("vec_id").limit(k).select("vec_id", "qvec").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    if not seeds:
+    cents = fit_centroids(q, k, rounds)
+    if cents is None:
         return emb.sparkSession.createDataFrame(
             [],
             "cluster_id long, n_points long, majority_label long, "
             "purity double, inertia double, c_norm double",
         )
-    cents = [[int(v) for v in r["qvec"]] for r in seeds]
-    while len(cents) < k:  # degenerate tiny input: duplicate last seed
-        cents.append(list(cents[-1]))
-    for _ in range(rounds):
-        cents = _update_centroids(_assign(q, cents), cents)
 
     final = _assign(q, cents).localCheckpoint()  # consumed by 2 branches
     stats = final.groupBy("cluster").agg(
@@ -177,3 +188,100 @@ def kmeans_embeddings(
         )
         .orderBy("cluster_id")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.4      # cosine near-dup bar (matches embedding_near_dup)
+SEMDEDUP_MAX_CLUSTER = 4096   # hot-cluster backstop (the LSH-cap twin)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped to k-means clusters — the pruning pass the
+    ``kmeans_embeddings`` fit exists to serve. Within each cluster,
+    pairs with cosine ≥ ``threshold`` are near-duplicates; of every
+    such pair the lower ``vec_id`` survives (keep-first along edges,
+    the ``exact_dedup`` convention). Output is the per-vector manifest:
+    (vec_id, cluster, n_close same-cluster neighbors ≥ threshold, keep).
+
+    Why cluster-scoping beats a global pair pass: the paper's insight
+    is that semantic duplicates co-locate in embedding-cluster space,
+    so Σ_clusters |cluster|² pairwise work replaces |corpus|² — at
+    production scale k grows with the corpus (the paper uses 50k
+    clusters on LAION-440M; rule of thumb k ≈ n/⟨target cluster⟩), so
+    per-cluster work stays bounded and the ``applyInPandas`` grouping
+    gives k-way parallelism. The fixture keeps the oracle-pinned k=8.
+    ``max_cluster`` is the skew backstop, exactly the LSH hot-bucket
+    cap doctrine: clusters larger than the cap pass through UNPRUNED
+    (keep=true, n_close=0) — never silently, the plan carries the
+    ``semdedup_hot_clusters`` CollectMetrics observation.
+
+    Determinism (why this hash-oracles): scoring runs on the SAME
+    quantized int64 vectors as the fit. On the 1e-6 grid every pairwise
+    product is an exact integer ≤ ~1.4e12 and a 64-dim sum stays ≤
+    ~9e13 < 2^53, so dot products and squared norms are EXACT in
+    float64 regardless of accumulation order (BLAS matmul included) —
+    the one float op is the final divide+sqrt, identical everywhere.
+    Sims round half-up at 6 decimals before the threshold compare, so
+    the independent numpy restatement in tools/gen_kmeans_oracle.py
+    lands on bit-identical keep decisions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = _quantized(emb).localCheckpoint()
+    cents = fit_centroids(q, k, rounds)
+    if cents is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cluster long, n_close long, keep boolean"
+        )
+    assigned = _assign(q, cents).select("vec_id", "qvec", "cluster").localCheckpoint()
+
+    hot = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > max_cluster)
+        .observe(
+            "semdedup_hot_clusters",
+            F.count(F.lit(1)).alias("n_hot_clusters"),
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_rows_unpruned"),
+        )
+        .select("cluster")
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        mm = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["qvec"].iloc[order]]
+        )
+        dots = mm @ mm.T                      # exact: integer grid, < 2^53
+        nrm = np.sqrt(np.diag(dots))
+        sim = np.floor(dots / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
+        close = sim >= threshold
+        np.fill_diagonal(close, False)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "n_close": close.sum(axis=1).astype("int64"),
+                # dropped iff ANY earlier-id member is a near-dup
+                # (keep-first along edges — transitively aggressive,
+                # like exact_dedup's keep-lowest-id)
+                "keep": ~np.tril(close, -1).any(axis=1),
+            }
+        )
+
+    prunable = assigned.join(hot, "cluster", "left_anti")
+    passthrough = assigned.join(hot, "cluster", "left_semi").select(
+        "vec_id", "cluster", F.lit(0).cast("long").alias("n_close"), F.lit(True).alias("keep")
+    )
+    pruned = prunable.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, cluster long, n_close long, keep boolean"
+    )
+    return pruned.unionByName(passthrough)

@@ -254,6 +254,7 @@ QUERIES: dict[str, QueryFn] = {
     "mad_outliers": lambda s, d: events.mad_outliers(load_table(s, d, "events")),
     "lang_id_confusion": lambda s, d: text.lang_id_confusion(load_table(s, d, "documents")),
     "kmeans_embeddings": lambda s, d: clustering.kmeans_embeddings(load_table(s, d, "embeddings")),
+    "semdedup_prune": lambda s, d: clustering.semdedup_prune(load_table(s, d, "embeddings")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -548,6 +549,7 @@ _R7_PRIORITY = [
     "mad_outliers",              # robust modified-z outlier screen
     "lang_id_confusion",         # classifier eval vs labeled lang
     "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
+    "semdedup_prune",            # cluster-scoped SemDeDup manifest
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2633,14 +2635,17 @@ ORACLES["bpe_encode_stats"] = BPE_ENCODE_EXPECTED_SQL
 from .kmeans_expected import (
     GENERATED_SF_DIR as _KMEANS_SF,
     KMEANS_EXPECTED_SQL,
+    SEMDEDUP_EXPECTED_SQL,
 )
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
+ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
 
 PRECOMPUTED_ORACLE_SF = {
     "bpe_learn_merges": _BPE_SF,
     "bpe_encode_stats": _BPE_SF,
     "kmeans_embeddings": _KMEANS_SF,
+    "semdedup_prune": _KMEANS_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
     "knn_lsh": _ANN_SF,

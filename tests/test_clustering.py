@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import math
 
-from gomapreduce_spark.operators.clustering import KM_SCALE, kmeans_embeddings
+from gomapreduce_spark.operators.clustering import (
+    KM_SCALE,
+    kmeans_embeddings,
+    semdedup_prune,
+)
 
 
 def test_kmeans_tiny_hand_computed(spark):
@@ -54,3 +58,54 @@ def test_kmeans_fixture_invariants_and_determinism(spark, sf_small):
 def test_kmeans_empty_input(spark):
     emb = spark.createDataFrame([], "vec_id long, label long, embedding array<float>")
     assert kmeans_embeddings(emb).count() == 0
+
+
+def test_semdedup_tiny_hand_computed(spark):
+    """Two far-apart groups (k=2 separates them); within group A, v0/v1
+    are near-identical (cos ≈ 1 ≥ 0.4) so v1 is pruned by v0; v4 sits
+    orthogonal-ish to both (cos < 0.4) and survives. Within group B,
+    v2/v3 are near-identical, v3 pruned by v2."""
+    rows = [
+        (0, 5, [1.0, 0.0]),
+        (1, 5, [0.99, 0.01]),
+        (2, 3, [-1.0, -1.0]),
+        (3, 3, [-0.99, -1.0]),
+        (4, 5, [0.1, 0.9]),  # same half-space as A seeds but dissimilar
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = {r.vec_id: r for r in semdedup_prune(emb, k=2, rounds=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0].keep and not got[1].keep
+    assert got[2].keep and not got[3].keep
+    assert got[4].keep and got[4].n_close == 0
+    assert got[0].n_close == 1 and got[1].n_close == 1
+
+
+def test_semdedup_fixture_invariants(spark, sf_small):
+    from gomapreduce_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = semdedup_prune(emb).collect()
+    assert len(rows) == emb.count()  # manifest covers every vector
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        # the lowest vec_id of a cluster is never pruned (keep-first)
+        first = min(members, key=lambda r: r.vec_id)
+        assert first.keep
+        # anything pruned must have at least one near neighbor
+        assert all(r.n_close >= 1 for r in members if not r.keep)
+
+
+def test_semdedup_hot_cluster_cap_passthrough(spark):
+    """With max_cluster below the cluster size, everything passes
+    through unpruned (keep=true, n_close=0) — the no-silent-caps
+    backstop — even for vectors that would otherwise be pruned."""
+    rows = [(i, 1, [1.0, float(i) * 1e-4]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    pruned = semdedup_prune(emb, k=1, rounds=1).collect()
+    assert sum(1 for r in pruned if not r.keep) > 0  # sanity: near-dups prune
+    capped = semdedup_prune(emb, k=1, rounds=1, max_cluster=5).collect()
+    assert len(capped) == 10
+    assert all(r.keep and r.n_close == 0 for r in capped)

@@ -641,6 +641,16 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # SemDeDup pruning: per-cluster Arrow pass (FlatMapGroupsInPandas)
+    # over the checkpointed assignment; the hot-cluster screen is an
+    # unhinted anti/semi join against a k-row aggregate; never a
+    # nested loop, no mandatory hints
+    "semdedup_prune": {
+        "require": ["FlatMapGroupsInPandas"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # dedup QA: ground truth and candidates are the two existing pair
     # operators; the audit adds ONE pair-keyed full-outer join and a
     # 1-row aggregate (its single-partition merge + the exact side's

@@ -1,6 +1,7 @@
-"""Generate the DuckDB literal-table oracle for ``kmeans_embeddings``
-— the gen_ann_oracle.py mechanism applied to the integer-exact k-means
-of operators/clustering.py.
+"""Generate the DuckDB literal-table oracles for ``kmeans_embeddings``
+and ``semdedup_prune`` — the gen_ann_oracle.py mechanism applied to
+the integer-exact k-means (and the cluster-scoped SemDeDup pruning it
+feeds) of operators/clustering.py.
 
 Reference independence: Lloyd's algorithm is restated here from the
 published description (quantize → nearest-centroid by integer L2² →
@@ -34,6 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KM_K = 8
 KM_ROUNDS = 4
 KM_SCALE = 1_000_000
+SD_THRESHOLD = 0.4
+SD_MAX_CLUSTER = 4096
 
 
 def half_up6(x: float) -> float:
@@ -68,6 +71,7 @@ def main() -> int:
     from gomapreduce_spark.operators import clustering as pipe
 
     assert (pipe.KM_K, pipe.KM_ROUNDS, pipe.KM_SCALE) == (KM_K, KM_ROUNDS, KM_SCALE)
+    assert (pipe.SEMDEDUP_THRESHOLD, pipe.SEMDEDUP_MAX_CLUSTER) == (SD_THRESHOLD, SD_MAX_CLUSTER)
 
     rows = duckdb.sql(
         f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
@@ -98,7 +102,32 @@ def main() -> int:
         )
         out.append((j, n, best, half_up6(c_maj / n), inertia, c_norm))
 
-    # self-check vs the LIVE Spark pipeline, cell-for-cell
+    # semdedup_prune restatement: within each cluster (hot clusters >
+    # SD_MAX_CLUSTER pass through unpruned), rounded cosine of the
+    # quantized vectors (exact-integer dots — order-free), keep-first
+    # along near-dup edges by vec_id.
+    sd_rows = []
+    for j in sorted(set(int(o) for o in owner)):
+        mask = owner == j
+        cids = ids[mask]
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        if len(cids) > SD_MAX_CLUSTER:
+            sd_rows += [(int(v), j, 0, True) for v in cids]
+            continue
+        mm = Q[mask][order].astype(np.float64)
+        dots = mm @ mm.T
+        nrm = np.sqrt(np.diag(dots))
+        sim = np.floor(dots / (nrm[:, None] * nrm[None, :]) * 1e6 + 0.5) / 1e6
+        close = sim >= SD_THRESHOLD
+        np.fill_diagonal(close, False)
+        keep = ~np.tril(close, -1).any(axis=1)
+        n_close = close.sum(axis=1)
+        sd_rows += [
+            (int(v), j, int(nc), bool(kp)) for v, nc, kp in zip(cids, n_close, keep)
+        ]
+
+    # self-check vs the LIVE Spark pipelines, cell-for-cell
     from gomapreduce_spark.queries import QUERIES
     from gomapreduce_spark.session import get_spark
 
@@ -114,6 +143,18 @@ def main() -> int:
         f"  only-spark: {[x for x in got if x not in want][:3]}\n"
         f"  only-ref:   {[x for x in want if x not in got][:3]}"
     )
+    sd_got = sorted(
+        (r.vec_id, r.cluster, r.n_close, r.keep)
+        for r in QUERIES["semdedup_prune"](spark, sf_dir).collect()
+    )
+    sd_want = sorted(sd_rows)
+    assert sd_got == sd_want, (
+        "semdedup reference disagrees with the Spark pipeline\n"
+        f"  only-spark: {[x for x in sd_got if x not in sd_want][:3]}\n"
+        f"  only-ref:   {[x for x in sd_want if x not in sd_got][:3]}"
+    )
+    n_pruned = sum(1 for _, _, _, kp in sd_rows if not kp)
+    assert n_pruned > 0, "fixture produced no pruning — threshold too high to exercise the path"
 
     values = ",\n".join(
         f"  ({c}, {n}, {m}, {p!r}, {i!r}, {cn!r})" for c, n, m, p, i, cn in out
@@ -125,6 +166,16 @@ def main() -> int:
         "FROM (VALUES\n" + values + "\n) AS v(cluster_id, n_points, majority_label, purity, inertia, c_norm)\n"
         "WHERE EXISTS (SELECT 1 FROM embeddings)"
     )
+    sd_values = ",\n".join(
+        f"  ({v}, {c}, {nc}, {str(kp).lower()})" for v, c, nc, kp in sd_rows
+    )
+    sd_sql = (
+        "SELECT v.vec_id::BIGINT AS vec_id, v.cluster::BIGINT AS cluster,\n"
+        "       v.n_close::BIGINT AS n_close, v.keep::BOOLEAN AS keep\n"
+        "FROM (VALUES\n" + sd_values + "\n) AS v(vec_id, cluster, n_close, keep)\n"
+        "WHERE v.vec_id IN (SELECT vec_id FROM embeddings)"
+    )
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -132,16 +183,20 @@ def main() -> int:
     )
     with open(out_path, "w") as fh:
         fh.write(
-            '"""Precomputed k-means oracle (GENERATED — do not edit).\n\n'
+            '"""Precomputed k-means + SemDeDup oracles (GENERATED — do not edit).\n\n'
             "Source: tools/gen_kmeans_oracle.py (independent numpy reference,\n"
-            "self-checked against the live pipeline at generation time).\n"
+            "self-checked against the live pipelines at generation time).\n"
             "Valid ONLY at the scale factor below — check tooling degrades to\n"
             "rows-only elsewhere instead of failing on stale literals.\n"
             '"""\n\n'
             f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            f"KMEANS_EXPECTED_SQL = '''\n{sql}\n'''\n"
+            f"KMEANS_EXPECTED_SQL = '''\n{sql}\n'''\n\n"
+            f"SEMDEDUP_EXPECTED_SQL = '''\n{sd_sql}\n'''\n"
         )
-    print(f"wrote {out_path}: {len(out)} clusters (sf_dir={sf_dir})")
+    print(
+        f"wrote {out_path}: {len(out)} clusters, {len(sd_rows)} semdedup rows "
+        f"({n_pruned} pruned) (sf_dir={sf_dir})"
+    )
     return 0
 
 
