@@ -673,3 +673,85 @@ def knn_ivf_pq(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """Embedding-space drift per subpopulation: how far each label's
+    mean vector sits from the global mean, and along which dimension.
+    The embedding twin of ``events.distribution_drift`` — the monitor a
+    training pipeline runs per source/shard/day to catch representation
+    shift before it poisons a mixture (a label whose centroid wanders
+    is a subpopulation whose content changed).
+
+    Output: (label, n_vecs, l2_to_global, top_dim, top_abs_delta) —
+    L2 distance between the label centroid and the corpus centroid in
+    embedding units, plus the single dimension contributing the
+    largest |delta| (ties to the lowest dimension).
+
+    Exactness doctrine (operators/clustering.py): components quantize
+    ONCE to the 1e-6 integer grid; per-(label, dim) sums are exact
+    int64 (map-side combined — the ONE corpus-sized shuffle, keyed on
+    (label, pos)); the global sums re-aggregate the per-label rollup
+    (aggregate-of-aggregate, no second scan). Centroid means land back
+    on the micro grid via half-up integer division — pmod-corrected
+    floor division on exactly-divisible integers, so truncating `div`
+    is exact — making every delta an order-free integer; ssd ≤
+    d·(2.4e6)² ≈ 4e14 stays int64-exact at ANY corpus size (deltas are
+    value-bounded, not corpus-bounded). The only float ops are the
+    final sqrt/divide/round, identical in Spark and DuckDB — a plain
+    SQL oracle, no VALUES table needed.
+
+    100 TB shape: one narrow exchange of d rows per input row after
+    in-task projection; the d-row global side joins unhinted (AQE
+    broadcasts it); the per-label window ranks d rows per label.
+    int64 headroom: 2·s+n overflows past ~3.8e12 vectors per label —
+    switch the two sum columns to DECIMAL(38,0) beyond that."""
+    from .clustering import KM_SCALE
+
+    comps = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    )
+    per = comps.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s_l"), F.count(F.lit(1)).alias("n_l")
+    )
+    glob = per.groupBy("pos").agg(F.sum("s_l").alias("s_g"), F.sum("n_l").alias("n_g"))
+    m = (
+        per.join(glob, "pos")
+        .withColumn("ml_num", F.lit(2) * F.col("s_l") + F.col("n_l"))
+        .withColumn("ml_den", F.lit(2) * F.col("n_l"))
+        .withColumn("mg_num", F.lit(2) * F.col("s_g") + F.col("n_g"))
+        .withColumn("mg_den", F.lit(2) * F.col("n_g"))
+        # floor division via pmod correction: (num - pmod(num, den)) is
+        # exactly divisible, so the truncating `div` equals floor —
+        # half-toward-+inf mean in micro units, the kmeans convention
+        .withColumn("m_l", F.expr("(ml_num - pmod(ml_num, ml_den)) div ml_den"))
+        .withColumn("m_g", F.expr("(mg_num - pmod(mg_num, mg_den)) div mg_den"))
+        .withColumn("delta", F.col("m_l") - F.col("m_g"))
+    )
+    stats = m.groupBy("label").agg(
+        F.max("n_l").alias("n_vecs"),
+        F.sum(F.col("delta") * F.col("delta")).alias("ssd"),  # exact int64
+    )
+    w = W.partitionBy("label").orderBy(F.abs(F.col("delta")).desc(), F.col("pos").asc())
+    top = (
+        m.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("label", F.col("pos").cast("long").alias("top_dim"), F.abs("delta").alias("top_abs"))
+    )
+    return (
+        stats.join(top, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.sqrt(F.col("ssd").cast("double")) / KM_SCALE, 6).alias("l2_to_global"),
+            "top_dim",
+            F.round(F.col("top_abs").cast("double") / KM_SCALE, 6).alias("top_abs_delta"),
+        )
+        .orderBy("label")
+    )

@@ -255,6 +255,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_confusion": lambda s, d: text.lang_id_confusion(load_table(s, d, "documents")),
     "kmeans_embeddings": lambda s, d: clustering.kmeans_embeddings(load_table(s, d, "embeddings")),
     "semdedup_prune": lambda s, d: clustering.semdedup_prune(load_table(s, d, "embeddings")),
+    "embedding_drift": lambda s, d: similarity.embedding_drift(load_table(s, d, "embeddings")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -550,6 +551,7 @@ _R7_PRIORITY = [
     "lang_id_confusion",         # classifier eval vs labeled lang
     "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
     "semdedup_prune",            # cluster-scoped SemDeDup manifest
+    "embedding_drift",           # per-label centroid drift, exact ints
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2640,6 +2642,47 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# embedding_drift: exact-integer math end-to-end (1e-6 quantize grid,
+# pmod-corrected floor division on exactly-divisible integers — `//`
+# vs `div` truncation semantics can't differ), so a PLAIN SQL oracle
+# suffices: only the final sqrt/divide/round touch floats.
+ORACLES["embedding_drift"] = """
+    WITH comps AS (
+      SELECT label::BIGINT AS label, u.i AS pos,
+             CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings, unnest(range(0, 64)) AS u(i)
+    ),
+    per AS (
+      SELECT label, pos, sum(qv)::BIGINT AS s_l, count(*)::BIGINT AS n_l
+      FROM comps GROUP BY 1, 2
+    ),
+    corpuswide AS (
+      SELECT pos, sum(s_l)::BIGINT AS s_g, sum(n_l)::BIGINT AS n_g
+      FROM per GROUP BY 1
+    ),
+    m AS (
+      SELECT label, pos, n_l,
+             (((2*s_l + n_l) - (((2*s_l + n_l) % (2*n_l) + (2*n_l)) % (2*n_l))) // (2*n_l))
+           - (((2*s_g + n_g) - (((2*s_g + n_g) % (2*n_g) + (2*n_g)) % (2*n_g))) // (2*n_g))
+             AS delta
+      FROM per JOIN corpuswide USING (pos)
+    ),
+    stats AS (
+      SELECT label, max(n_l)::BIGINT AS n_vecs, sum(delta*delta)::BIGINT AS ssd
+      FROM m GROUP BY 1
+    ),
+    top AS (
+      SELECT label, pos::BIGINT AS top_dim, abs(delta) AS top_abs,
+             row_number() OVER (PARTITION BY label ORDER BY abs(delta) DESC, pos ASC) AS rk
+      FROM m
+    )
+    SELECT s.label, s.n_vecs,
+           round(sqrt(CAST(s.ssd AS DOUBLE)) / 1000000, 6) AS l2_to_global,
+           t.top_dim,
+           round(CAST(t.top_abs AS DOUBLE) / 1000000, 6) AS top_abs_delta
+    FROM stats s JOIN top t ON t.label = s.label AND t.rk = 1
+"""
 
 PRECOMPUTED_ORACLE_SF = {
     "bpe_learn_merges": _BPE_SF,

@@ -109,3 +109,41 @@ def test_semdedup_hot_cluster_cap_passthrough(spark):
     capped = semdedup_prune(emb, k=1, rounds=1, max_cluster=5).collect()
     assert len(capped) == 10
     assert all(r.keep and r.n_close == 0 for r in capped)
+
+
+def test_embedding_drift_hand_computed(spark):
+    """Two labels in 2-d: label 1 = {(1,0),(1,0)}, label 2 = {(0,1),(0,1)}.
+    Global mean (micro, half-up of 2e6/4=5e5): (500000, 500000); label
+    means (1e6,0) and (0,1e6) -> delta vectors (±5e5, ∓5e5), l2 =
+    sqrt(2)*0.5 for both, top_dim = 0 (tie -> lowest dim)."""
+    import math
+
+    from gomapreduce_spark.operators.similarity import embedding_drift
+
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (1, 1, [1.0, 0.0]),
+        (2, 2, [0.0, 1.0]),
+        (3, 2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    # note: operator hardcodes nothing about dim — oracle does (64)
+    got = {r.label: r for r in embedding_drift(emb).collect()}
+    want_l2 = round(math.sqrt(2 * 500000**2) / 1e6, 6)
+    assert set(got) == {1, 2}
+    for lb in (1, 2):
+        assert got[lb].n_vecs == 2
+        assert got[lb].l2_to_global == want_l2
+        assert got[lb].top_dim == 0
+        assert got[lb].top_abs_delta == 0.5
+
+
+def test_embedding_drift_single_label_is_zero(spark):
+    """One label == the whole corpus -> centroid equals the global
+    centroid exactly (identical integer division on identical sums)."""
+    from gomapreduce_spark.operators.similarity import embedding_drift
+
+    rows = [(i, 7, [0.1 * i, -0.3, 0.7]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    [r] = embedding_drift(emb).collect()
+    assert (r.label, r.n_vecs, r.l2_to_global, r.top_abs_delta) == (7, 5, 0.0, 0.0)

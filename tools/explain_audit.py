@@ -651,6 +651,15 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # per-label centroid drift: ONE (label, pos) partial+final agg
+    # over the posexplode; the global side re-aggregates the rollup
+    # (no second scan) and joins UNHINTED (d rows — AQE broadcasts);
+    # the top-dim window partitions by label
+    "embedding_drift": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # dedup QA: ground truth and candidates are the two existing pair
     # operators; the audit adds ONE pair-keyed full-outer join and a
     # 1-row aggregate (its single-partition merge + the exact side's

@@ -98,6 +98,9 @@ PROBE_QUERIES = [
     "fixed_k_sample",
     "mad_outliers",
     "lang_id_confusion",
+    "kmeans_embeddings",
+    "semdedup_prune",
+    "embedding_drift",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
