@@ -755,3 +755,88 @@ def embedding_drift(emb: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+HYBRID_RECALL = 50   # BM25 recall set size
+HYBRID_SEED = 5      # pseudo-relevance-feedback query docs
+HYBRID_RRF_K = 60    # reciprocal-rank-fusion constant (Cormack 2009)
+HYBRID_TOP = 15
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Two-stage hybrid retrieval — the production RAG shape: a cheap
+    lexical recall pass (BM25, :func:`..text.bm25_search`) pulls a
+    bounded candidate set; an embedding cosine pass reranks it; the two
+    rankings fuse by Reciprocal Rank Fusion (Cormack et al. 2009,
+    ``1/(k+rank)`` — the Elasticsearch/Vespa default, rank-based so no
+    score normalization is needed). The semantic query vector needs no
+    query-side embedding model: it is the centroid of the top
+    ``HYBRID_SEED`` BM25 hits' embeddings — classic pseudo-relevance
+    feedback (Rocchio 1971).
+
+    Output: (doc_id, bm25_rk, cos_rk, rrf_score, rk) over the top
+    ``HYBRID_TOP`` fused results. Both rank lists are computed over the
+    same candidate set (BM25 top-``HYBRID_RECALL`` ∩ has-embedding) so
+    the fusion is well-defined when the corpus is partially embedded.
+
+    Scale: everything corpus-sized lives inside bm25_search (term
+    filter pushed to the tokenize scan, partial-agg tf, TakeOrdered
+    top-k) and the one candidate×embeddings equi-join (unhinted; the
+    candidate side measures ≤50 rows, AQE broadcasts it). Every window
+    here ranks the ≤50-row candidate set — single-partition by design,
+    bounded by HYBRID_RECALL, not by the corpus. The seed collect is 5
+    rows (bounded, like the IVF training sample). Determinism: the
+    seed centroid uses the clustering quantize-once grid (exact int
+    sums + half-up division → micro-grid components identical in any
+    engine); cosine is the shared left-to-right fold; RRF terms are
+    exact reciprocals of small ints — all rounded half-up at 6."""
+    import numpy as np
+
+    from .clustering import KM_SCALE
+    from .text import bm25_search
+
+    cand = (
+        bm25_search(docs, k=HYBRID_RECALL)
+        .select("doc_id", F.col("score").alias("bm25_score"))
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .withColumn(
+            "bm25_rk",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .localCheckpoint()  # consumed by the seed collect AND the rerank
+    )
+    seeds = cand.where(F.col("bm25_rk") <= HYBRID_SEED).select("doc_id", "embedding").collect()
+    if not seeds:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, bm25_rk long, cos_rk long, rrf_score double, rk long"
+        )
+    S = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sorted(seeds, key=lambda r: r["doc_id"])]
+    )
+    qsum = np.floor(S * KM_SCALE + 0.5).astype(np.int64).sum(axis=0)
+    n = np.int64(len(S))
+    qmicro = (2 * qsum + n) // (2 * n)  # half-up integer mean (micro grid)
+    qcol = F.array(*[F.lit(float(v) / KM_SCALE) for v in qmicro])
+
+    scored = cand.withColumn("cos", F.round(cosine(qcol, F.col("embedding")), 6)).withColumn(
+        "cos_rk",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc())).cast("long"),
+    )
+    rrf = F.round(
+        1.0 / (F.lit(float(HYBRID_RRF_K)) + F.col("bm25_rk"))
+        + 1.0 / (F.lit(float(HYBRID_RRF_K)) + F.col("cos_rk")),
+        6,
+    )
+    return (
+        scored.withColumn("rrf_score", rrf)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()))
+            .cast("long"),
+        )
+        .where(F.col("rk") <= HYBRID_TOP)
+        .select("doc_id", "bm25_rk", "cos_rk", "rrf_score", "rk")
+    )

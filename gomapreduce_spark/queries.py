@@ -256,6 +256,9 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": lambda s, d: clustering.kmeans_embeddings(load_table(s, d, "embeddings")),
     "semdedup_prune": lambda s, d: clustering.semdedup_prune(load_table(s, d, "embeddings")),
     "embedding_drift": lambda s, d: similarity.embedding_drift(load_table(s, d, "embeddings")),
+    "hybrid_search": lambda s, d: similarity.hybrid_search(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -552,6 +555,7 @@ _R7_PRIORITY = [
     "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
     "semdedup_prune",            # cluster-scoped SemDeDup manifest
     "embedding_drift",           # per-label centroid drift, exact ints
+    "hybrid_search",             # BM25 recall + cosine rerank + RRF
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2642,6 +2646,77 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# hybrid_search: BM25 recall (the bm25_search oracle at k=50) joined
+# to embeddings, pseudo-relevance-feedback query centroid on the
+# quantize-once micro grid (exact int sums + pmod floor division),
+# shared-fold cosine rerank, reciprocal-rank fusion on exact integer
+# ranks. Rank windows are over the <=50-row candidate set.
+ORACLES["hybrid_search"] = rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    stats AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs,
+                      sum(dl) / count(*) AS avgdl FROM stats),
+    occ AS (SELECT doc_id, term FROM toks, unnest(t) AS u(term)
+            WHERE term IN ('table', 'query', 'spark')),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ GROUP BY 1, 2),
+    idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), corpus),
+    contrib AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) AS cc
+      FROM tf JOIN idf USING (term) JOIN stats s ON s.doc_id = tf.doc_id, corpus c
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(cc), 6) AS score
+      FROM contrib GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk0
+      FROM scored QUALIFY rk0 <= 50
+    ),
+    cand AS (
+      SELECT b.doc_id, b.score, e.embedding::DOUBLE[] AS v,
+             row_number() OVER (ORDER BY b.score DESC, b.doc_id ASC) AS bm25_rk
+      FROM b JOIN embeddings e ON e.vec_id = b.doc_id
+    ),
+    seedsum AS (
+      SELECT u.i AS pos,
+             sum(CAST(floor(v[u.i + 1] * 1000000 + 0.5) AS BIGINT))::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM cand, unnest(range(0, 64)) AS u(i)
+      WHERE bm25_rk <= 5
+      GROUP BY 1
+    ),
+    qv AS (
+      SELECT list(qc ORDER BY pos) AS q FROM (
+        SELECT pos,
+               ((((2*s + n) - (((2*s + n) % (2*n) + (2*n)) % (2*n))) // (2*n))) / 1000000.0 AS qc
+        FROM seedsum
+      )
+    ),
+    rer AS (
+      SELECT doc_id, bm25_rk,
+             round(list_dot_product(q, v)
+                   / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))), 6) AS cos
+      FROM cand, qv
+    ),
+    cr AS (
+      SELECT doc_id, bm25_rk,
+             row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS cos_rk
+      FROM rer
+    ),
+    fused AS (
+      SELECT doc_id, bm25_rk::BIGINT AS bm25_rk, cos_rk::BIGINT AS cos_rk,
+             round(1.0 / (60.0 + bm25_rk) + 1.0 / (60.0 + cos_rk), 6) AS rrf_score
+      FROM cr
+    )
+    SELECT doc_id, bm25_rk, cos_rk, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS rk
+    FROM fused QUALIFY rk <= 15
+"""
 
 # embedding_drift: exact-integer math end-to-end (1e-6 quantize grid,
 # pmod-corrected floor division on exactly-divisible integers — `//`

@@ -1,0 +1,57 @@
+"""Hybrid retrieval: RRF arithmetic, rank-list consistency, and the
+partially-embedded-corpus candidate contract."""
+
+from __future__ import annotations
+
+from gomapreduce_spark.operators.similarity import (
+    HYBRID_RRF_K,
+    HYBRID_TOP,
+    hybrid_search,
+)
+
+
+def test_hybrid_fixture_invariants(spark, sf_small):
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = hybrid_search(docs, emb).collect()
+    assert len(rows) == HYBRID_TOP
+    assert sorted(r.rk for r in rows) == list(range(1, HYBRID_TOP + 1))
+    # both rank lists are permutations over the candidate set: distinct
+    # and positive; fused score recomputes exactly from the ranks
+    assert len({r.bm25_rk for r in rows}) == len(rows)
+    assert len({r.cos_rk for r in rows}) == len(rows)
+    for r in rows:
+        assert r.bm25_rk >= 1 and r.cos_rk >= 1
+        want = round(1.0 / (HYBRID_RRF_K + r.bm25_rk) + 1.0 / (HYBRID_RRF_K + r.cos_rk), 6)
+        assert r.rrf_score == want
+    # RRF ordering: scores non-increasing with rk
+    by_rk = sorted(rows, key=lambda r: r.rk)
+    assert all(a.rrf_score >= b.rrf_score for a, b in zip(by_rk, by_rk[1:]))
+
+
+def test_hybrid_only_embedded_docs_are_candidates(spark):
+    """Docs matching the query terms but with no embedding row never
+    appear — both rank lists are computed over the same joined set."""
+    docs = spark.createDataFrame(
+        [(i, "spark table query spark", "en", "src0", 23) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 10.0], 0) for i in (0, 2, 4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = hybrid_search(docs, emb).collect()
+    assert {r.doc_id for r in rows} == {0, 2, 4}
+    assert sorted(r.bm25_rk for r in rows) == [1, 2, 3]
+    assert sorted(r.cos_rk for r in rows) == [1, 2, 3]
+
+
+def test_hybrid_empty_candidates(spark):
+    docs = spark.createDataFrame(
+        [(0, "nothing matches here", "en", "src0", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert hybrid_search(docs, emb).count() == 0

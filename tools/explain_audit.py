@@ -651,6 +651,16 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # hybrid retrieval: the corpus-sized work is the BM25 stage (term
+    # filter pushed to the scan, partial-agg tf, bounded top-k); the
+    # checkpoint cut hides it here, so this gate pins the rerank tail:
+    # candidate-set windows and the fused top-k only — no cartesian,
+    # no nested loop, no mandatory hints (the 64-element query-vector
+    # literal is a fixed-size closure constant, not a broadcast)
+    "hybrid_search": {
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # per-label centroid drift: ONE (label, pos) partial+final agg
     # over the posexplode; the global side re-aggregates the rollup
     # (no second scan) and joins UNHINTED (d rows — AQE broadcasts);

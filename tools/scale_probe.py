@@ -101,6 +101,7 @@ PROBE_QUERIES = [
     "kmeans_embeddings",
     "semdedup_prune",
     "embedding_drift",
+    "hybrid_search",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
