@@ -1389,3 +1389,64 @@ def dedup_recall_audit(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6).alias("precision"),
         F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B|/|A| and |A∩B|/|B|) for
+    pairs sharing ≥1 shingle — the excerpt/quotation detector Jaccard
+    structurally misses: a 50-shingle doc fully embedded in a
+    5000-shingle doc scores Jaccard ≈ 0.01 but containment 1.0. Pairs
+    where EITHER direction ≥ ``threshold`` survive, with both values
+    reported (which side is the subset is the point).
+
+    Same dataflow contract as :func:`ngram_jaccard_pairs` (one Arrow
+    shingle pass, 60-bit-hash equi-join, |shingle set| rides each row
+    so one min() recovers it), plus the hot-shingle df cap the jaccard
+    form documents as its trade-off: shingles present in more than
+    ``max_df`` docs are dropped BEFORE the pair join (anti-join on the
+    existing shuffle key), bounding pair fan-out by max_df·|shingles| —
+    never silently, via the ``containment_hot_shingles`` observation.
+    Denominators stay the TRUE set sizes (computed before the cap), so
+    a capped intersection can only under-report containment, never
+    inflate it. At 100 TB this runs after LSH candidate generation
+    like its jaccard sibling; the cap is the standalone backstop."""
+    sh = (
+        shingle_arrays(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+        .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
+    ).localCheckpoint()
+    hot = (
+        sh.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .observe(
+            "containment_hot_shingles",
+            F.count(F.lit(1)).alias("n_hot_shingles"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("n_rows_dropped"),
+        )
+        .select("sh_h")
+    )
+    shc = sh.join(hot, "sh_h", "left_anti")
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("a.n_sh").alias("size_a"),  # true size: n_sh predates the cap
+            F.min("b.n_sh").alias("size_b"),
+        )
+    )
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.round(F.col("n_inter") / F.col("size_a"), 6).alias("containment_a"),
+        F.round(F.col("n_inter") / F.col("size_b"), 6).alias("containment_b"),
+    )
+    return out.where(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )

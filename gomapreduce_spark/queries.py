@@ -259,6 +259,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search": lambda s, d: similarity.hybrid_search(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "containment_pairs": lambda s, d: dedup.containment_pairs(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -556,6 +557,7 @@ _R7_PRIORITY = [
     "semdedup_prune",            # cluster-scoped SemDeDup manifest
     "embedding_drift",           # per-label centroid drift, exact ints
     "hybrid_search",             # BM25 recall + cosine rerank + RRF
+    "containment_pairs",         # asymmetric excerpt/subset detection
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2646,6 +2648,29 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# containment_pairs: the jaccard-pairs join with asymmetric
+# denominators and the hot-shingle df cap mirrored exactly (HAVING
+# count <= cap); true set sizes predate the cap on both sides.
+ORACLES["containment_pairs"] = f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter::DOUBLE / sa.n_sh, 6) AS containment_a,
+           round(n_inter::DOUBLE / sb.n_sh, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(round(n_inter::DOUBLE / sa.n_sh, 6),
+                   round(n_inter::DOUBLE / sb.n_sh, 6)) >= 0.5
+"""
 
 # hybrid_search: BM25 recall (the bm25_search oracle at k=50) joined
 # to embeddings, pseudo-relevance-feedback query centroid on the

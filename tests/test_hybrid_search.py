@@ -55,3 +55,40 @@ def test_hybrid_empty_candidates(spark):
     )
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     assert hybrid_search(docs, emb).count() == 0
+
+
+def test_containment_detects_embedded_excerpt(spark):
+    """A short doc fully contained in a long doc: Jaccard is tiny (the
+    structural blind spot) but containment_a is 1.0."""
+    from gomapreduce_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    excerpt = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, excerpt, "en", "src0", len(excerpt)),
+            (2, filler + " " + excerpt + " " + filler, "en", "src0", 500),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = containment_pairs(docs).collect()
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a == 1.0  # every excerpt shingle is in doc 2
+    assert r.containment_b < 0.1
+    # and the jaccard form misses the pair at the same 0.5 bar
+    assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_containment_hot_shingle_cap(spark):
+    """With max_df below the corpus df, the shared shingle is dropped
+    before the pair join and no pair survives — the no-silent-caps
+    backstop (denominators still reflect true sizes)."""
+    from gomapreduce_spark.operators.dedup import containment_pairs
+
+    text = "common one two three four five"
+    docs = spark.createDataFrame(
+        [(i, text, "en", "src0", len(text)) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert containment_pairs(docs).count() == 6  # all pairs identical
+    assert containment_pairs(docs, max_df=3).count() == 0

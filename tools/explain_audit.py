@@ -651,6 +651,14 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # asymmetric containment: the jaccard-pairs join contract — ONE
+    # shingle-hash equi-join behind the checkpoint cut, hot-shingle
+    # anti-join on the same key, partial-agg pair counts, no hints
+    "containment_pairs": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # hybrid retrieval: the corpus-sized work is the BM25 stage (term
     # filter pushed to the scan, partial-agg tf, bounded top-k); the
     # checkpoint cut hides it here, so this gate pins the rerank tail:

@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "semdedup_prune",
     "embedding_drift",
     "hybrid_search",
+    "containment_pairs",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
