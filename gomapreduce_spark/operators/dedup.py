@@ -1450,3 +1450,36 @@ def containment_pairs(
     return out.where(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
     )
+
+
+def translated_near_dups(docs: DataFrame, emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Cross-lingual near-duplicates: embedding-similar pairs whose
+    documents carry DIFFERENT language tags — the translated-content
+    detector. Lexical dedup (shingles, MinHash) is structurally blind
+    to translations (zero token overlap), but a multilingual embedding
+    space puts a document and its translation nearby, so the
+    embedding-cosine pair graph restricted to lang_a ≠ lang_b is
+    exactly the translated-duplicate candidate set (the multilingual
+    corpus-curation step next to per-language dedup).
+
+    Dataflow: :func:`embedding_near_dup` generates the capped,
+    LSH-bucketed pair graph (Σ|cell|² bounded — never all-pairs); two
+    narrow (doc_id, lang) projections of ``documents`` attach the
+    language tags via unhinted equi-joins (the pair side is the tiny
+    thresholded graph; AQE broadcasts it). Inner joins: pairs whose
+    vectors have no document row drop out, keeping the contract
+    well-defined when embeddings outnumber documents or vice versa."""
+    pairs = embedding_near_dup(emb, threshold)
+    lang = docs.select(F.col("doc_id"), F.col("lang"))
+    return (
+        pairs.join(lang.select(F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a")), "vec_a")
+        .join(lang.select(F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b")), "vec_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "lang_a",
+            "lang_b",
+            "sim",
+        )
+    )

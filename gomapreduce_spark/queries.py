@@ -260,6 +260,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
     "containment_pairs": lambda s, d: dedup.containment_pairs(load_table(s, d, "documents")),
+    "translated_near_dups": lambda s, d: dedup.translated_near_dups(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -558,6 +561,7 @@ _R7_PRIORITY = [
     "embedding_drift",           # per-label centroid drift, exact ints
     "hybrid_search",             # BM25 recall + cosine rerank + RRF
     "containment_pairs",         # asymmetric excerpt/subset detection
+    "translated_near_dups",      # cross-lingual embedding near-dups
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2648,6 +2652,25 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# translated_near_dups: the exact all-pairs cosine oracle restricted
+# to cross-language pairs via the documents lang tags.
+ORACLES["translated_near_dups"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    )
+    SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b, p.sim
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE da.lang <> db.lang
+"""
 
 # containment_pairs: the jaccard-pairs join with asymmetric
 # denominators and the hot-shingle df cap mirrored exactly (HAVING

@@ -92,3 +92,36 @@ def test_containment_hot_shingle_cap(spark):
     )
     assert containment_pairs(docs).count() == 6  # all pairs identical
     assert containment_pairs(docs, max_df=3).count() == 0
+
+
+def test_translated_near_dups_cross_lang_only(spark):
+    """Near-identical vectors in different langs surface; the
+    same-lang near-dup pair is filtered out."""
+    from gomapreduce_spark.operators.dedup import translated_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world", "en", "src0", 11),
+            (1, "bonjour monde", "fr", "src0", 13),
+            (2, "hallo welt", "de", "src0", 10),
+            (3, "hi there", "en", "src0", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    def v64(x: float, y: float) -> list[float]:
+        return [x, y] + [0.0] * 62  # the LSH signer expects dim=64
+
+    emb = spark.createDataFrame(
+        [
+            (0, v64(1.0, 0.0), 0),    # en ~ fr pair (cross-lang, surfaces)
+            (1, v64(0.99, 0.01), 0),
+            (2, v64(0.0, 1.0), 1),    # de, far from everything
+            (3, v64(1.0, 0.01), 0),   # en ~ en with 0 (same lang, filtered)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = translated_near_dups(docs, emb).collect()
+    got = {(r.doc_a, r.doc_b): (r.lang_a, r.lang_b) for r in rows}
+    assert (0, 1) in got and got[(0, 1)] == ("en", "fr")
+    assert (1, 3) in got and got[(1, 3)] == ("fr", "en")
+    assert (0, 3) not in got  # en-en near-dup excluded

@@ -651,6 +651,14 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # cross-lingual near-dups: the capped embedding pair graph (cell
+    # Arrow pass behind FlatMapGroupsInPandas) + two narrow unhinted
+    # lang joins — the pair side is tiny, AQE broadcasts at runtime
+    "translated_near_dups": {
+        "require": ["FlatMapGroupsInPandas"],
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # asymmetric containment: the jaccard-pairs join contract — ONE
     # shingle-hash equi-join behind the checkpoint cut, hot-shingle
     # anti-join on the same key, partial-agg pair counts, no hints

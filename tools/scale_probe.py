@@ -103,6 +103,7 @@ PROBE_QUERIES = [
     "embedding_drift",
     "hybrid_search",
     "containment_pairs",
+    "translated_near_dups",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
