@@ -1049,3 +1049,45 @@ def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
         F.sum(F.when(F.abs(F.col("mz")) > cutoff, 1).otherwise(0)).cast("long").alias("n_outliers"),
         F.round(F.max(F.abs(F.col("mz"))), 6).alias("max_abs_z"),
     )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN, max_steps: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k session journeys: the first ``max_steps`` event types of
+    each session joined into a path string ("view>click>purchase"),
+    counted across all sessions — the sequence-mining rollup behind
+    funnel design (which journeys actually happen, not just whether a
+    prescribed funnel converts — the discovery step before
+    :func:`ordered_funnel` checks a specific one).
+
+    Dataflow: the shared lag+cumsum session tagging (ONE user_id
+    shuffle); the per-session step window and first-``max_steps``
+    truncation ride the same partitioning (hash(user_id) satisfies the
+    (user, session) clustering, so the per-session path aggregate adds
+    NO exchange); path counting is one partial-agg shuffle on the
+    path string (cardinality ≤ |event types|^max_steps, a domain-sized
+    key space); top-k is a bounded sort with ties broken by path text.
+    Path assembly is an ordered fold over the step-sorted struct array
+    — deterministic, and DuckDB's ``string_agg(... ORDER BY step)``
+    states the identical order."""
+    tagged = _tag_sessions(events, gap_minutes)
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = tagged.withColumn("step", F.row_number().over(w)).where(F.col("step") <= max_steps)
+    paths = steps.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(k)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.col("n_sessions").desc(), F.col("path").asc()))
+        .cast("long"),
+    )

@@ -263,6 +263,7 @@ QUERIES: dict[str, QueryFn] = {
     "translated_near_dups": lambda s, d: dedup.translated_near_dups(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "session_paths": lambda s, d: events.session_paths(load_table(s, d, "events")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -562,6 +563,7 @@ _R7_PRIORITY = [
     "hybrid_search",             # BM25 recall + cosine rerank + RRF
     "containment_pairs",         # asymmetric excerpt/subset detection
     "translated_near_dups",      # cross-lingual embedding near-dups
+    "session_paths",             # top-k session journey mining
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2652,6 +2654,38 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# session_paths: the sessionize tagging CTE + ordered string_agg —
+# the ORDER BY step inside the aggregate states the same fold order
+# as the Spark side's step-sorted array join.
+ORACLES["session_paths"] = """
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ),
+    st AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS step
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY step) AS path
+      FROM st WHERE step <= 5 GROUP BY 1, 2
+    ),
+    c AS (SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1)
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path ASC)::BIGINT AS rk
+    FROM c QUALIFY rk <= 20
+"""
 
 # translated_near_dups: the exact all-pairs cosine oracle restricted
 # to cross-language pairs via the documents lang tags.

@@ -125,3 +125,41 @@ def test_translated_near_dups_cross_lang_only(spark):
     assert (0, 1) in got and got[(0, 1)] == ("en", "fr")
     assert (1, 3) in got and got[(1, 3)] == ("fr", "en")
     assert (0, 3) not in got  # en-en near-dup excluded
+
+
+def test_session_paths_hand_computed(spark):
+    """One user, two sessions split by a >30min gap; paths truncate at
+    max_steps and rank (count desc, path asc)."""
+    from datetime import datetime
+
+    from gomapreduce_spark.operators.events import session_paths
+
+    def ev(eid, minute, typ):
+        return (eid, datetime(2024, 1, 1, 10 + minute // 60, minute % 60), 1, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, "view"), ev(2, 1, "click"),          # session 1: view>click
+        ev(3, 60, "view"), ev(4, 61, "click"),        # session 2 (59-min gap): view>click
+        ev(5, 200, "buy"),                            # session 3: buy
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.path: r for r in session_paths(events, gap_minutes=30).collect()}
+    assert got["view>click"].n_sessions == 2 and got["view>click"].rk == 1
+    assert got["buy"].n_sessions == 1 and got["buy"].rk == 2
+
+
+def test_session_paths_truncates_at_max_steps(spark):
+    from datetime import datetime
+
+    from gomapreduce_spark.operators.events import session_paths
+
+    rows = [
+        (i, datetime(2024, 1, 1, 10, i), 1, f"t{i}", 1.0, "{}") for i in range(8)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    [r] = session_paths(events, max_steps=3).collect()
+    assert r.path == "t0>t1>t2" and r.n_sessions == 1

@@ -651,6 +651,16 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # session journey mining: one user_id exchange feeds tagging, the
+    # step window AND the per-session path aggregate (hash(user_id)
+    # satisfies the (user, session) clustering — no second exchange
+    # before the path count); top-k is a bounded sort
+    "session_paths": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"],
+        "max_exchanges": 3,  # user_id + path count + 20-row top-k
+    },
     # cross-lingual near-dups: the capped embedding pair graph (cell
     # Arrow pass behind FlatMapGroupsInPandas) + two narrow unhinted
     # lang joins — the pair side is tiny, AQE broadcasts at runtime

@@ -104,6 +104,7 @@ PROBE_QUERIES = [
     "hybrid_search",
     "containment_pairs",
     "translated_near_dups",
+    "session_paths",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
