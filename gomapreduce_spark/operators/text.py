@@ -1646,3 +1646,45 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / total, 6).alias("frac"),
     )
+
+
+def calibrated_quality(
+    docs: DataFrame, raw_threshold: float = 0.5, pct_threshold: float = 0.5
+) -> DataFrame:
+    """Per-source quality calibration: the same raw quality bar keeps
+    90% of one source and 10% of another (sources have different score
+    distributions — boilerplate-heavy crawls score low across the
+    board), so production filters threshold on the WITHIN-SOURCE
+    percentile instead of the raw score. Output is the per-doc
+    manifest: raw quality, within-source percent_rank, and both keep
+    flags — the keep_raw vs keep_cal disagreement is the calibration
+    audit.
+
+    percent_rank orders by (quality, doc_id) — unique keys, so the
+    rank is total and the value cross-engine identical ((rank-1)/(n-1)
+    in both engines; 0 for a single-row source in both).
+
+    Scale note (the value_deciles doctrine): this exact form sorts
+    each source in ONE task — the verification twin. At 100 TB the
+    production form replaces the window with per-source
+    ``percentile_approx`` cutpoints broadcast back (one partial-agg
+    pass, no per-source total sort); the flags it produces differ only
+    within the sketch's rank-error band around the threshold."""
+    from pyspark.sql import Window as W
+
+    q = quality_score(docs).select("doc_id", "quality")
+    j = q.join(docs.select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    return j.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).select(
+        "doc_id",
+        "source",
+        "quality",
+        "pct_rank",
+        (F.col("quality") >= raw_threshold).alias("keep_raw"),
+        (F.col("pct_rank") >= pct_threshold).alias("keep_cal"),
+    )

@@ -264,6 +264,7 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
     "session_paths": lambda s, d: events.session_paths(load_table(s, d, "events")),
+    "calibrated_quality": lambda s, d: text.calibrated_quality(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -564,6 +565,7 @@ _R7_PRIORITY = [
     "containment_pairs",         # asymmetric excerpt/subset detection
     "translated_near_dups",      # cross-lingual embedding near-dups
     "session_paths",             # top-k session journey mining
+    "calibrated_quality",        # per-source percentile calibration
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2654,6 +2656,39 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# calibrated_quality: the quality_score CTE + within-source
+# percent_rank over the total (quality, doc_id) order — identical
+# (rank-1)/(n-1) definition in both engines, 0 for 1-row sources.
+ORACLES["calibrated_quality"] = rf"""
+    WITH c AS (
+      SELECT doc_id, source, text, {{toks}} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(t) AS nt, greatest(len(t), 1) AS n,
+             len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
+             len(list_distinct(t)) AS n_uniq,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             greatest(length(text), 1) AS len_text
+      FROM c
+    ), q AS (
+      SELECT doc_id, source,
+             round(0.3 * least(nt::DOUBLE / 100.0, 1.0)
+                   + 0.3 * least(stop_hits::DOUBLE / n * 5, 1.0)
+                   + 0.2 * (n_uniq::DOUBLE / n)
+                   + 0.2 * (n_alpha::DOUBLE / len_text), 6) AS quality
+      FROM m
+    ), p AS (
+      SELECT doc_id, source, quality,
+             round(percent_rank() OVER (PARTITION BY source
+                                        ORDER BY quality, doc_id), 6) AS pct_rank
+      FROM q
+    )
+    SELECT doc_id, source, quality, pct_rank,
+           (quality >= 0.5) AS keep_raw,
+           (pct_rank >= 0.5) AS keep_cal
+    FROM p
+""".replace("{toks}", _TOKS)
 
 # session_paths: the sessionize tagging CTE + ordered string_agg —
 # the ORDER BY step inside the aggregate states the same fold order

@@ -163,3 +163,27 @@ def test_session_paths_truncates_at_max_steps(spark):
     )
     [r] = session_paths(events, max_steps=3).collect()
     assert r.path == "t0>t1>t2" and r.n_sessions == 1
+
+
+def test_calibrated_quality_recalibrates_sources(spark):
+    """Source A scores uniformly high, source B uniformly low: a raw
+    0.5 bar keeps all of A and none of B, while the per-source 0.5
+    percentile bar keeps the top half of EACH."""
+    from gomapreduce_spark.operators.text import calibrated_quality
+
+    rich = "the quick brown fox jumps over a lazy dog and runs to the hills again " * 3
+    poor = "zzz 123 !!!"
+    docs = spark.createDataFrame(
+        [(i, rich + f" extra{i}", "en", "A", 100) for i in range(4)]
+        + [(10 + i, poor + f" {i}", "en", "B", 10) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = calibrated_quality(docs).collect()
+    a = [r for r in rows if r.source == "A"]
+    b = [r for r in rows if r.source == "B"]
+    assert all(r.keep_raw for r in a) and not any(r.keep_raw for r in b)
+    assert sum(r.keep_cal for r in a) == 2 and sum(r.keep_cal for r in b) == 2
+    # percent_rank spans [0, 1] within each source
+    for grp in (a, b):
+        assert min(r.pct_rank for r in grp) == 0.0
+        assert max(r.pct_rank for r in grp) == 1.0

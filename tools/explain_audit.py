@@ -651,6 +651,15 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # per-source quality calibration: narrow score projection, one
+    # doc_id equi-join, one source-keyed window — no hints, no
+    # cartesian (the exact window form is the verification twin of
+    # the percentile_approx-cutpoint production form; see docstring)
+    "calibrated_quality": {
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_single_partition": 0,
+    },
     # session journey mining: one user_id exchange feeds tagging, the
     # step window AND the per-session path aggregate (hash(user_id)
     # satisfies the (user, session) clustering — no second exchange

@@ -105,6 +105,7 @@ PROBE_QUERIES = [
     "containment_pairs",
     "translated_near_dups",
     "session_paths",
+    "calibrated_quality",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
