@@ -1483,3 +1483,58 @@ def translated_near_dups(docs: DataFrame, emb: DataFrame, threshold: float = 0.4
             "sim",
         )
     )
+
+
+def lpa_communities(docs: DataFrame, threshold: float = 0.5, iters: int = 3) -> DataFrame:
+    """Community detection on the near-dup graph by SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, the deterministic variant):
+    every node starts as its own label; each round all nodes
+    simultaneously adopt the most frequent label among their
+    neighbors PLUS their own current label (the self-vote damps the
+    bipartite label oscillation synchronous LPA is known for), ties
+    to the smallest label; ``iters`` fixed rounds (the pagerank
+    doctrine — determinism over a convergence test; classic ASYNC
+    LPA is order-dependent and unverifiable). Where
+    connected components (:func:`dedup_clusters`) answers "what is
+    reachable", LPA separates dense template families that a thin
+    accidental bridge would otherwise merge into one component — the
+    complementary graph view next to pagerank's hub scores and
+    triangle_stats' local density.
+
+    Output: (doc_id, community, n_members) over the pair-graph nodes.
+
+    Scale: the graph is the thresholded LSH pair sliver, not the
+    corpus; each round is ONE label-lookup equi-join + one
+    (node, label) partial agg + a per-node top-1 window, with
+    localCheckpoint truncating lineage per round (iterative-join
+    doctrine shared with pagerank_dedup_graph)."""
+    edges = (
+        minhash_lsh_pairs(docs)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(iters):
+        nb = und.join(labels.select(F.col("doc_id").alias("dst"), "label"), "dst").select(
+            F.col("src").alias("doc_id"), "label"
+        ).unionByName(labels)  # self-vote
+        c = nb.groupBy("doc_id", "label").agg(F.count(F.lit(1)).alias("n"))
+        # argmax by (n desc, label asc) as a PARTIAL-AGGREGABLE max over
+        # (n, -label) structs — no per-node sort window, both agg
+        # levels combine map-side (labels are non-negative ids)
+        labels = (
+            c.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("doc_id", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("community"), F.col("n_members").cast("long").alias("n_members")
+    )

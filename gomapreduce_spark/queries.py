@@ -265,6 +265,7 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "session_paths": lambda s, d: events.session_paths(load_table(s, d, "events")),
     "calibrated_quality": lambda s, d: text.calibrated_quality(load_table(s, d, "documents")),
+    "lpa_communities": lambda s, d: dedup.lpa_communities(load_table(s, d, "documents")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -566,6 +567,7 @@ _R7_PRIORITY = [
     "translated_near_dups",      # cross-lingual embedding near-dups
     "session_paths",             # top-k session journey mining
     "calibrated_quality",        # per-source percentile calibration
+    "lpa_communities",           # sync label-propagation communities
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2656,6 +2658,41 @@ from .kmeans_expected import (
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+
+# lpa_communities: three UNROLLED synchronous LPA rounds over the
+# same thresholded pair graph as dedup_clusters — counts are exact
+# ints, ties (n desc, label asc) total, so every round is
+# deterministic in both engines.
+ORACLES["lpa_communities"] = f"""
+    WITH pairs AS ({ORACLE_MINHASH_LSH}),
+    edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+    und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM und),
+    n1 AS (SELECT u.src AS doc_id, l.label FROM und u JOIN l0 l ON l.doc_id = u.dst
+           UNION ALL SELECT doc_id, label FROM l0),
+    c1 AS (SELECT doc_id, label, count(*) AS n FROM n1 GROUP BY 1, 2),
+    l1 AS (SELECT doc_id, label FROM (
+             SELECT doc_id, label,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rk
+             FROM c1) WHERE rk = 1),
+    n2 AS (SELECT u.src AS doc_id, l.label FROM und u JOIN l1 l ON l.doc_id = u.dst
+           UNION ALL SELECT doc_id, label FROM l1),
+    c2 AS (SELECT doc_id, label, count(*) AS n FROM n2 GROUP BY 1, 2),
+    l2 AS (SELECT doc_id, label FROM (
+             SELECT doc_id, label,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rk
+             FROM c2) WHERE rk = 1),
+    n3 AS (SELECT u.src AS doc_id, l.label FROM und u JOIN l2 l ON l.doc_id = u.dst
+           UNION ALL SELECT doc_id, label FROM l2),
+    c3 AS (SELECT doc_id, label, count(*) AS n FROM n3 GROUP BY 1, 2),
+    l3 AS (SELECT doc_id, label FROM (
+             SELECT doc_id, label,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rk
+             FROM c3) WHERE rk = 1)
+    SELECT l3.doc_id, l3.label AS community, s.n::BIGINT AS n_members
+    FROM l3 JOIN (SELECT label, count(*) AS n FROM l3 GROUP BY 1) s USING (label)
+"""
 
 # calibrated_quality: the quality_score CTE + within-source
 # percent_rank over the total (quality, doc_id) order — identical

@@ -187,3 +187,30 @@ def test_calibrated_quality_recalibrates_sources(spark):
     for grp in (a, b):
         assert min(r.pct_rank for r in grp) == 0.0
         assert max(r.pct_rank for r in grp) == 1.0
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two dense near-dup families joined by one bridge doc: connected
+    components merges everything into ONE cluster, while 3-round
+    synchronous LPA keeps the two dense families in distinct
+    communities — the complementary graph view, pinned directly."""
+    from gomapreduce_spark.operators.dedup import dedup_clusters, lpa_communities
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    fam_b = "one two three four five six seven eight " * 6
+    rows = (
+        [(i, fam_a + f"a{i}", "en", "src0", 100) for i in range(3)]
+        + [(10 + i, fam_b + f"b{i}", "en", "src0", 100) for i in range(3)]
+        # bridge: half family-A words, half family-B words
+        + [(20, (fam_a[: len(fam_a) // 2] + fam_b[: len(fam_b) // 2]), "en", "src0", 100)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lpa = {r.doc_id: r.community for r in lpa_communities(docs, threshold=0.2).collect()}
+    a_comms = {lpa[i] for i in (0, 1, 2)}
+    b_comms = {lpa[i] for i in (10, 11, 12)}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms  # dense families stay separate
+    cc = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.2).collect()}
+    assert len({cc[i] for i in (0, 1, 2, 10, 11, 12, 20)}) == 1  # CC merges via the bridge

@@ -651,6 +651,15 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # synchronous LPA: per round ONE label-lookup join + two
+    # partial-aggregable agg levels (the argmax is a max over
+    # (n, -label) structs, NOT a per-node sort window); lineage cut
+    # per round, so the final plan is the last round over checkpoints
+    "lpa_communities": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
     # per-source quality calibration: narrow score projection, one
     # doc_id equi-join, one source-keyed window — no hints, no
     # cartesian (the exact window form is the verification twin of

@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     "translated_near_dups",
     "session_paths",
     "calibrated_quality",
+    "lpa_communities",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
