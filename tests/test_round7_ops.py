@@ -255,3 +255,32 @@ def test_lang_id_confusion_fractions_sum_to_one(spark, sf_med):
         agg[1] += r.frac
     assert {t: a[0] for t, a in by_true.items()} == sizes
     assert all(abs(a[1] - 1.0) < 1e-4 for a in by_true.values())
+
+
+def test_late_round_gate_negative_controls(spark, sf_small):
+    """The late-round plan gates detect exactly what they forbid:
+    (a) lpa_communities' Window ban flags a sort-window argmax variant
+    (the shape the operator deliberately avoids), and (b)
+    translated_near_dups' FlatMapGroupsInPandas requirement flags a
+    plan that skipped the Arrow cell-scoring stage."""
+    from pyspark.sql import Window as W
+
+    from tools.explain_audit import AUDITS, audit_one
+
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    # (a) a window-argmax label vote — correct output, forbidden shape
+    votes = docs.select(F.col("doc_id"), (F.col("doc_id") % 7).alias("label"), F.lit(1).alias("n"))
+    w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    windowed = votes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    fails = audit_one("lpa_communities", windowed, AUDITS["lpa_communities"])
+    assert any("Window" in f for f in fails), "Window ban missed a sort-window argmax"
+
+    # (b) a lang self-join with no Arrow scoring stage anywhere
+    lang = docs.select("doc_id", "lang")
+    plain = lang.join(lang.withColumnRenamed("lang", "lang_b"), "doc_id")
+    fails = audit_one("translated_near_dups", plain, AUDITS["translated_near_dups"])
+    assert any("FlatMapGroupsInPandas" in f for f in fails), (
+        "required-node gate missed a plan without the Arrow pair scorer"
+    )
