@@ -385,3 +385,43 @@ def test_bpe_merge_table_is_input_order_invariant(perm):
     want = _bpe_merge_loop(list(base), 8)
     got = _bpe_merge_loop([base[i] for i in perm], 8)
     assert got == want
+
+
+@given(docs=st.lists(st.text(alphabet=" abcx", min_size=0, max_size=40), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_containment_matches_bruteforce(spark, docs):
+    """containment_pairs against an independent Python restatement on
+    random corpora: identical pair set, intersection counts, and both
+    rounded containments (threshold 0 = every intersecting pair).
+    Also pins containment >= jaccard on every pair — the asymmetry
+    the operator exists for."""
+    from gomapreduce_spark.operators.dedup import containment_pairs
+    from gomapreduce_spark.operators.wordcount import py_tokenize
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.containment_a, r.containment_b)
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+
+    def shingles(text):
+        toks = py_tokenize(text)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs) if shingles(t)}
+    import math
+
+    def r6(x):  # HALF_UP at 6 decimals (no representable ties for m<128)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] & sets[j]:
+                inter = len(sets[i] & sets[j])
+                want[(i, j)] = (inter, r6(inter / len(sets[i])), r6(inter / len(sets[j])))
+                # the structural claim: containment dominates jaccard
+                jac = inter / len(sets[i] | sets[j])
+                assert want[(i, j)][1] >= jac and want[(i, j)][2] >= jac
+    assert got == want
