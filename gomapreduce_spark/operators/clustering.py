@@ -285,3 +285,72 @@ def semdedup_prune(
         prune, "vec_id long, cluster long, n_close long, keep boolean"
     )
     return pruned.unionByName(passthrough)
+
+
+def kmeans_incremental_update(
+    emb: DataFrame,
+    k: int = KM_K,
+    base_rounds: int = KM_ROUNDS,
+    refresh_rounds: int = 2,
+) -> DataFrame:
+    """The nightly-refresh maintenance pattern for the k-means model
+    (the clustering twin of ``incremental_dedup`` /
+    ``incremental_user_rollup``): yesterday's centroids — fit on the
+    BASE slice (even ``vec_id``) with the standard settings — are
+    warm-started and refined with ``refresh_rounds`` Lloyd rounds over
+    the full refreshed corpus, instead of re-fitting from seeds. At
+    100 TB this is the difference between 2 passes and rounds+1
+    passes nightly, and it keeps cluster ids STABLE release-to-release
+    (cluster 3 still means cluster 3 — a cold re-fit renumbers
+    everything and breaks downstream routing).
+
+    Output per cluster: n_points, inertia (as in
+    :func:`kmeans_embeddings`) and ``shift`` — the L2 distance the
+    centroid moved during the refresh, the drift signal that tells the
+    pipeline which clusters' content actually changed.
+
+    Same integer-exact contract as the cold fit (every distance and
+    update exact, DECIMAL inertia), so the whole two-phase pipeline is
+    deterministic and carries a precomputed VALUES oracle from the
+    independent restatement in tools/gen_kmeans_oracle.py."""
+    import math
+
+    q = _quantized(emb).localCheckpoint()
+    cents0 = fit_centroids(q.where(F.col("vec_id") % 2 == 0), k, base_rounds)
+    if cents0 is None:
+        return emb.sparkSession.createDataFrame(
+            [], "cluster_id long, n_points long, inertia double, shift double"
+        )
+    cents = [list(c) for c in cents0]
+    for _ in range(refresh_rounds):
+        cents = _update_centroids(_assign(q, cents), cents)
+
+    stats = (
+        _assign(q, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("d2").cast("decimal(30,0)")).alias("ssd"),
+        )
+    )
+    shifts = emb.sparkSession.createDataFrame(
+        [
+            (
+                i,
+                float(math.sqrt(sum((a - b) * (a - b) for a, b in zip(cents[i], cents0[i]))))
+                / KM_SCALE,
+            )
+            for i in range(len(cents))
+        ],
+        "cluster long, shift_raw double",
+    )
+    return (
+        stats.join(shifts, "cluster")  # k-row side, genuinely fixed
+        .select(
+            F.col("cluster").cast("long").alias("cluster_id"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round(F.col("ssd").cast("double") / (KM_SCALE * float(KM_SCALE)), 6).alias("inertia"),
+            F.round(F.col("shift_raw"), 6).alias("shift"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -266,6 +266,9 @@ QUERIES: dict[str, QueryFn] = {
     "session_paths": lambda s, d: events.session_paths(load_table(s, d, "events")),
     "calibrated_quality": lambda s, d: text.calibrated_quality(load_table(s, d, "documents")),
     "lpa_communities": lambda s, d: dedup.lpa_communities(load_table(s, d, "documents")),
+    "kmeans_incremental": lambda s, d: clustering.kmeans_incremental_update(
+        load_table(s, d, "embeddings")
+    ),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -568,6 +571,7 @@ _R7_PRIORITY = [
     "session_paths",             # top-k session journey mining
     "calibrated_quality",        # per-source percentile calibration
     "lpa_communities",           # sync label-propagation communities
+    "kmeans_incremental",        # warm-start nightly model refresh
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2653,11 +2657,13 @@ ORACLES["bpe_encode_stats"] = BPE_ENCODE_EXPECTED_SQL
 from .kmeans_expected import (
     GENERATED_SF_DIR as _KMEANS_SF,
     KMEANS_EXPECTED_SQL,
+    KMEANS_INCR_EXPECTED_SQL,
     SEMDEDUP_EXPECTED_SQL,
 )
 
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
+ORACLES["kmeans_incremental"] = KMEANS_INCR_EXPECTED_SQL
 
 # lpa_communities: three UNROLLED synchronous LPA rounds over the
 # same thresholded pair graph as dedup_clusters — counts are exact
@@ -2918,6 +2924,7 @@ PRECOMPUTED_ORACLE_SF = {
     "bpe_encode_stats": _BPE_SF,
     "kmeans_embeddings": _KMEANS_SF,
     "semdedup_prune": _KMEANS_SF,
+    "kmeans_incremental": _KMEANS_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
     "knn_lsh": _ANN_SF,

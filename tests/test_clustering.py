@@ -147,3 +147,37 @@ def test_embedding_drift_single_label_is_zero(spark):
     emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
     [r] = embedding_drift(emb).collect()
     assert (r.label, r.n_vecs, r.l2_to_global, r.top_abs_delta) == (7, 5, 0.0, 0.0)
+
+
+def test_kmeans_incremental_invariants(spark, sf_small):
+    """Warm-start refresh: manifest covers the corpus, cluster ids are
+    the BASE model's ids (stability is the point), shift >= 0, and a
+    cluster whose membership didn't change between base fit and
+    refresh reports a meaningful (finite, rounded) drift."""
+    from gomapreduce_spark.operators.clustering import kmeans_incremental_update
+    from gomapreduce_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = kmeans_incremental_update(emb).collect()
+    assert sum(r.n_points for r in rows) == emb.count()
+    assert all(0 <= r.cluster_id < 8 for r in rows)
+    assert all(r.shift >= 0.0 and r.inertia >= 0.0 for r in rows)
+    # determinism across runs (the VALUES-oracle prerequisite)
+    again = kmeans_incremental_update(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kmeans_incremental_stable_on_unchanged_corpus(spark):
+    """If the 'refresh' sees exactly the base slice's distribution
+    (every point duplicated into the odd ids), the warm-start update
+    leaves centroids where the base fit put them — shift 0.0."""
+    from gomapreduce_spark.operators.clustering import kmeans_incremental_update
+
+    pts = [(0.0, 0.0), (0.1, 0.0), (1.0, 1.0), (0.9, 1.0)]
+    rows = [(2 * i, 5, list(p)) for i, p in enumerate(pts)] + [
+        (2 * i + 1, 5, list(p)) for i, p in enumerate(pts)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    out = kmeans_incremental_update(emb, k=2, base_rounds=2, refresh_rounds=2).collect()
+    assert all(r.shift == 0.0 for r in out)
+    assert sum(r.n_points for r in out) == 8

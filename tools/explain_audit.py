@@ -641,6 +641,14 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # incremental refresh: same final-plan shape as the cold fit —
+    # partial-agg cluster stats over the Arrow assignment, k-row
+    # shift join (fixed-size side, no hint needed)
+    "kmeans_incremental": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # SemDeDup pruning: per-cluster Arrow pass (FlatMapGroupsInPandas)
     # over the checkpointed assignment; the hot-cluster screen is an
     # unhinted anti/semi join against a k-row aggregate; never a

@@ -37,6 +37,7 @@ KM_ROUNDS = 4
 KM_SCALE = 1_000_000
 SD_THRESHOLD = 0.4
 SD_MAX_CLUSTER = 4096
+INCR_REFRESH_ROUNDS = 2  # warm-start rounds in kmeans_incremental_update
 
 
 def half_up6(x: float) -> float:
@@ -44,13 +45,10 @@ def half_up6(x: float) -> float:
     return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
-def lloyd(ids: np.ndarray, Q: np.ndarray) -> np.ndarray:
-    """KM_ROUNDS of integer-exact Lloyd; returns final k×d centroids."""
-    order = np.argsort(ids, kind="stable")[:KM_K]
-    cents = Q[order].astype(np.int64).copy()
-    while len(cents) < KM_K:
-        cents = np.vstack([cents, cents[-1:]])
-    for _ in range(KM_ROUNDS):
+def lloyd_rounds(Q: np.ndarray, cents: np.ndarray, rounds: int) -> np.ndarray:
+    """``rounds`` integer-exact Lloyd updates from the given centroids."""
+    cents = cents.copy()
+    for _ in range(rounds):
         diff = Q[:, None, :] - cents[None, :, :]
         d2 = np.einsum("nkd,nkd->nk", diff, diff)
         owner = np.argmin(d2, axis=1)
@@ -63,6 +61,15 @@ def lloyd(ids: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return cents
 
 
+def lloyd(ids: np.ndarray, Q: np.ndarray, rounds: int = KM_ROUNDS) -> np.ndarray:
+    """Seeded fit: k-lowest-vec_id init + ``rounds`` Lloyd updates."""
+    order = np.argsort(ids, kind="stable")[:KM_K]
+    cents = Q[order].astype(np.int64).copy()
+    while len(cents) < KM_K:
+        cents = np.vstack([cents, cents[-1:]])
+    return lloyd_rounds(Q, cents, rounds)
+
+
 def main() -> int:
     import duckdb
 
@@ -70,8 +77,12 @@ def main() -> int:
 
     from gomapreduce_spark.operators import clustering as pipe
 
+    import inspect
+
     assert (pipe.KM_K, pipe.KM_ROUNDS, pipe.KM_SCALE) == (KM_K, KM_ROUNDS, KM_SCALE)
     assert (pipe.SEMDEDUP_THRESHOLD, pipe.SEMDEDUP_MAX_CLUSTER) == (SD_THRESHOLD, SD_MAX_CLUSTER)
+    incr_sig = inspect.signature(pipe.kmeans_incremental_update).parameters
+    assert incr_sig["refresh_rounds"].default == INCR_REFRESH_ROUNDS
 
     rows = duckdb.sql(
         f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
@@ -101,6 +112,27 @@ def main() -> int:
             float(math.sqrt(sum(int(v) * int(v) for v in cents[j]))) / KM_SCALE
         )
         out.append((j, n, best, half_up6(c_maj / n), inertia, c_norm))
+
+    # kmeans_incremental restatement: base fit on even vec_ids, then
+    # INCR_REFRESH_ROUNDS warm-start updates over the full corpus;
+    # per-cluster n/inertia + centroid shift.
+    even = ids % 2 == 0
+    base_cents = lloyd(ids[even], Q[even])
+    new_cents = lloyd_rounds(Q, base_cents, INCR_REFRESH_ROUNDS)
+    diff_i = Q[:, None, :] - new_cents[None, :, :]
+    d2_i = np.einsum("nkd,nkd->nk", diff_i, diff_i)
+    owner_i = np.argmin(d2_i, axis=1)
+    mind2_i = d2_i[np.arange(len(owner_i)), owner_i]
+    incr_rows = []
+    for j in sorted(set(int(o) for o in owner_i)):
+        mask = owner_i == j
+        n = int(mask.sum())
+        inertia = half_up6(float(int(mind2_i[mask].sum())) / (KM_SCALE * float(KM_SCALE)))
+        shift = half_up6(
+            float(math.sqrt(sum(int(a - b) ** 2 for a, b in zip(new_cents[j], base_cents[j]))))
+            / KM_SCALE
+        )
+        incr_rows.append((j, n, inertia, shift))
 
     # semdedup_prune restatement: within each cluster (hot clusters >
     # SD_MAX_CLUSTER pass through unpruned), rounded cosine of the
@@ -143,6 +175,17 @@ def main() -> int:
         f"  only-spark: {[x for x in got if x not in want][:3]}\n"
         f"  only-ref:   {[x for x in want if x not in got][:3]}"
     )
+    incr_got = sorted(
+        (r.cluster_id, r.n_points, f"{r.inertia:.9g}", f"{r.shift:.9g}")
+        for r in QUERIES["kmeans_incremental"](spark, sf_dir).collect()
+    )
+    incr_want = sorted((c, n, f"{i:.9g}", f"{s:.9g}") for c, n, i, s in incr_rows)
+    assert incr_got == incr_want, (
+        "incremental reference disagrees with the Spark pipeline\n"
+        f"  only-spark: {[x for x in incr_got if x not in incr_want][:3]}\n"
+        f"  only-ref:   {[x for x in incr_want if x not in incr_got][:3]}"
+    )
+
     sd_got = sorted(
         (r.vec_id, r.cluster, r.n_close, r.keep)
         for r in QUERIES["semdedup_prune"](spark, sf_dir).collect()
@@ -166,6 +209,16 @@ def main() -> int:
         "FROM (VALUES\n" + values + "\n) AS v(cluster_id, n_points, majority_label, purity, inertia, c_norm)\n"
         "WHERE EXISTS (SELECT 1 FROM embeddings)"
     )
+    incr_values = ",\n".join(
+        f"  ({c}, {n}, {i!r}, {s!r})" for c, n, i, s in incr_rows
+    )
+    incr_sql = (
+        "SELECT v.cluster_id::BIGINT AS cluster_id, v.n_points::BIGINT AS n_points,\n"
+        "       v.inertia::DOUBLE AS inertia, v.shift::DOUBLE AS shift\n"
+        "FROM (VALUES\n" + incr_values + "\n) AS v(cluster_id, n_points, inertia, shift)\n"
+        "WHERE EXISTS (SELECT 1 FROM embeddings)"
+    )
+
     sd_values = ",\n".join(
         f"  ({v}, {c}, {nc}, {str(kp).lower()})" for v, c, nc, kp in sd_rows
     )
@@ -191,11 +244,12 @@ def main() -> int:
             '"""\n\n'
             f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
             f"KMEANS_EXPECTED_SQL = '''\n{sql}\n'''\n\n"
-            f"SEMDEDUP_EXPECTED_SQL = '''\n{sd_sql}\n'''\n"
+            f"SEMDEDUP_EXPECTED_SQL = '''\n{sd_sql}\n'''\n\n"
+            f"KMEANS_INCR_EXPECTED_SQL = '''\n{incr_sql}\n'''\n"
         )
     print(
         f"wrote {out_path}: {len(out)} clusters, {len(sd_rows)} semdedup rows "
-        f"({n_pruned} pruned) (sf_dir={sf_dir})"
+        f"({n_pruned} pruned), {len(incr_rows)} incremental rows (sf_dir={sf_dir})"
     )
     return 0
 

@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "session_paths",
     "calibrated_quality",
     "lpa_communities",
+    "kmeans_incremental",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
