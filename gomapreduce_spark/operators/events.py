@@ -1091,3 +1091,52 @@ def session_paths(
         .over(W.orderBy(F.col("n_sessions").desc(), F.col("path").asc()))
         .cast("long"),
     )
+
+
+def volume_anomalies(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
+    """Ingest-volume anomaly screen: per (event_type, day) row counts,
+    each day scored by the modified z-score 0.6745·(n − median)/MAD
+    against that type's own daily history (:func:`mad_outliers`
+    applied to VOLUME instead of values) — the monitor that catches a
+    crawler stall or a duplicate-feed spike the value-level screen
+    can't see. Output: one row per (event_type, day) with the count,
+    the type's median/MAD and the score + flag.
+
+    Exactness: counts are exact ints; medians are exact
+    PERCENTILE_CONT over the bounded (type × day) domain (identical
+    Spark ``percentile`` / DuckDB ``quantile_cont`` interpolation,
+    the mad_outliers convention); the z expression divides exact
+    quantities once and rounds at 6. Degenerate histories (MAD = 0,
+    i.e. more than half the days share one count) score NULL rather
+    than ±inf — flagged only when the count differs from the median.
+
+    Scale: one partial-agg (type, day) shuffle over the corpus; every
+    later stage keys on the bounded type×day rollup."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = daily.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "abs_dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    scored = daily.join(mad, "event_type").withColumn(
+        "mz",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"), 6),
+        ),
+    )
+    return scored.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(F.col("med"), 6).alias("median"),
+        F.round(F.col("mad"), 6).alias("mad"),
+        "mz",
+        F.when(F.col("mz").isNotNull(), F.abs(F.col("mz")) > cutoff)
+        .otherwise(F.col("n") != F.col("med"))
+        .alias("is_anomaly"),
+    )

@@ -269,6 +269,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_incremental": lambda s, d: clustering.kmeans_incremental_update(
         load_table(s, d, "embeddings")
     ),
+    "volume_anomalies": lambda s, d: events.volume_anomalies(load_table(s, d, "events")),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -572,6 +573,7 @@ _R7_PRIORITY = [
     "calibrated_quality",        # per-source percentile calibration
     "lpa_communities",           # sync label-propagation communities
     "kmeans_incremental",        # warm-start nightly model refresh
+    "volume_anomalies",          # daily ingest-volume MAD screen
     "streaming_full_outer_join", # completes the streaming join matrix
     # (a1) oracle PROMOTED rows-only -> full hash in round 7
     "knn_lsh",
@@ -2664,6 +2666,28 @@ from .kmeans_expected import (
 ORACLES["kmeans_embeddings"] = KMEANS_EXPECTED_SQL
 ORACLES["semdedup_prune"] = SEMDEDUP_EXPECTED_SQL
 ORACLES["kmeans_incremental"] = KMEANS_INCR_EXPECTED_SQL
+
+# volume_anomalies: mad_outliers' exact-quantile convention applied
+# to daily volumes (quantile_cont == Spark percentile interpolation).
+ORACLES["volume_anomalies"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+    mad AS (
+      SELECT d.event_type, quantile_cont(abs(d.n - m.med), 0.5) AS mad, any_value(m.med) AS med
+      FROM daily d JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+           round(m.med, 6) AS median, round(m.mad, 6) AS mad,
+           CASE WHEN m.mad > 0
+                THEN round(0.6745 * (d.n - m.med) / m.mad, 6) END AS mz,
+           CASE WHEN m.mad > 0
+                THEN abs(round(0.6745 * (d.n - m.med) / m.mad, 6)) > 3.5
+                ELSE d.n <> m.med END AS is_anomaly
+    FROM daily d JOIN mad m USING (event_type)
+"""
 
 # lpa_communities: three UNROLLED synchronous LPA rounds over the
 # same thresholded pair graph as dedup_clusters — counts are exact

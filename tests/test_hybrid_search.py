@@ -214,3 +214,30 @@ def test_lpa_separates_bridged_cliques(spark):
     assert a_comms != b_comms  # dense families stay separate
     cc = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.2).collect()}
     assert len({cc[i] for i in (0, 1, 2, 10, 11, 12, 20)}) == 1  # CC merges via the bridge
+
+
+def test_volume_anomalies_flags_spike_day(spark):
+    """A flat 10-events/day history with one 100-event day: the spike
+    day (and only it) is flagged; MAD is 0-safe when most days tie."""
+    from datetime import datetime
+
+    from gomapreduce_spark.operators.events import volume_anomalies
+
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        per_day = 100 if day == 4 else 10
+        for i in range(per_day):
+            rows.append((eid, datetime(2024, 1, day, 12, 0, i % 60), 1, "view", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.day: r for r in volume_anomalies(events).collect()}
+    assert len(got) == 7
+    assert got["2024-01-04"].is_anomaly and got["2024-01-04"].n == 100
+    normal = [r for d, r in got.items() if d != "2024-01-04"]
+    assert all(not r.is_anomaly for r in normal)
+    # 6 of 7 days tie at 10 -> median 10, MAD 0 -> degenerate branch:
+    # the spike is flagged via n != median, normals are not
+    assert got["2024-01-04"].mz is None and got["2024-01-04"].mad == 0.0

@@ -641,6 +641,14 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # ingest-volume anomaly screen: ONE corpus-sized (type, day)
+    # partial agg; the median/MAD passes and the final join all key
+    # on the bounded rollup — no hints, no cartesian
+    "volume_anomalies": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # incremental refresh: same final-plan shape as the cold fit —
     # partial-agg cluster stats over the Arrow assignment, k-row
     # shift join (fixed-size side, no hint needed)

@@ -108,6 +108,7 @@ PROBE_QUERIES = [
     "calibrated_quality",
     "lpa_communities",
     "kmeans_incremental",
+    "volume_anomalies",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
