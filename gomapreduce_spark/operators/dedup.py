@@ -42,6 +42,7 @@ MINHASH_K = 8          # hash functions in the signature
 MINHASH_BANDS = 4      # bands of k/bands rows each
 SHINGLE_N = 3          # word shingle width
 SIMHASH_BITS = 48
+LSH_MAX_BUCKET = 1024  # hot-bucket/df cap: drop keys fanning out wider than this
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -238,7 +239,9 @@ def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(shingle, "doc_id long, shingles array<string>")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     The shingle equi-join only materializes pairs with nonzero
@@ -247,9 +250,20 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     |shingles(doc)| rides along each exploded shingle row (8 more
     bytes) and is recovered per pair with a min() aggregate, so the
     shingle table is consumed exactly ONCE — no cache, no size-lookup
-    re-join. At 100 TB this runs *after* LSH candidate generation;
-    standalone it is correct but quadratic in the worst case
-    (documented trade-off).
+    re-join.
+
+    Hot-shingle backstop (the :func:`containment_pairs` mechanism):
+    shingles present in more than ``max_df`` docs are dropped BEFORE
+    the pair join via an anti-join on the existing shuffle key —
+    without it the per-shingle pair fan-out is O(df²) and one
+    boilerplate shingle in a 1M-doc corpus explodes the join. The cap
+    is observed (``jaccard_hot_shingles``), never silent, and
+    one-sided by construction: denominators use the TRUE set sizes
+    (``n_sh`` is computed before the cap) and jaccard
+    n/(A+B−n) is increasing in n, so a capped intersection can only
+    UNDER-report similarity, never inflate it. At 100 TB this still
+    runs best *after* LSH candidate generation; the cap is the
+    standalone backstop that bounds fan-out by max_df·|shingles|.
     """
     # materialized ONCE (24 B/row compact form): a self-join computes
     # each side's subtree independently — without this the Arrow
@@ -262,13 +276,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
         .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
     ).localCheckpoint()
-    a, b = sh.alias("a"), sh.alias("b")
+    hot = (
+        sh.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .observe(
+            "jaccard_hot_shingles",
+            F.count(F.lit(1)).alias("n_hot_shingles"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("n_rows_dropped"),
+        )
+        .select("sh_h")
+    )
+    shc = sh.join(hot, "sh_h", "left_anti")
+    a, b = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count("*").alias("n_inter"),
-            F.min("a.n_sh").alias("size_a"),  # constant per doc; min = that constant
+            F.min("a.n_sh").alias("size_a"),  # true size: n_sh predates the cap
             F.min("b.n_sh").alias("size_b"),
         )
     )
@@ -369,9 +395,6 @@ def banded_signatures(wide: DataFrame, k: int, bands: int) -> DataFrame:
             F.array(*[F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash")) for b in range(bands)])
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.band_hash")
-
-
-LSH_MAX_BUCKET = 1024  # hot-bucket cap: drop LSH buckets larger than this
 
 
 def minhash_lsh_pairs(
@@ -1355,7 +1378,9 @@ def source_overlap_matrix(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def dedup_recall_audit(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_recall_audit(
+    docs: DataFrame, threshold: float = 0.5, sample_mod: int = 1
+) -> DataFrame:
     """Dedup-pipeline QA: precision/recall of the LSH candidate
     generator against exact n-gram Jaccard ground truth — the
     evaluation every near-dedup deployment runs before trusting its
@@ -1363,14 +1388,23 @@ def dedup_recall_audit(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     true pairs (exact jaccard >= threshold), LSH candidates, their
     intersection, precision and recall.
 
-    At audit scale the exact side is the quadratic-worst-case
-    ngram_jaccard_pairs — this is a VERIFICATION query in the
-    value_deciles/value_deciles_approx twin tradition: ground truth is
-    computed exactly on a sample-sized corpus to certify the banding
-    the 100 TB run then uses WITHOUT ground truth. Both inputs are
-    existing oracle-verified operators; the audit adds one full-outer
-    pair join (pair-keyed, both sides already deduplicated) and a
-    1-row aggregate."""
+    ``sample_mod`` makes the audit production-runnable BY CONSTRUCTION:
+    with sample_mod=N only docs whose seeded 60-bit hash ≡ 0 (mod N)
+    participate — a deterministic, engine-reproducible 1/N slice, so
+    at 100 TB the quadratic-worst-case exact side sees a bounded
+    corpus no matter what the caller forgets. The default (1) audits
+    the whole input, which is only appropriate at fixture/sample
+    scale. Both inputs are existing oracle-verified operators; the
+    audit adds one full-outer pair join (pair-keyed, both sides
+    already deduplicated) and a 1-row aggregate. Degenerate corpora
+    (zero candidates / zero true pairs) report NULL ratios — guarded
+    divides, mirrored by NULLIF in the oracle, so neither engine
+    manufactures ±inf/nan."""
+    if sample_mod > 1:
+        docs = docs.where(
+            F.pmod(h64(F.concat(F.lit("audit"), F.col("doc_id").cast("string"))), F.lit(sample_mod))
+            == 0
+        )
     exact = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
     cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     joined = exact.withColumn("t", F.lit(1)).join(
@@ -1386,8 +1420,13 @@ def dedup_recall_audit(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         "n_true",
         "n_candidates",
         "n_hit",
-        F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6).alias("precision"),
-        F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_candidates"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6)
+        ).alias("recall"),
     )
 
 

@@ -1028,7 +1028,12 @@ def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
     domain; both median passes and the final rollup key on event_type,
     so the whole query is two sort-aggregates and one bounded join —
     at unbounded group counts the sketch twin (approx_percentile)
-    substitutes, per the exact/approx twin doctrine in SCALE.md."""
+    substitutes, per the exact/approx twin doctrine in SCALE.md.
+
+    Degenerate groups (MAD = 0: more than half the values tie at the
+    median) score NULL rather than ±inf — the :func:`volume_anomalies`
+    guard, mirrored by CASE WHEN in the oracle, so Spark's non-ANSI
+    NULL divide and DuckDB's IEEE ±inf can never diverge."""
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
@@ -1038,9 +1043,12 @@ def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(abs_dev, 0.5)").alias("mad"), F.first("med").alias("med")
     )
-    scored = (
-        events.join(mad, "event_type")
-        .withColumn("mz", F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    scored = events.join(mad, "event_type").withColumn(
+        "mz",
+        F.when(
+            F.col("mad") > 0,
+            F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+        ),
     )
     return scored.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),

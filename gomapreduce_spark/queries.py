@@ -1551,12 +1551,17 @@ ORACLES: dict[str, str] = {
         SELECT {_H.format(s='text')} AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1
     """,
+    # hot-shingle df cap mirrored from the Spark side (HAVING <= 1024);
+    # true set sizes predate the cap, so the capped jaccard can only
+    # under-report (n/(A+B-n) is increasing in n)
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES},
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -3337,8 +3342,10 @@ def _recall_audit_sql() -> str:
     SELECT sum(is_true::INT)::BIGINT AS n_true,
            sum(is_cand::INT)::BIGINT AS n_candidates,
            sum((is_true AND is_cand)::INT)::BIGINT AS n_hit,
-           round(sum((is_true AND is_cand)::INT)::DOUBLE / sum(is_cand::INT), 6) AS precision,
-           round(sum((is_true AND is_cand)::INT)::DOUBLE / sum(is_true::INT), 6) AS recall
+           round(sum((is_true AND is_cand)::INT)::DOUBLE
+                 / NULLIF(sum(is_cand::INT), 0), 6) AS precision,
+           round(sum((is_true AND is_cand)::INT)::DOUBLE
+                 / NULLIF(sum(is_true::INT), 0), 6) AS recall
     FROM j
     """
 
@@ -3386,8 +3393,10 @@ ORACLES["mad_outliers"] = """
       FROM events JOIN med USING (event_type) GROUP BY event_type
     ),
     scored AS (
-      SELECT e.event_type, 0.6745 * (value - med) / mad AS mz, med, mad
-      FROM events e JOIN mad USING (event_type)
+      SELECT e.event_type,
+             CASE WHEN m.mad > 0 THEN 0.6745 * (value - med) / m.mad END AS mz,
+             med, m.mad
+      FROM events e JOIN mad m USING (event_type)
     )
     SELECT event_type, count(*)::BIGINT AS n,
            round(any_value(med), 6) AS median,

@@ -285,6 +285,10 @@ class KeyedTextDataSource(DataSource):
         return KeyedTextStreamReader(self.options)
 
 
+# scratch dirs already scheduled for atexit cleanup (one per Spark app)
+_ROUNDTRIP_DIRS: set = set()
+
+
 def keyedtext_roundtrip_wordcount(
     spark, sf_dir: str, every: int = 50, max_id: int = 2500, chunk_bytes: int = 2048
 ):
@@ -307,8 +311,19 @@ def keyedtext_roundtrip_wordcount(
     file count scale with SF would just bench the task-launch overhead
     (measured: 200 files ≈ 14 s at sf0.1; 50 ≈ 4 s). The one-file-per-
     key layout itself is API fidelity — the 100 TB form is
-    ``df.write.partitionBy("key")`` per the module docstring."""
+    ``df.write.partitionBy("key")`` per the module docstring.
+
+    The scratch dir is DETERMINISTIC PER SESSION (keyed by the Spark
+    applicationId, so concurrent drivers never collide) and removed at
+    interpreter exit: repeated invocations in one bench/oracle/driver
+    pass overwrite ONE directory instead of leaking a fresh mkdtemp
+    per call on the shared host. The returned plan must stay lazy
+    (the driver collects it; the plan gate reads it), so cleanup is
+    atexit rather than inline."""
+    import atexit
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from pyspark.sql import functions as F
 
@@ -319,7 +334,13 @@ def keyedtext_roundtrip_wordcount(
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") % every == 0) & (F.col("doc_id") < max_id)
     )
-    out = tempfile.mkdtemp(prefix="keyedtext_oracle_")
+    out = str(
+        Path(tempfile.gettempdir())
+        / f"keyedtext_oracle_{spark.sparkContext.applicationId}"
+    )
+    if out not in _ROUNDTRIP_DIRS:
+        _ROUNDTRIP_DIRS.add(out)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     docs.select(
         F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("key"),
         F.col("text").alias("value"),

@@ -87,3 +87,49 @@ def test_embedding_cap_is_not_silent(spark):
     plan = plan_str(embedding_near_dup(emb, max_cell=2))
     assert "embedding_near_dup_hot_cells" in plan
     assert "CollectMetrics" in plan
+
+
+def _hot_shingle_docs(spark, n_template: int = 12):
+    """Docs engineered so one 3-word shingle ('rights reserved cookie'
+    etc.) is hot (df = n_template + 2) while a genuine near-dup pair
+    shares plenty of cold shingles."""
+    boiler = "all rights reserved cookie policy"
+    pair_a = f"alpha beta gamma delta epsilon zeta {boiler}"
+    pair_b = f"alpha beta gamma delta epsilon eta {boiler}"
+    rows = [(1, pair_a), (2, pair_b)]
+    # template docs share ONLY the boilerplate shingles with 1/2
+    rows += [(1000 + i, f"unique{i} prefix{i} words {boiler}") for i in range(n_template)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_df_cap_only_under_reports(spark):
+    """The hot-shingle df cap on ngram_jaccard_pairs (round-7 verdict
+    item 1) is one-sided: denominators use TRUE set sizes, so every
+    capped similarity <= its uncapped value, the boilerplate-only
+    pair fan-out disappears, and real pairs survive."""
+    from gomapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _hot_shingle_docs(spark)
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 0.0, max_df=8).collect()}
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 0.0).collect()}
+
+    # template x template pairs share ONLY hot shingles -> gone entirely
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped)
+    assert any(a >= 1000 and b >= 1000 for a, b in uncapped)
+    # the real pair shares cold shingles and survives
+    assert (1, 2) in capped
+    # one-sided guarantee: never over-report (TRUE-size denominators)
+    for k, v in capped.items():
+        assert v <= uncapped[k] + 1e-12, k
+    # and the real pair's score is strictly the cold-intersection value,
+    # computed against FULL set sizes (not post-cap sizes)
+    assert capped[(1, 2)] < uncapped[(1, 2)]
+
+
+def test_jaccard_df_cap_is_not_silent(spark):
+    from gomapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from tools.explain_audit import plan_str
+
+    plan = plan_str(ngram_jaccard_pairs(_hot_shingle_docs(spark), 0.0, max_df=8))
+    assert "jaccard_hot_shingles" in plan
+    assert "CollectMetrics" in plan
