@@ -174,7 +174,9 @@ def heavy_hitters(docs: DataFrame, k: int = 25) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
-def heavy_hitters_approx(docs: DataFrame, k: int = 25, local_m: int = 512) -> DataFrame:
+def heavy_hitters_approx(
+    docs: DataFrame, k: int = 25, local_m: int = 512, n_parts: int | None = 32
+) -> DataFrame:
     """Bounded-memory approximate top-k tokens: each partition keeps
     only its ``local_m`` most frequent tokens (one Python Counter per
     partition, accumulated across Arrow batches), the survivors are
@@ -184,11 +186,18 @@ def heavy_hitters_approx(docs: DataFrame, k: int = 25, local_m: int = 512) -> Da
 
     Exactness: a token can only be missed if it falls outside the local
     top-m in EVERY partition it appears in, so with local_m >> k the
-    head is exact in practice — tests assert exact agreement with
-    :func:`heavy_hitters` on the fixtures; counts of reported tokens
-    are exact only when the token survived in every partition, hence
-    rows-only verification (no SQL oracle). Shuffle volume is
-    ≤ partitions × local_m rows, independent of vocabulary size."""
+    head is exact in practice; counts of reported tokens are exact only
+    when the token survived in every partition. With the default
+    ``n_parts`` the input is first repartitioned on a 60-bit CONTENT
+    hash, making partition membership a pure function of the data —
+    not of the host's core count or parquet split planning — so the
+    result is bit-reproducible anywhere and the exact-top-k SQL oracle
+    is a sound hash check (round-7 advisor: the head-exactness
+    precondition must not depend on host parallelism). The 100 TB
+    scale path passes ``n_parts=None`` to inherit the input splits and
+    skip the text shuffle, accepting run-to-run head variance in
+    exchange. Post-repartition shuffle volume is ≤ partitions ×
+    local_m rows, independent of vocabulary size."""
     from collections import Counter
 
     import pandas as pd
@@ -209,7 +218,10 @@ def heavy_hitters_approx(docs: DataFrame, k: int = 25, local_m: int = 512) -> Da
             top = c.most_common(local_m)
             yield pd.DataFrame({"token": [t for t, _ in top], "cnt": [n for _, n in top]})
 
-    locals_ = docs.select("text").mapInPandas(local_counts, "token string, cnt long")
+    texts = docs.select("text")
+    if n_parts:
+        texts = texts.repartition(n_parts, F.pmod(h64(F.col("text")), F.lit(n_parts)))
+    locals_ = texts.mapInPandas(local_counts, "token string, cnt long")
     counts = locals_.groupBy("token").agg(F.sum("cnt").alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
     w = W.orderBy(F.desc("cnt"), F.asc("token"))

@@ -779,6 +779,20 @@ def test_heavy_hitters_approx_matches_exact_head(spark, sf_med):
     assert approx == exact
 
 
+def test_heavy_hitters_approx_invariant_to_input_splits(spark, sf_med):
+    """The content-hash repartition makes the approximate head a pure
+    function of the data: the same rows arriving as 1 partition or 64
+    must produce identical output (round-7 advisor: host parallelism
+    must not be able to break the exact-oracle precondition)."""
+    docs = load_table(spark, sf_med, "documents")
+    base = text.heavy_hitters_approx(docs, k=15, local_m=64).collect()
+    one = text.heavy_hitters_approx(docs.coalesce(1), k=15, local_m=64).collect()
+    many = text.heavy_hitters_approx(docs.repartition(64), k=15, local_m=64).collect()
+    key = lambda rows: [(r["token"], r["cnt"], r["rk"]) for r in rows]  # noqa: E731
+    assert key(one) == key(base)
+    assert key(many) == key(base)
+
+
 def test_benchmark_overlap_flags_planted_contamination(spark):
     bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     clean = "one two three four five six seven eight nine ten eleven twelve"

@@ -126,6 +126,23 @@ def test_scaling_hint_gate_negative_control(spark, sf_med):
     )
     assert scaling_hint_lines(good) == []
 
+    # round-8 advisor bypasses, now closed by the structural walk:
+    # (a) a forced broadcast of a customer JOIN nation OUTPUT — the join
+    # condition mentions n_nationkey but the hinted side scales with SF
+    cust_nat = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    smuggled = orders.join(
+        F.broadcast(cust_nat), orders.o_custkey == cust_nat.c_custkey
+    )
+    assert scaling_hint_lines(smuggled), "gate missed a customer x nation broadcast"
+    # (b) a CROSS join does not launder a corpus-sized hinted side
+    bad_cross = orders.crossJoin(
+        F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING"))
+    )
+    assert scaling_hint_lines(bad_cross), "gate missed a scaling cross-join broadcast"
+    # (c) a statically row-bounded side (top-k Limit) is legitimate
+    topk = customer.orderBy(F.col("c_acctbal").desc()).limit(10)
+    assert scaling_hint_lines(orders.crossJoin(F.broadcast(topk))) == []
+
 
 def test_distinctive_terms_finds_planted_source_vocabulary(spark):
     """A token exclusive to one source must top that source's list

@@ -825,30 +825,78 @@ AUDITS: dict[str, dict] = {
 }
 
 
-#: fixed-cardinality join keys whose broadcast hints are legitimate at
-#: any SF (nation = 25 rows, region = 5 rows — constant in TPC-H).
-_FIXED_DIM_KEYS = ("n_nationkey", "r_regionkey", "n_regionkey")
+#: every column of the two fixed-cardinality TPC-H dimensions (nation =
+#: 25 rows, region = 5 — constant at every SF). A broadcast-hinted side
+#: whose OWN output attributes all come from this set cannot grow.
+_FIXED_DIM_COLS = frozenset(
+    ["n_nationkey", "n_name", "n_regionkey", "n_comment", "r_regionkey", "r_name", "r_comment"]
+)
+
+#: a hinted side whose static maxRows bound is at most this is
+#: corpus-independent by construction (scalar aggregates, VALUES
+#: literals, range(k) domain tables, top-k Limits).
+_MAX_STATIC_HINT_ROWS = 4096
+
+
+def _hinted_side_ok(side) -> bool:
+    """True iff broadcasting this optimized-logical subtree is safe at
+    any SF: (a) Catalyst proves a static row bound (global aggregates
+    → 1, LocalRelation/Range/Limit → their literal size) ≤ 4096, or
+    (b) every output attribute is a nation/region column, so the side
+    is a projection/filter of a fixed 25/5-row dimension."""
+    mr = side.maxRows()
+    if mr.isDefined() and int(mr.get()) <= _MAX_STATIC_HINT_ROWS:
+        return True
+    out = side.output()
+    names = [out.apply(i).name() for i in range(out.size())]
+    return bool(names) and all(n in _FIXED_DIM_COLS for n in names)
 
 
 def scaling_hint_lines(df: DataFrame) -> list[str]:
-    """Lines of the optimized logical plan carrying a mandatory broadcast
-    hint on anything OTHER than a fixed-size dimension or a scalar cross.
+    """Mandatory broadcast hints in the optimized logical plan whose
+    hinted side could grow with the corpus — a 100 TB executor OOM.
 
-    A `strategy=broadcast` hint line is allowed only when (a) the join
-    key is a nation/region key (fixed 25/5 rows at every SF) or (b) the
-    join is a Cross of a 1-row aggregate (scalar subquery decorrelation)
-    — every other hinted side could grow with the corpus, and a
-    mandatory hint there is an executor OOM at 100 TB."""
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
-    bad = []
-    for line in logical.splitlines():
-        if "strategy=broadcast" not in line:
-            continue
-        if any(k in line for k in _FIXED_DIM_KEYS):
-            continue
-        if "Join Cross" in line:
-            continue
-        bad.append(line.strip())
+    Round-7 advisor fix: instead of substring-matching whole plan lines
+    (which let a forced broadcast of e.g. a customer⋈nation output pass
+    because the join CONDITION mentioned n_nationkey), this walks the
+    JVM logical tree, finds each Join's leftHint/rightHint with
+    strategy=broadcast, and validates the HINTED SIDE ITSELF via
+    :func:`_hinted_side_ok` — its own static maxRows bound or its own
+    output schema, never the join condition."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+    stack = [root]
+    seen = 0
+    while stack and seen < 100_000:
+        node = stack.pop()
+        seen += 1
+        if node.getClass().getSimpleName() == "Join":
+            hint = node.hint()
+            for opt, side, tag in (
+                (hint.leftHint(), node.left(), "left"),
+                (hint.rightHint(), node.right(), "right"),
+            ):
+                if not opt.isDefined():
+                    continue
+                strat = opt.get().strategy()
+                if not strat.isDefined() or "broadcast" not in strat.get().toString().lower():
+                    continue
+                if not _hinted_side_ok(side):
+                    out = side.output()
+                    names = [out.apply(i).name() for i in range(min(6, out.size()))]
+                    bad.append(
+                        f"broadcast hint on unbounded {tag} side "
+                        f"[{side.getClass().getSimpleName()} -> {', '.join(names)}]"
+                    )
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        try:  # hints inside scalar/IN subquery plans count too
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                stack.append(subs.apply(i))
+        except Exception:
+            pass
     return bad
 
 
