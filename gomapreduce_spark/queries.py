@@ -7,16 +7,18 @@ aliases its computed columns to the same names as its oracle; integer
 outputs are cast to BIGINT on both sides; float aggregates are rounded
 identically; timestamps are emitted as formatted UTC strings.
 
-Queries without an oracle entry (approximate-and-scheduling-dependent
-ops only) get the driver's weaker rows-only check by design:
-  - knn_lsh (multi-probe bucket recall depends on signature collisions;
-    recall vs knn_bruteforce asserted in tests)
-  - approx_distinct_users (HLL sketch; error bound asserted in tests)
+The ONE query without an oracle entry gets the driver's weaker
+rows-only check by design:
   - value_deciles_approx (percentile_approx merges partial GK sketches
     in shuffle-arrival order, which the scheduler does not fix — the
     cutpoints can wobble within the rank-error bound run-to-run, so a
-    literal oracle would be flaky by construction; the error-bound test
-    vs exact ntile deciles is the compensating check)
+    literal oracle would be flaky by construction; dual-bound tests —
+    absolute sketch error AND per-decile agreement bands vs the exact
+    ntile twin — are the compensating check)
+approx_distinct_users graduated in round 8: HLL++ registers max-merge
+(commutative/associative/idempotent), so unlike GK the sketch is a
+pure function of the input set and tools/gen_hll_oracle.py precomputes
+its VALUES oracle from a pure-python xxHash64 + HLL++ restatement.
 
 knn_ivf / knn_pq / knn_ivf_pq ARE hash-oracled (round 7): every stage
 is deterministic (fixed md5-seeded training, stable argsort ties,
@@ -2630,6 +2632,18 @@ ORACLES["knn_ivf"] = KNN_IVF_EXPECTED_SQL
 ORACLES["knn_pq"] = KNN_PQ_EXPECTED_SQL
 ORACLES["knn_ivf_pq"] = KNN_IVF_PQ_EXPECTED_SQL
 
+# HLL++ oracle (round 8): HLL registers are MAX-merged (commutative,
+# associative, idempotent), so approx_count_distinct is a pure function
+# of the input SET — partitioning-independent, unlike GK quantile
+# sketches. tools/gen_hll_oracle.py restates xxHash64 + HLL++ linear
+# counting in pure python (self-checked at generation time).
+from .hll_expected import (
+    APPROX_DISTINCT_USERS_SQL,
+    GENERATED_SF_DIR as _HLL_SF,
+)
+
+ORACLES["approx_distinct_users"] = APPROX_DISTINCT_USERS_SQL
+
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the
 # EXACT head whenever each reported token survives every partition's
 # local top-m — true by a wide margin for a top-25 head at local_m=512
@@ -2960,6 +2974,7 @@ PRECOMPUTED_ORACLE_SF = {
     "knn_ivf": _ANN_SF,
     "knn_pq": _ANN_SF,
     "knn_ivf_pq": _ANN_SF,
+    "approx_distinct_users": _HLL_SF,
 }
 
 # -- round-6 additions ------------------------------------------------

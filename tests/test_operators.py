@@ -374,6 +374,24 @@ def test_approx_distinct_users_error_bound(spark, sf_med):
         assert abs(approx[t] - e) / e < 0.05, f"{t}: approx {approx[t]} vs exact {e}"
 
 
+def test_hll_restatement_matches_spark_beyond_fixture(spark):
+    """The pure-python xxHash64+HLL++ restatement behind the
+    approx_distinct_users VALUES oracle (tools/gen_hll_oracle.py) must
+    track Spark bit-for-bit on cardinalities well past the fixture's
+    150 — here 1, 137, and 2500 distinct keys (still inside the
+    restated linear-counting regime), with duplicates and negatives."""
+    from tools.gen_hll_oracle import hllpp_estimate
+
+    for keys in (
+        [7],
+        [i * 31 - 9999 for i in range(137)] * 3,
+        [i * i + 13 for i in range(2500)],
+    ):
+        df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+        live = df.agg(F.approx_count_distinct("user_id", 0.02).alias("a")).head()["a"]
+        assert hllpp_estimate(keys) == live, len(set(keys))
+
+
 def test_asof_join_semantics(spark, sf_med):
     """Every matched order must be the max order date <= event ts for
     that user, verified per-row against a driver-side index."""
@@ -618,6 +636,31 @@ def test_value_deciles_approx_error_bound(spark, sf_med):
         assert abs(approx[d]["n"] - n / 10) <= bound, (d, approx[d]["n"])
     for d in range(1, 10):  # ordered, non-overlapping value ranges
         assert approx[d]["hi"] <= approx[d + 1]["lo"]
+
+
+def test_value_deciles_approx_agrees_with_exact_twin(spark, sf_med):
+    """Dual-bound verification, second bound (round-7 verdict item 4):
+    beyond the absolute sketch-error test above, the approximate rollup
+    must agree with its EXACT twin (ntile value_deciles) decile by
+    decile — counts within the sketch rank-error band and each decile's
+    value range bracketed by its exact neighbors' ranges. This is the
+    strongest check available: GK partial-sketch merges are
+    order-dependent, so bit-level hash verification against a
+    precomputed oracle would pin host partitioning, not correctness."""
+    ev = load_table(spark, sf_med, "events")
+    n = ev.count()
+    approx = {int(r["decile"]): r for r in events.value_deciles_approx(ev).collect()}
+    exact = {int(r["decile"]): r for r in events.value_deciles(ev).collect()}
+    assert set(approx) == set(exact) == set(range(1, 11))
+    band = n // 10_000 + max(2, n // 100)
+    for d in range(1, 11):
+        assert abs(approx[d]["n"] - exact[d]["n"]) <= band, (d, approx[d]["n"], exact[d]["n"])
+        # value ranges may shift only by boundary/tie placement: each
+        # approximate decile must live inside its exact neighborhood
+        lo_floor = exact[d - 1]["lo"] if d > 1 else exact[d]["lo"]
+        hi_ceil = exact[d + 1]["hi"] if d < 10 else exact[d]["hi"]
+        assert approx[d]["lo"] >= lo_floor, d
+        assert approx[d]["hi"] <= hi_ceil, d
 
 
 def test_connected_components_pointer_doubling_rounds(spark):
