@@ -1148,3 +1148,70 @@ def volume_anomalies(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
         .otherwise(F.col("n") != F.col("med"))
         .alias("is_anomaly"),
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    within_hours: int = 72,
+) -> DataFrame:
+    """Last-touch revenue attribution — the marketing-analytics rollup:
+    every purchase is credited to the user's most recent preceding
+    touch event (view/click) within ``within_hours``; purchases with no
+    eligible touch are credited to the 'direct' channel. Reports per
+    channel: purchases attributed, attributed revenue, and share of
+    total purchase revenue.
+
+    Scale shape: NO join — touches and purchases ride one event-time
+    window per user (two last(ignorenulls) frames over the SAME window
+    spec, so Catalyst plans a single Window over a single exchange on
+    user_id), then a channel-keyed partial+final rollup; the share
+    denominator is a window total over the aggregated channel table
+    (bounded domain), so events are scanned exactly ONCE. The window frame excludes the current
+    row, so a same-timestamp touch attributes only if it sorts BEFORE
+    the purchase on the (ts, event_id) total order — deterministic in
+    both engines. Time math stays in exact integer micros, and revenue
+    rides the integer micro-grid (floor(v·1e6 + 0.5), the clustering.py
+    doctrine) so every sum is an order-independent int64 and the two
+    final ratios are the only floats."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touch_types)
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("lt_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True).over(w).alias("lt_us"),
+    )
+    horizon_us = within_hours * 3600 * 1_000_000
+    attributed = tagged.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_us").isNotNull()
+            & (F.unix_micros("ts") - F.col("lt_us") <= horizon_us),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    per_channel = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("qv").alias("rev_q"),
+    )
+    # the revenue total for the share comes from a window over the
+    # ALREADY-AGGREGATED channel table (|channels| rows — a bounded
+    # domain), not a second pass over events: one scan, one shuffle,
+    # and the single-partition window sees only channel-domain rows
+    total_q = F.sum("rev_q").over(W.partitionBy())
+    return per_channel.select(
+        "channel",
+        "n_purchases",
+        F.round(F.col("rev_q").cast("double") / 1_000_000, 4).alias("attributed_revenue"),
+        F.round(F.col("rev_q").cast("double") / total_q, 6).alias("revenue_share"),
+    )

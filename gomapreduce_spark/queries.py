@@ -272,6 +272,9 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "embeddings")
     ),
     "volume_anomalies": lambda s, d: events.volume_anomalies(load_table(s, d, "events")),
+    "attribution_last_touch": lambda s, d: events.attribution_last_touch(
+        load_table(s, d, "events")
+    ),
     "html_boilerplate_strip": lambda s, d: text.html_boilerplate_strip(
         load_table(s, d, "documents")
     ),
@@ -544,84 +547,72 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round as: (a) every entry whose IMPLEMENTATION or ORACLE changed
-# this round — their previous green rows no longer vouch for the
-# current code — including downstream consumers of changed operators;
-# then (b) the stalest entries by last driver row (union of
-# CORRECTNESS_r01..r06). Every entry is still re-verified each round
+# round. Round 8 executes the round-7 verdict's rotation order
+# (item 6): the ENTIRE stale r1-r4 tail leads (43 queries — every
+# entry whose last driver row is r4 or older), then the round-8
+# additions/changes (1 new + 6 touched). That sums to exactly the
+# 50-row budget, so the four always-green core demos (wordcount,
+# mr_wordcount, group_collect, sum_reduce — driver rows r1-r7, the
+# LEAST stale entries in the repo) cede their head slots this round
+# and rotate back in r9. Every entry is still re-verified each round
 # by pytest + tools/check_oracle.py regardless of position.
-_R7_PRIORITY = [
-    # (a0) NEW in round 7 — no driver row exists yet
-    "keyedtext_wordcount",       # Python Data Source roundtrip under the oracle
-    "session_window_stats",      # native session_window, boundary-pinned
-    "incremental_user_rollup",   # merged partial states == one-pass recompute
-    "pmi_collocations",          # collocation mining, exact-count PMI
-    "bpe_learn_merges",          # full BPE merge loop, VALUES oracle
-    "bpe_encode_stats",          # corpus encode + fertility, VALUES oracle
-    "distinctive_terms",         # Monroe log-odds per-source vocabulary
-    "source_overlap_matrix",     # source-vs-source shingle Jaccard
-    "dedup_recall_audit",        # LSH precision/recall vs exact jaccard
-    "hashed_features",           # hashing-trick featurization
-    "fixed_k_sample",            # exact-k deterministic stratified sample
-    "mad_outliers",              # robust modified-z outlier screen
-    "lang_id_confusion",         # classifier eval vs labeled lang
-    "kmeans_embeddings",         # integer-exact Lloyd, VALUES oracle
-    "semdedup_prune",            # cluster-scoped SemDeDup manifest
-    "embedding_drift",           # per-label centroid drift, exact ints
-    "hybrid_search",             # BM25 recall + cosine rerank + RRF
-    "containment_pairs",         # asymmetric excerpt/subset detection
-    "translated_near_dups",      # cross-lingual embedding near-dups
-    "session_paths",             # top-k session journey mining
-    "calibrated_quality",        # per-source percentile calibration
-    "lpa_communities",           # sync label-propagation communities
-    "kmeans_incremental",        # warm-start nightly model refresh
-    "volume_anomalies",          # daily ingest-volume MAD screen
-    "streaming_full_outer_join", # completes the streaming join matrix
-    # (a1) oracle PROMOTED rows-only -> full hash in round 7
-    "knn_lsh",
-    "knn_ivf",
-    "knn_pq",
-    "knn_ivf_pq",
-    "heavy_hitters_approx",
-    # (a2) implementation changed in round 7
-    "interarrival_stats",        # exact-integer moment accumulation (advisor)
-    "fuzzy_customer_links",      # deletion_variants empty/NULL guard (advisor)
-    "streaming_static_enrichment",  # user-dim broadcast hint removed
-    # (a3) relational family: forced dim-broadcast hints removed
-    "q3_top_orders",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "q17_small_quantity",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q16_supplier_parts",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    # (b) stalest: last driver row r1/r3
-    "window_rank_showcase",
-    "exact_dedup",
-    "knn_bruteforce",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "profile_events",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "simhash",
-    "training_corpus",
-    # (b) stalest r4 entries approx_distinct_users/array_funcs_showcase
-    # ceded their slots to kmeans_embeddings + the knn_lsh promotion;
-    # they rotate up in r8
+_R8_PRIORITY = [
+    # (a) the stale r1-r4 tail, stalest-first (last driver row in the comment)
+    "window_rank_showcase",       # r1
+    "exact_dedup",                # r3
+    "knn_bruteforce",             # r3
+    "minhash_signatures",         # r3
+    "ngram_jaccard_pairs",        # r3 — ALSO changed in r8 (hot-shingle df cap)
+    "profile_events",             # r3
+    "q1_pricing_summary",         # r3
+    "q6_forecast_revenue",        # r3
+    "simhash",                    # r3
+    "training_corpus",            # r3
+    "approx_distinct_users",      # r4 — ALSO promoted in r8 (HLL++ VALUES oracle)
+    "array_funcs_showcase",       # r4
+    "audio_chunk_stats",          # r4
+    "benchmark_overlap",          # r4
+    "bigram_stats",               # r4
+    "chunk_documents",            # r4
+    "corpus_mixture",             # r4
+    "doc_fingerprint",            # r4
+    "embedding_doc_join",         # r4
+    "frame_stats",                # r4 — also the round-7 bench-mover re-check
+    "gopher_rules",               # r4
+    "heavy_hitters",              # r4
+    "inverted_index",             # r4
+    "lang_id",                    # r4
+    "pack_training_sequences",    # r4
+    "pii_scrub",                  # r4
+    "quality_score",              # r4
+    "repetition_stats",           # r4
+    "sessionize",                 # r4
+    "simhash_pairs",              # r4
+    "sliding_window_counts",      # r4
+    "stratified_sample",          # r4
+    "streaming_dedup_events",     # r4
+    "streaming_gopher_filter",    # r4
+    "streaming_interval_join",    # r4
+    "streaming_session_windows",  # r4
+    "streaming_sliding_counts",   # r4
+    "streaming_stateful_sessions",# r4
+    "streaming_tumbling_counts",  # r4
+    "tf_idf",                     # r4
+    "token_stats",                # r4
+    "trimmed_mean_distributed",   # r4
+    "value_deciles_approx",       # r4 — rows-only; dual-bound tests added r8
+    # (b) NEW in round 8 — no driver row exists yet
+    "attribution_last_touch",     # last-touch revenue attribution, no-join window form
+    # (c) implementation or oracle changed in round 8
+    "dedup_recall_audit",         # sample_mod param + NULL-guarded ratios (advisor)
+    "mad_outliers",               # MAD=0 divide guard (advisor)
+    "heavy_hitters_approx",       # content-hash repartition pins head determinism
+    "keyedtext_wordcount",        # deterministic per-app scratch dir (advisor)
+    "bpe_learn_merges",           # full-dict verification mode (top_words=None)
+    "bpe_encode_stats",           # same signature widening
 ]
-_order = [n for n in QUERIES if n not in _R7_PRIORITY]
-_ins = _order.index("sum_reduce") + 1
-_order[_ins:_ins] = _R7_PRIORITY
+_order = [n for n in QUERIES if n not in _R8_PRIORITY]
+_order[0:0] = _R8_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
@@ -2706,6 +2697,36 @@ ORACLES["volume_anomalies"] = """
                 THEN abs(round(0.6745 * (d.n - m.med) / m.mad, 6)) > 3.5
                 ELSE d.n <> m.med END AS is_anomaly
     FROM daily d JOIN mad m USING (event_type)
+"""
+
+# attribution_last_touch: the same (ts, event_id)-ordered per-user
+# window in both engines; the frame excludes the current row, revenue
+# rides the integer micro-grid so sums are order-independent int64s.
+ORACLES["attribution_last_touch"] = """
+    WITH tagged AS (
+      SELECT event_type, value, epoch_us(ts) AS ts_us,
+             last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+               OVER w AS lt_type,
+             last_value(CASE WHEN event_type IN ('view','click') THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS lt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT CASE WHEN lt_us IS NOT NULL AND ts_us - lt_us <= 72::BIGINT * 3600 * 1000000
+                  THEN lt_type ELSE 'direct' END AS channel,
+             floor(value * 1000000 + 0.5)::BIGINT AS qv
+      FROM tagged WHERE event_type = 'purchase'
+    ),
+    per_channel AS (
+      SELECT channel, count(*)::BIGINT AS n_purchases, sum(qv)::BIGINT AS rev_q
+      FROM attributed GROUP BY 1
+    )
+    SELECT channel, n_purchases,
+           round(rev_q / 1000000.0, 4) AS attributed_revenue,
+           round(rev_q::DOUBLE / (SELECT sum(qv) FROM attributed), 6) AS revenue_share
+    FROM per_channel
 """
 
 # lpa_communities: three UNROLLED synchronous LPA rounds over the

@@ -1741,3 +1741,53 @@ def test_pandas_udf_scalar_and_grouped_agg_match_catalyst(spark, sf_small):
         for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
     }
     assert got_m == want_m
+
+
+def test_attribution_last_touch_planted_scenario(spark):
+    """Hand-built journeys covering every branch: purchase right after
+    a click (click wins over the older view), purchase whose only touch
+    is outside the 72h horizon ('direct'), purchase with no touch at
+    all ('direct'), and a same-timestamp touch that sorts BEFORE the
+    purchase on event_id (attributes) — plus revenue shares that must
+    sum to 1."""
+    rows = [
+        # user 1: view then click then purchase -> click
+        (10, 1, "2024-01-10 08:00:00", "view", 0.0),
+        (11, 1, "2024-01-10 09:00:00", "click", 0.0),
+        (12, 1, "2024-01-10 10:00:00", "purchase", 100.0),
+        # user 2: view 100h before purchase -> direct (horizon expired)
+        (20, 2, "2024-01-01 00:00:00", "view", 0.0),
+        (21, 2, "2024-01-05 05:00:00", "purchase", 50.0),
+        # user 3: no touches at all -> direct
+        (30, 3, "2024-01-10 10:00:00", "purchase", 25.0),
+        # user 4: same-ts view with LOWER event_id sorts before -> view
+        (40, 4, "2024-01-10 10:00:00", "view", 0.0),
+        (41, 4, "2024-01-10 10:00:00", "purchase", 25.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.channel: (r.n_purchases, r.attributed_revenue, r.revenue_share)
+        for r in events.attribution_last_touch(ev).collect()
+    }
+    assert got == {
+        "click": (1, 100.0, 0.5),
+        "view": (1, 25.0, 0.125),
+        "direct": (2, 75.0, 0.375),
+    }
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_attribution_last_touch_single_window_plan(spark, sf_med):
+    """Both last(ignorenulls) frames share one window spec: the plan
+    must contain exactly ONE Window node (one user_id exchange) and no
+    shuffle join — the no-join attribution shape the docstring claims."""
+    from tools.explain_audit import plan_str
+
+    ev = load_table(spark, sf_med, "events")
+    plan = plan_str(events.attribution_last_touch(ev))
+    # formatted plans print each node in the tree AND a detail section
+    assert plan.count("] Window") + plan.count("- Window") == 2, plan
+    assert "Scan parquet" in plan and plan.count("(1) Scan parquet") == 1
+    assert "Join" not in plan

@@ -649,6 +649,17 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # last-touch attribution: the no-join single-scan shape — one
+    # user_id window carries the touch state, the share denominator is
+    # a window over the aggregated channel table, never a second pass
+    # over events (so: exactly one parquet scan, no join of any kind)
+    "attribution_last_touch": {
+        "require": ["Window"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["Join", "CartesianProduct"],
+        "max_scans": 1,
+    },
     # incremental refresh: same final-plan shape as the cold fit —
     # partial-agg cluster stats over the Arrow assignment, k-row
     # shift join (fixed-size side, no hint needed)
@@ -945,6 +956,10 @@ def audit_one(name: str, df: DataFrame, exp: dict) -> list[str]:
         for s in exp["forbid_logical"]:
             if s in logical:
                 fails.append(f"forbidden logical-plan marker {s!r} present (mandatory hint)")
+    if "max_scans" in exp:
+        n = len(_scan_blocks(plan))
+        if n > exp["max_scans"]:
+            fails.append(f"{n} source scans > allowed {exp['max_scans']} (self-union re-scan?)")
     if "pushed_filters" in exp:
         blocks = _scan_blocks(plan)
         pushed = " ".join(
