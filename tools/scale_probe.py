@@ -109,6 +109,8 @@ PROBE_QUERIES = [
     "lpa_communities",
     "kmeans_incremental",
     "volume_anomalies",
+    # round-8 addition
+    "attribution_last_touch",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
