@@ -270,11 +270,18 @@ def ngram_jaccard_pairs(
     # shingle pass runs twice. localCheckpoint, not cache: anonymous
     # blocks the ContextCleaner reclaims when the plan is GC'd, so
     # repeated calls in a long session don't accumulate pinned memory.
+    # Pre-partitioned on sh_h BEFORE the checkpoint (LogicalRDD keeps
+    # the partitioning), so the hot-df aggregate, the anti-join's
+    # streamed side, AND both sides of the pair self-join reuse this
+    # ONE exchange of the exploded relation — the capped plan moves the
+    # big relation through the wire once, fewer times than the uncapped
+    # round-7 form did (which exchanged it per self-join side).
     sh = (
         shingle_arrays(docs)
         .where(F.size("shingles") > 0)
         .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
         .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
+        .repartition(F.col("sh_h"))
     ).localCheckpoint()
     hot = (
         sh.groupBy("sh_h")
