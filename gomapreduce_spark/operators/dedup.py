@@ -240,7 +240,7 @@ def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_df: int = LSH_MAX_BUCKET
+    docs: DataFrame, threshold: float = 0.5, max_df: int | None = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -264,6 +264,10 @@ def ngram_jaccard_pairs(
     UNDER-report similarity, never inflate it. At 100 TB this still
     runs best *after* LSH candidate generation; the cap is the
     standalone backstop that bounds fan-out by max_df·|shingles|.
+    ``max_df=None`` disables the cap — TRUE exact Jaccard for
+    verification on bounded inputs (what :func:`dedup_recall_audit`
+    uses for its ground truth, so the audit can never inherit the very
+    approximation it certifies).
     """
     # materialized ONCE (24 B/row compact form): a self-join computes
     # each side's subtree independently — without this the Arrow
@@ -283,18 +287,21 @@ def ngram_jaccard_pairs(
         .select("doc_id", "n_sh", h64(F.col("shingle")).alias("sh_h"))
         .repartition(F.col("sh_h"))
     ).localCheckpoint()
-    hot = (
-        sh.groupBy("sh_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .observe(
-            "jaccard_hot_shingles",
-            F.count(F.lit(1)).alias("n_hot_shingles"),
-            F.coalesce(F.sum("df"), F.lit(0)).alias("n_rows_dropped"),
+    if max_df is None:
+        shc = sh
+    else:
+        hot = (
+            sh.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .observe(
+                "jaccard_hot_shingles",
+                F.count(F.lit(1)).alias("n_hot_shingles"),
+                F.coalesce(F.sum("df"), F.lit(0)).alias("n_rows_dropped"),
+            )
+            .select("sh_h")
         )
-        .select("sh_h")
-    )
-    shc = sh.join(hot, "sh_h", "left_anti")
+        shc = sh.join(hot, "sh_h", "left_anti")
     a, b = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1409,10 +1416,14 @@ def dedup_recall_audit(
     manufactures ±inf/nan."""
     if sample_mod > 1:
         docs = docs.where(
-            F.pmod(h64(F.concat(F.lit("audit"), F.col("doc_id").cast("string"))), F.lit(sample_mod))
-            == 0
+            F.pmod(h64(F.col("doc_id"), seed="audit"), F.lit(sample_mod)) == 0
         )
-    exact = ngram_jaccard_pairs(docs, threshold).select("doc_a", "doc_b")
+    # ground truth is UNCAPPED exact jaccard (max_df=None): the audit
+    # must never inherit the hot-shingle approximation it exists to
+    # certify — on a boilerplate-heavy corpus a capped "truth" would
+    # silently inflate recall (round-8 reviewer finding); sample_mod
+    # is what keeps the uncapped side affordable at scale
+    exact = ngram_jaccard_pairs(docs, threshold, max_df=None).select("doc_a", "doc_b")
     cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     joined = exact.withColumn("t", F.lit(1)).join(
         cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full_outer"

@@ -1213,5 +1213,10 @@ def attribution_last_touch(
         "channel",
         "n_purchases",
         F.round(F.col("rev_q").cast("double") / 1_000_000, 4).alias("attributed_revenue"),
-        F.round(F.col("rev_q").cast("double") / total_q, 6).alias("revenue_share"),
+        # guarded divide (the mad_outliers doctrine): an all-zero-value
+        # purchase set reports NULL shares in BOTH engines, never a
+        # Spark-NULL-vs-DuckDB-inf hash divergence
+        F.when(
+            total_q != 0, F.round(F.col("rev_q").cast("double") / total_q, 6)
+        ).alias("revenue_share"),
     )

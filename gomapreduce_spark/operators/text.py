@@ -215,7 +215,13 @@ def heavy_hitters_approx(
             c.update(PY_WS_RE.split("\n".join(pdf["text"].fillna(""))))
         c.pop("", None)
         if c:
-            top = c.most_common(local_m)
+            # NOT Counter.most_common: it breaks count ties by dict
+            # insertion order, which follows shuffle-fetch interleave —
+            # run-nondeterministic. (count desc, token asc) is total,
+            # so local survival is a pure function of the data.
+            import heapq
+
+            top = heapq.nsmallest(local_m, c.items(), key=lambda kv: (-kv[1], kv[0]))
             yield pd.DataFrame({"token": [t for t, _ in top], "cnt": [n for _, n in top]})
 
     texts = docs.select("text")

@@ -1544,26 +1544,7 @@ ORACLES: dict[str, str] = {
         SELECT {_H.format(s='text')} AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1
     """,
-    # hot-shingle df cap mirrored from the Spark side (HAVING <= 1024);
-    # true set sizes predate the cap, so the capped jaccard can only
-    # under-report (n/(A+B-n) is increasing in n)
-    "ngram_jaccard_pairs": f"""
-        WITH {_SHINGLES},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1024),
-        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
-    """,
+    # ngram_jaccard_pairs: assigned below via _jaccard_sql (capped/uncapped twin)
     "minhash_signatures": f"""
         WITH {_SHINGLES},
         ab AS (
@@ -2635,6 +2616,40 @@ from .hll_expected import (
 
 ORACLES["approx_distinct_users"] = APPROX_DISTINCT_USERS_SQL
 
+# n-gram jaccard, parameterized over the hot-shingle df cap so the
+# registered query (capped, mirroring the Spark default) and
+# dedup_recall_audit's ground truth (UNCAPPED — the audit must not
+# inherit the approximation it certifies) share one SQL body.
+def _jaccard_sql(cap: int | None) -> str:
+    shc = (
+        f"""shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+               JOIN (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= {cap}) keep USING (shingle))"""
+        if cap is not None
+        else "shc AS (SELECT doc_id, shingle FROM sh)"
+    )
+    return f"""
+        WITH {_SHINGLES},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        {shc},
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """
+
+
+# true set sizes predate the cap, so the capped jaccard can only
+# under-report (n/(A+B-n) is increasing in n) — mirrors max_df=1024
+ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(1024)
+
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the
 # EXACT head whenever each reported token survives every partition's
 # local top-m — true by a wide margin for a top-25 head at local_m=512
@@ -2725,7 +2740,7 @@ ORACLES["attribution_last_touch"] = """
     )
     SELECT channel, n_purchases,
            round(rev_q / 1000000.0, 4) AS attributed_revenue,
-           round(rev_q::DOUBLE / (SELECT sum(qv) FROM attributed), 6) AS revenue_share
+           round(rev_q::DOUBLE / NULLIF((SELECT sum(qv) FROM attributed), 0), 6) AS revenue_share
     FROM per_channel
 """
 
@@ -3365,7 +3380,7 @@ ORACLES["source_overlap_matrix"] = f"""
 # exact-jaccard SELECT, candidates from the LSH SELECT, one full-outer
 # pair join + a single aggregate row
 def _recall_audit_sql() -> str:
-    truth = ORACLES["ngram_jaccard_pairs"]
+    truth = _jaccard_sql(None)  # UNCAPPED exact ground truth (see operator)
     cand = ORACLES["minhash_lsh_pairs"]
     return f"""
     WITH t AS (SELECT doc_a, doc_b FROM ({truth})),

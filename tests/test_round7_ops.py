@@ -99,6 +99,7 @@ def test_scaling_hint_gate_negative_control(spark, sf_med):
 
     customer = load_table(spark, sf_med, "customer")
     nation = load_table(spark, sf_med, "nation")
+    region = load_table(spark, sf_med, "region")
     orders = load_table(spark, sf_med, "orders")
 
     # violation: forced broadcast of the SF-scaling customer side
@@ -142,6 +143,25 @@ def test_scaling_hint_gate_negative_control(spark, sf_med):
     # (c) a statically row-bounded side (top-k Limit) is legitimate
     topk = customer.orderBy(F.col("c_acctbal").desc()).limit(10)
     assert scaling_hint_lines(orders.crossJoin(F.broadcast(topk))) == []
+    # (d) column-NAME smuggling (round-8 reviewer finding): projecting
+    # a corpus-sized side down to nation-named columns — or aliasing
+    # c_name AS n_name — must not fool the gate; it validates LEAF
+    # relations, not output schemas
+    smuggled_names = orders.crossJoin(
+        F.broadcast(cust_nat.select("n_name"))
+    )
+    assert scaling_hint_lines(smuggled_names), "gate missed a projected-to-n_name broadcast"
+    aliased = orders.crossJoin(
+        F.broadcast(customer.select(F.col("c_name").alias("n_name")))
+    )
+    assert scaling_hint_lines(aliased), "gate missed an aliased-to-n_name broadcast"
+    # (e) while nation JOIN region (both leaves fixed) stays legitimate
+    nat_reg = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    assert scaling_hint_lines(customer.join(
+        F.broadcast(nat_reg), customer.c_nationkey == nat_reg.n_nationkey
+    )) == []
 
 
 def test_distinctive_terms_finds_planted_source_vocabulary(spark):

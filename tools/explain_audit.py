@@ -849,18 +849,49 @@ _FIXED_DIM_COLS = frozenset(
 _MAX_STATIC_HINT_ROWS = 4096
 
 
+def _node_is_fixed(node) -> bool:
+    """A single plan node is corpus-independent by itself: Catalyst
+    proves a static row bound (global aggregates → 1, LocalRelation /
+    Range / Limit → their literal size) ≤ 4096, or its output columns
+    are all base nation/region attributes."""
+    mr = node.maxRows()
+    if mr.isDefined() and int(mr.get()) <= _MAX_STATIC_HINT_ROWS:
+        return True
+    out = node.output()
+    names = [out.apply(i).name() for i in range(out.size())]
+    return bool(names) and all(n in _FIXED_DIM_COLS for n in names)
+
+
 def _hinted_side_ok(side) -> bool:
     """True iff broadcasting this optimized-logical subtree is safe at
-    any SF: (a) Catalyst proves a static row bound (global aggregates
-    → 1, LocalRelation/Range/Limit → their literal size) ≤ 4096, or
-    (b) every output attribute is a nation/region column, so the side
-    is a projection/filter of a fixed 25/5-row dimension."""
+    any SF: (a) the subtree as a whole has a static row bound ≤ 4096,
+    or (b) EVERY LEAF relation under it is itself fixed — a nation/
+    region base scan (original n_*/r_* columns) or a statically
+    bounded relation. Checking the LEAVES, not the subtree's output
+    schema, is what defeats column-name smuggling: a corpus-sized
+    customer⋈nation projected down to n_name (or customer with
+    c_name aliased to n_name) still has a customer LEAF whose own
+    output is c_* — flagged (round-8 reviewer finding). Only the
+    STATIC ROW BOUND may be checked on the subtree as a whole; the
+    column-name rule is meaningful solely at leaves, where names are
+    the base relation's own."""
     mr = side.maxRows()
     if mr.isDefined() and int(mr.get()) <= _MAX_STATIC_HINT_ROWS:
         return True
-    out = side.output()
-    names = [out.apply(i).name() for i in range(out.size())]
-    return bool(names) and all(n in _FIXED_DIM_COLS for n in names)
+    stack, seen = [side], 0
+    while stack:
+        seen += 1
+        if seen > 10_000:
+            return False
+        node = stack.pop()
+        kids = node.children()
+        if kids.size() == 0:
+            if not _node_is_fixed(node):
+                return False
+        else:
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+    return True
 
 
 def scaling_hint_lines(df: DataFrame) -> list[str]:
