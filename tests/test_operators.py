@@ -1796,3 +1796,17 @@ def test_attribution_last_touch_single_window_plan(spark, sf_med):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan
+
+
+def test_attribution_last_touch_zero_revenue_guard(spark):
+    """All-zero purchase values: shares are NULL (guarded divide) in
+    Spark, matching the oracle's NULLIF — not a NaN/inf divergence."""
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-10 10:00:00", "purchase", 0.0)],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = events.attribution_last_touch(ev).collect()
+    assert len(rows) == 1
+    assert rows[0].channel == "direct"
+    assert rows[0].attributed_revenue == 0.0
+    assert rows[0].revenue_share is None
