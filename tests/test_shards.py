@@ -202,3 +202,63 @@ def test_compact_dataset_recovers_from_crash_leftovers(spark, sf_small, tmp_path
     stats = compact_dataset(spark, out, target_mb=128)
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == before
     assert not os.path.exists(out + "__old")
+
+
+def test_hilbert_key_is_a_true_hilbert_curve(spark):
+    """The mathematical signature of a Hilbert curve, pinned exactly:
+    over the full 16x16 grid the key is a BIJECTION onto 0..255 and
+    every pair of consecutive codes maps to GRID-ADJACENT cells
+    (|dx|+|dy| == 1) — the property Morton order lacks (its seam jumps
+    are why Hilbert clusters tighter)."""
+    from gomapreduce_spark.sources.registry import with_hilbert_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = with_hilbert_key(grid, "x", "y", bits=4, out="d").collect()
+    by_d = {r.d: (r.x, r.y) for r in rows}
+    assert sorted(by_d) == list(range(256))  # bijection
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, sf_med, tmp_path):
+    """Same both-dimension pruning contract as the z-order test, on the
+    Hilbert layout: a point filter on either bucketed column must skip
+    files (<= 6 of 8), unlike a linear sort's 8/8 on its second
+    column; round-trip row count intact."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window as W
+
+    from gomapreduce_spark.sources.registry import load_table, write_hilbert_clustered
+
+    raw = load_table(spark, sf_med, "events")
+    ev = raw.select(
+        "event_id",
+        (F.ntile(256).over(W.orderBy("user_id", "event_id")) - 1).cast("long").alias("user_id"),
+        (F.ntile(256).over(W.orderBy("value", "event_id")) - 1).cast("long").alias("vband"),
+    )
+    hdir = str(tmp_path / "hilbert")
+    write_hilbert_clustered(ev, hdir, "user_id", "vband", n_files=8, bits=8)
+
+    def hits(col, val):
+        n_files, n_hit = 0, 0
+        for f in glob.glob(f"{hdir}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            n_files += 1
+            n_hit += int(lo <= val <= hi)
+        return n_files, n_hit
+
+    u = ev.approxQuantile("user_id", [0.5], 0.0)[0]
+    v = ev.approxQuantile("vband", [0.5], 0.0)[0]
+    nf, hu = hits("user_id", u)
+    _, hv = hits("vband", v)
+    assert nf == 8
+    assert hu <= 6 and hv <= 6
+    assert hu + hv <= 11
+    assert spark.read.parquet(hdir).count() == ev.count()
