@@ -425,3 +425,67 @@ def test_containment_matches_bruteforce(spark, docs):
                 jac = inter / len(sets[i] | sets[j])
                 assert want[(i, j)][1] >= jac and want[(i, j)][2] >= jac
     assert got == want
+
+
+@given(
+    journey=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.integers(0, 400),                    # hours offset (past the 72h horizon)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 5),                      # value in whole units
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_attribution_matches_naive_reference(spark, journey):
+    """Random user journeys vs a transparent O(n²) python scorer:
+    identical channel totals and revenue under every interleaving of
+    touches, horizon expiries, same-timestamp ties (event_id order),
+    and zero-revenue corner cases."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(hours=h), t, float(v))
+        for i, (u, h, t, v) in enumerate(journey)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+    # naive reference: scan each purchase's full history
+    naive: dict[str, list] = {}
+    for i, u, ts, t, v in rows:
+        if t != "purchase":
+            continue
+        touches = [
+            (ts2, i2, t2)
+            for (i2, u2, ts2, t2, _) in rows
+            if u2 == u and t2 in ("view", "click") and (ts2, i2) < (ts, i)
+        ]
+        channel = "direct"
+        if touches:
+            lt_ts, _, lt_type = max(touches)
+            if (ts - lt_ts).total_seconds() <= 72 * 3600:
+                channel = lt_type
+        agg = naive.setdefault(channel, [0, 0])
+        agg[0] += 1
+        agg[1] += round(v * 1_000_000)
+    total_q = sum(a[1] for a in naive.values())
+    want = {
+        ch: (
+            n,
+            round(q / 1_000_000, 4),
+            round(q / total_q, 6) if total_q else None,
+        )
+        for ch, (n, q) in naive.items()
+    }
+
+    got = {
+        r.channel: (r.n_purchases, r.attributed_revenue, r.revenue_share)
+        for r in events.attribution_last_touch(ev).collect()
+    }
+    assert got == want
