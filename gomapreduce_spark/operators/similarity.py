@@ -31,8 +31,13 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
 
     The query side is tiny → broadcast; candidates never shuffle until
     reduced to k rows per query by the window. Deterministic ranking on
-    (rounded sim desc, neighbor id asc)."""
-    base = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    (rounded sim desc, neighbor id asc). Zero-norm vectors are excluded
+    up front — cosine is undefined for them, and an unguarded divide is
+    a Spark-NULL-vs-DuckDB-IEEE hash divergence (the guarded-divide
+    doctrine); the oracle applies the same exclusion."""
+    base = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")).where(
+        F.col("nrm") > 0
+    )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -114,11 +119,25 @@ def knn_lsh(
     n_planes: int = 6,
     n_tables: int = 6,
     dim: int = 64,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates are vectors sharing a bucket with
     the query in ANY table, plus Hamming-distance-1 probe buckets
     (multi-probe). Same output schema as knn_bruteforce; recall vs the
     exact result is asserted in tests.
+
+    Scan fraction, honestly: each table × probe covers ~1/2^n_planes of
+    the corpus, so the expected candidate volume is about
+    n_tables·(1+n_planes)/2^n_planes — at the fixture defaults (6
+    tables, 6 planes, radius-1 probing) that is ~0.66·N: a
+    RECALL-oriented setting, not a scan reduction. The knob that buys
+    reduction is n_planes, raised with corpus size (e.g. 16 planes →
+    6·17/65536 ≈ 0.16 % of N); tables/probes then buy recall back.
+    Degenerate signatures (many near-identical or near-zero vectors
+    collapsing into one bucket) get the repo's standard hot-key cap:
+    candidate buckets holding more than ``max_bucket`` vectors are
+    dropped BEFORE the probe join via an anti-join, under a named
+    CollectMetrics observation — never silently.
 
     No cache: the query side signs only the ``vec_id < n_queries``
     slice (the filter reaches the parquet scan before the Arrow stage),
@@ -137,6 +156,18 @@ def knn_lsh(
     c = lsh_signatures(emb, n_planes, n_tables, dim).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "table", "bucket"
     )
+    hot = (
+        c.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .observe(
+            "knn_lsh_hot_buckets",
+            F.count(F.lit(1)).alias("n_hot_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows_dropped"),
+        )
+        .select("table", "bucket")
+    )
+    c = c.join(hot, ["table", "bucket"], "left_anti")
     scored = (
         c.join(
             F.broadcast(q),
@@ -161,7 +192,18 @@ IVF_SAMPLE = 512  # deterministic training sample (first N vec_ids)
 IVF_ITERS = 3     # Lloyd iterations on the sample
 
 
-def train_centroids(emb: DataFrame, n_centroids: int, dim: int) -> list[list[float]]:
+def _training_sample(emb: DataFrame):
+    """The shared deterministic training sample (first IVF_SAMPLE
+    vec_ids via TakeOrdered — layout-independent) both trainers
+    consume. Collected ONCE per composed pipeline: knn_ivf_pq passes
+    the same rows to the coarse quantizer and the PQ codebooks instead
+    of paying two corpus-wide TakeOrdered jobs for identical data."""
+    return emb.orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+
+
+def train_centroids(
+    emb: DataFrame, n_centroids: int, dim: int, sample: list | None = None
+) -> list[list[float]]:
     """Spherical k-means-lite: deterministic pseudo-random init, then a
     few Lloyd iterations over a small fixed sample (first IVF_SAMPLE
     vec_ids), driver-side numpy. At 100 TB the sample is a
@@ -172,7 +214,7 @@ def train_centroids(emb: DataFrame, n_centroids: int, dim: int) -> list[list[flo
     # deterministic for ANY id layout (orderBy+limit = TakeOrdered) —
     # a `vec_id < N` predicate would silently bake in 0-based fixture
     # ids and crash on an empty sample
-    rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+    rows = sample if sample is not None else _training_sample(emb)
     if not rows:
         return [_plane_vals(dim, IVF_SEED + j) for j in range(n_centroids)]
     x = np.array([r[0] for r in rows], dtype=np.float64)
@@ -329,7 +371,9 @@ PQ_KSUB = 16    # codewords per subspace (4-bit codes; 16 codes = 8 bytes/vector
 PQ_ITERS = 5    # Lloyd iterations per subspace on the training sample
 
 
-def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64):
+def train_pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64, sample: list | None = None
+):
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the (normalized)
     vector into ``m`` sub-vectors and k-means each subspace
@@ -345,7 +389,7 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: 
 
     assert dim % m == 0, (dim, m)
     dsub = dim // m
-    rows = emb.orderBy("vec_id").limit(IVF_SAMPLE).select("embedding").collect()
+    rows = sample if sample is not None else _training_sample(emb)
     if not rows:
         return np.zeros((m, ksub, dsub), dtype=np.float64)
     x = np.array([r[0] for r in rows], dtype=np.float64)
@@ -521,7 +565,9 @@ def hard_negative_mining(emb: DataFrame, n_anchors: int = 10) -> DataFrame:
     aggregation (sim desc, id asc tie-break — deterministic in any
     engine). At 100 TB the exact scorer swaps for the knn_pq/knn_ivf
     shortlist with identical downstream aggregation."""
-    base = emb.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    base = emb.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")).where(
+        F.col("nrm") > 0  # cosine undefined for zero vectors (guarded-divide doctrine)
+    )
     a = base.where(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -595,8 +641,9 @@ def knn_ivf_pq(
     import numpy as np
     import pandas as pd
 
-    cents = np.array(train_centroids(emb, n_centroids, dim), dtype=np.float64)
-    books = train_pq_codebooks(emb, m, ksub, dim)
+    sample = _training_sample(emb)  # ONE TakeOrdered feeds both trainers
+    cents = np.array(train_centroids(emb, n_centroids, dim, sample=sample), dtype=np.float64)
+    books = train_pq_codebooks(emb, m, ksub, dim, sample=sample)
     dsub = dim // m
     qrows = emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
     if not qrows:

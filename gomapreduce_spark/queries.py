@@ -1747,7 +1747,8 @@ ORACLES: dict[str, str] = {
         FROM e
     """,
     "knn_bruteforce": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         s AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  round(list_dot_product(q.v, c.v)
@@ -2331,9 +2332,11 @@ ORACLES["quality_classifier"] = rf"""
 # total order the Spark max-of-struct aggregation encodes
 ORACLES["hard_negative_mining"] = """
     WITH base AS (
-      SELECT vec_id, label, embedding,
-             sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, label, embedding,
+               sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+        FROM embeddings
+      ) WHERE nrm > 0
     ),
     a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe, nrm AS qn
           FROM base WHERE vec_id < 10),

@@ -41,8 +41,14 @@ def _read_parquet_stream(
 
     apply_runtime_confs(spark)
     if os.path.isfile(path):  # single file: glob it within its dir
+        import glob as _globmod
+
         d, base = os.path.split(path)
-        glob, stream_dir = base, d
+        # glob-ESCAPE the name: a basename like 'events[2026].parquet'
+        # would otherwise parse as a character class, match nothing,
+        # and the availableNow query would "complete" empty — the
+        # silent-empty mode the FileNotFoundError below exists to stop
+        glob, stream_dir = _globmod.escape(base), d
     elif os.path.isdir(path):
         glob, stream_dir = None, path
     else:
@@ -482,14 +488,28 @@ def streaming_upsert_counts(
             .parquet(out_dir)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same state-partition scoping as _run_to_memory: the windowed agg
+    # keeps one state store per shuffle partition, and the partition
+    # count freezes into the checkpoint — starting it at the session's
+    # batch parallelism (32) pays 32 snapshot/commit cycles per
+    # micro-batch forever (the 13.7s-vs-2.8s module-header measurement)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def streaming_gopher_filter(spark: SparkSession, docs_path: str) -> DataFrame:
@@ -723,7 +743,6 @@ def streaming_incremental_dedup(
     one band equi-join whose shuffle is O(|batch| + touched index
     rows); in production the index directory is the bucketed table from
     save_signature_index, so the index side never re-shuffles."""
-    import os
 
     from ..operators.dedup import (
         MINHASH_BANDS,

@@ -133,3 +133,34 @@ def test_jaccard_df_cap_is_not_silent(spark):
     plan = plan_str(ngram_jaccard_pairs(_hot_shingle_docs(spark), 0.0, max_df=8))
     assert "jaccard_hot_shingles" in plan
     assert "CollectMetrics" in plan
+
+
+def test_knn_lsh_cap_drops_degenerate_bucket_keeps_real_neighbors(spark):
+    """A mega-cluster of identical vectors collapses into one signature
+    bucket per table; with the cap those candidates vanish (observed,
+    bounded join) while distinct real neighbors still rank."""
+    from gomapreduce_spark.operators.similarity import knn_lsh
+    from tools.explain_audit import plan_str
+
+    dim = 64
+    u = [((i * 5) % 11 - 5) / 5.0 + 0.01 for i in range(dim)]
+    v = [x * 0.9 for x in u]        # near-dup of u -> identical sign buckets
+    # perturbed copy: collides with u in SOME tables (so uncapped sees
+    # it) but not the tables where the (u, v) pair lives (so the pair's
+    # own 2-member buckets survive the cap)
+    t = [x + 0.5 * (1 if i % 2 else -1) for i, x in enumerate(u)]
+    rows = [(0, u), (1, v)]
+    rows += [(1000 + i, t) for i in range(30)]  # degenerate identical cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = knn_lsh(emb, n_queries=2, k=3, max_bucket=8).collect()
+    uncapped = knn_lsh(emb, n_queries=2, k=3).collect()
+    # the template cluster disappears from capped candidates entirely
+    assert not any(r.neighbor_id >= 1000 for r in capped)
+    assert any(r.neighbor_id >= 1000 for r in uncapped)
+    # the genuine neighbor pair survives in both directions
+    assert any((r.query_id, r.neighbor_id) == (0, 1) for r in capped)
+    assert any((r.query_id, r.neighbor_id) == (1, 0) for r in capped)
+    # and the cap is observed, never silent
+    plan = plan_str(knn_lsh(emb, n_queries=2, k=3, max_bucket=8))
+    assert "knn_lsh_hot_buckets" in plan and "CollectMetrics" in plan

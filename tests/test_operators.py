@@ -1810,3 +1810,27 @@ def test_attribution_last_touch_zero_revenue_guard(spark):
     assert rows[0].channel == "direct"
     assert rows[0].attributed_revenue == 0.0
     assert rows[0].revenue_share is None
+
+
+def test_cosine_operators_exclude_zero_vectors(spark):
+    """A zero embedding has no defined cosine: knn_bruteforce and
+    hard_negative_mining must exclude it from queries AND candidates
+    (guarded-divide doctrine) instead of emitting NULL sims that rank."""
+    from gomapreduce_spark.operators import similarity
+
+    dim = 8
+    rows = [(i, i % 2, [float((i + j) % 3 + 1) for j in range(dim)]) for i in range(6)]
+    rows.append((6, 0, [0.0] * dim))  # the degenerate vector
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+
+    knn = similarity.knn_bruteforce(emb, n_queries=10, k=3).collect()
+    assert knn, "vacuous"
+    assert all(r.sim is not None for r in knn)
+    assert all(r.query_id != 6 and r.neighbor_id != 6 for r in knn)
+
+    hnm = similarity.hard_negative_mining(emb, n_anchors=10).collect()
+    assert hnm, "vacuous"
+    for r in hnm:
+        assert r.anchor_id != 6
+        assert r.pos_id != 6 and r.neg_id != 6
+        assert r.pos_sim is not None and r.neg_sim is not None
