@@ -597,19 +597,23 @@ _R8_PRIORITY = [
     "streaming_sliding_counts",   # r4
     "streaming_stateful_sessions",# r4
     "streaming_tumbling_counts",  # r4
-    "tf_idf",                     # r4
-    "token_stats",                # r4
-    "trimmed_mean_distributed",   # r4
     "value_deciles_approx",       # r4 — rows-only; dual-bound tests added r8
+    # (tf_idf / token_stats / trimmed_mean_distributed — the last three
+    # of the r4 block — cede their slots to the three late-round-8
+    # touched queries below, keeping "≥40 stalest + ALL r8-touched"
+    # inside the 50-row budget; they lead the r9 stale block)
     # (b) NEW in round 8 — no driver row exists yet
     "attribution_last_touch",     # last-touch revenue attribution, no-join window form
     # (c) implementation or oracle changed in round 8
-    "dedup_recall_audit",         # sample_mod param + NULL-guarded ratios (advisor)
+    "dedup_recall_audit",         # sample_mod + NULL guards + UNCAPPED ground truth
     "mad_outliers",               # MAD=0 divide guard (advisor)
-    "heavy_hitters_approx",       # content-hash repartition pins head determinism
+    "heavy_hitters_approx",       # content-hash repartition + deterministic ties
     "keyedtext_wordcount",        # deterministic per-app scratch dir (advisor)
     "bpe_learn_merges",           # full-dict verification mode (top_words=None)
     "bpe_encode_stats",           # same signature widening
+    "knn_lsh",                    # hot-bucket cap added (fixture output unchanged)
+    "knn_ivf_pq",                 # shared training sample (output byte-identical)
+    "hard_negative_mining",       # zero-norm cosine exclusion (guarded divide)
 ]
 _order = [n for n in QUERIES if n not in _R8_PRIORITY]
 _order[0:0] = _R8_PRIORITY
