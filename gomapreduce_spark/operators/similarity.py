@@ -153,9 +153,12 @@ def knn_lsh(
         F.col("table").alias("q_table"),
         F.explode(probes).alias("probe_bucket"),
     )
+    # checkpointed: the hot-bucket aggregate and the probe join are two
+    # consumers, and recomputing the subtree means running the Arrow
+    # signing pass twice (the minhash localCheckpoint doctrine)
     c = lsh_signatures(emb, n_planes, n_tables, dim).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "table", "bucket"
-    )
+    ).localCheckpoint()
     hot = (
         c.groupBy("table", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
