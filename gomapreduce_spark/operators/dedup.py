@@ -1402,13 +1402,15 @@ def dedup_recall_audit(
     true pairs (exact jaccard >= threshold), LSH candidates, their
     intersection, precision and recall.
 
-    ``sample_mod`` makes the audit production-runnable BY CONSTRUCTION:
-    with sample_mod=N only docs whose seeded 60-bit hash ≡ 0 (mod N)
-    participate — a deterministic, engine-reproducible 1/N slice, so
-    at 100 TB the quadratic-worst-case exact side sees a bounded
-    corpus no matter what the caller forgets. The default (1) audits
-    the whole input, which is only appropriate at fixture/sample
-    scale. Both inputs are existing oracle-verified operators; the
+    ``sample_mod`` is what makes the audit production-runnable: with
+    sample_mod=N only docs whose seeded 60-bit hash ≡ 0 (mod N)
+    participate — a deterministic, engine-reproducible 1/N slice that
+    bounds the quadratic-worst-case exact side. The bound exists ONLY
+    when the caller passes sample_mod > 1: the default (1) audits the
+    whole input with the df cap deliberately DISABLED, which is
+    appropriate at fixture/sample scale and nowhere else, so
+    sample_mod==1 on a non-trivial corpus emits a RuntimeWarning
+    rather than silently running O(df²). Both inputs are existing oracle-verified operators; the
     audit adds one full-outer pair join (pair-keyed, both sides
     already deduplicated) and a 1-row aggregate. Degenerate corpora
     (zero candidates / zero true pairs) report NULL ratios — guarded
@@ -1417,6 +1419,17 @@ def dedup_recall_audit(
     if sample_mod > 1:
         docs = docs.where(
             F.pmod(h64(F.col("doc_id"), seed="audit"), F.lit(sample_mod)) == 0
+        )
+    else:
+        import warnings
+
+        warnings.warn(
+            "dedup_recall_audit(sample_mod=1) runs UNCAPPED exact n-gram "
+            "Jaccard over the full input (the O(df^2) fan-out the production "
+            "cap prevents). Pass sample_mod>1 for anything beyond "
+            "fixture/sample scale.",
+            RuntimeWarning,
+            stacklevel=2,
         )
     # ground truth is UNCAPPED exact jaccard (max_df=None): the audit
     # must never inherit the hot-shingle approximation it exists to

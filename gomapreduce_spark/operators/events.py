@@ -265,7 +265,9 @@ def range_join_shipments(orders: DataFrame, lineitem: DataFrame, days: int = 90)
     )
 
 
-def value_deciles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+def value_deciles_approx(
+    events: DataFrame, accuracy: int = 10_000, sequential: bool = False
+) -> DataFrame:
     """Scale-safe decile rollup: approx_percentile cutpoints + a narrow
     bucket assignment — the 100 TB form of :func:`value_deciles`.
 
@@ -277,8 +279,24 @@ def value_deciles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame
     window — the ntile version's partition-less sort-shuffle is exactly
     what dies first at 100×. Boundary semantics differ from exact ntile
     only by the sketch's rank error (≤ n/accuracy) and tie placement;
-    the error-bound test asserts per-decile counts within that bound."""
-    cuts = events.agg(
+    the error-bound test asserts per-decile counts within that bound.
+
+    ``sequential=True`` is the VERIFICATION TWIN (registered as
+    ``value_deciles_approx_seq``): the sketch input is repartition(1)'d
+    so exactly ONE partial GK sketch exists and the merge path — the
+    only shuffle-arrival-order-dependent step — never runs. As long as
+    the stream fits in the sketch's 50k-element head buffer (true at
+    the sf0.01 oracle scale; 10k rows), that buffer is SORTED on its
+    single compress-time flush, making the whole result a pure function
+    of the value multiset — deterministic, hence hash-oracle-able via
+    the independent pure-python GK restatement in
+    ``tools/gen_vda_oracle.py`` (vda_expected.py VALUES table, gated by
+    PRECOMPUTED_ORACLE_SF). Above the head-buffer size the flush points
+    depend on round-robin arrival order again, so the twin degrades to
+    rows-only there by design. NOT a scale path — the registered
+    default (sequential=False) is."""
+    sketch_input = events.repartition(1) if sequential else events
+    cuts = sketch_input.agg(
         F.percentile_approx("value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]), accuracy).alias("cuts")
     )
     bucketed = events.join(F.broadcast(cuts)).select(  # 1-row broadcast, constant fan-out
@@ -418,8 +436,15 @@ def trimmed_mean_distributed(events: DataFrame, trim: float = 0.1) -> DataFrame:
 def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     sketch path for cardinality at 100 TB (partial-mergeable, no exact
-    distinct shuffle). No SQL oracle (estimates are engine-specific);
-    tests assert relative error vs the exact count."""
+    distinct shuffle). Hash-oracled since round 8: DuckDB can't run
+    Spark's HLL++, so the oracle is a precomputed VALUES table
+    (``hll_expected.py``, generated by ``tools/gen_hll_oracle.py`` — an
+    independent pure-python xxHash64 + HLL++ linear-counting
+    restatement, sound because HLL register max-merge makes the sketch
+    a pure function of the input SET, not of partitioning). Valid only
+    at the generated SF (``PRECOMPUTED_ORACLE_SF`` in queries.py);
+    other SFs degrade to rows-only. Tests additionally assert relative
+    error vs the exact count."""
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users")
     )

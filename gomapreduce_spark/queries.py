@@ -352,6 +352,13 @@ QUERIES: dict[str, QueryFn] = {
     ),
     "trimmed_mean_distributed": lambda s, d: events.trimmed_mean_distributed(load_table(s, d, "events")),
     "value_deciles_approx": lambda s, d: events.value_deciles_approx(load_table(s, d, "events")),
+    # repartition(1) verification twin — ONE partial GK sketch, no
+    # order-dependent merge, single sorted head-buffer flush => pure
+    # function of the value multiset at the oracle SF; hash-oracled via
+    # the independent restatement in tools/gen_vda_oracle.py
+    "value_deciles_approx_seq": lambda s, d: events.value_deciles_approx(
+        load_table(s, d, "events"), sequential=True
+    ),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
     # -- implementation CHANGED this round (re-verify) --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
@@ -2623,6 +2630,22 @@ from .hll_expected import (
 
 ORACLES["approx_distinct_users"] = APPROX_DISTINCT_USERS_SQL
 
+# GK decile oracle (round 9): the repartition(1) twin of
+# value_deciles_approx runs exactly one partial sketch whose only
+# head-buffer flush SORTS first, so its output is a pure function of
+# the value multiset at any SF that fits the 50k head buffer.
+# tools/gen_vda_oracle.py restates Greenwald-Khanna under Spark's
+# scheduling in pure python (merge/query rules pinned by live probes;
+# self-checked at generation time). The registered scale form stays
+# rows-only BY DESIGN — multi-sketch GK merges are
+# shuffle-arrival-order-dependent.
+from .vda_expected import (
+    GENERATED_SF_DIR as _VDA_SF,
+    VALUE_DECILES_APPROX_SEQ_SQL,
+)
+
+ORACLES["value_deciles_approx_seq"] = VALUE_DECILES_APPROX_SEQ_SQL
+
 # n-gram jaccard, parameterized over the hot-shingle df cap so the
 # registered query (capped, mirroring the Spark default) and
 # dedup_recall_audit's ground truth (UNCAPPED — the audit must not
@@ -3018,6 +3041,7 @@ PRECOMPUTED_ORACLE_SF = {
     "knn_pq": _ANN_SF,
     "knn_ivf_pq": _ANN_SF,
     "approx_distinct_users": _HLL_SF,
+    "value_deciles_approx_seq": _VDA_SF,
 }
 
 # -- round-6 additions ------------------------------------------------

@@ -313,13 +313,16 @@ def keyedtext_roundtrip_wordcount(
     key layout itself is API fidelity — the 100 TB form is
     ``df.write.partitionBy("key")`` per the module docstring.
 
-    The scratch dir is DETERMINISTIC PER SESSION (keyed by the Spark
-    applicationId, so concurrent drivers never collide) and removed at
-    interpreter exit: repeated invocations in one bench/oracle/driver
-    pass overwrite ONE directory instead of leaking a fresh mkdtemp
-    per call on the shared host. The returned plan must stay lazy
-    (the driver collects it; the plan gate reads it), so cleanup is
-    atexit rather than inline."""
+    The scratch dir is DETERMINISTIC PER (SESSION, PARAMETERS) —
+    keyed by the Spark applicationId (so concurrent drivers never
+    collide) AND by (every, max_id, chunk_bytes), so a later call with
+    different parameters writes a DIFFERENT directory instead of
+    overwriting the files a previously returned, still-uncollected
+    lazy plan reads (round-8 advisor: same-app aliasing made a stale
+    plan silently read the new subset). Same-parameter calls still
+    reuse one directory rather than leaking a mkdtemp per call. The
+    returned plan must stay lazy (the driver collects it; the plan
+    gate reads it), so cleanup is atexit rather than inline."""
     import atexit
     import shutil
     import tempfile
@@ -336,7 +339,10 @@ def keyedtext_roundtrip_wordcount(
     )
     out = str(
         Path(tempfile.gettempdir())
-        / f"keyedtext_oracle_{spark.sparkContext.applicationId}"
+        / (
+            f"keyedtext_oracle_{spark.sparkContext.applicationId}"
+            f"_e{every}_m{max_id}_c{chunk_bytes}"
+        )
     )
     if out not in _ROUNDTRIP_DIRS:
         _ROUNDTRIP_DIRS.add(out)

@@ -290,6 +290,14 @@ def with_hilbert_key(df: DataFrame, c1: str, c2: str, bits: int = 8, out: str = 
     mask = (1 << bits) - 1
     n = 1 << bits
     xc, yc, dc = f"{out}__x", f"{out}__y", out
+    clash = {xc, yc, dc} & set(df.columns)
+    if clash:
+        # select('*', ...alias(out)) would otherwise produce duplicate
+        # column names and ambiguous downstream references (r8 advisor)
+        raise ValueError(
+            f"with_hilbert_key: generated column name(s) {sorted(clash)} "
+            f"already exist in the input; pass a different out= prefix"
+        )
     cur = df.select(
         "*",
         F.col(c1).cast("long").bitwiseAND(F.lit(mask)).alias(xc),

@@ -333,6 +333,14 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["Window", ") Sort"],  # substring match: any Sort detail node
     },
+    # the repartition(1) VERIFICATION twin (deterministic single-sketch
+    # form for the hash oracle — not a scale path): the one deliberate
+    # single-partition exchange feeds the sketch; everything else must
+    # stay identical to the scale form — no window, no sort fallback
+    "value_deciles_approx_seq": {
+        "partial_agg": True,
+        "forbid": ["Window", ") Sort"],
+    },
     # global top-k tokens: vocabulary count must combine map-side and
     # the top-k must be the distributed partial form (the Window that
     # derives rk only ever sees the k post-limit rows)
@@ -939,6 +947,13 @@ def scaling_hint_lines(df: DataFrame) -> list[str]:
                 stack.append(subs.apply(i))
         except Exception:
             pass
+    if stack:
+        # fail LOUDLY: hints beyond the node budget were never checked,
+        # so the partial walk must not read as clean (r8 advisor)
+        bad.append(
+            f"plan walk truncated at {seen} nodes with {len(stack)} subtrees "
+            f"unvisited — broadcast hints beyond the cutoff are UNCHECKED"
+        )
     return bad
 
 
