@@ -274,12 +274,14 @@ def ngram_jaccard_pairs(
     # shingle pass runs twice. localCheckpoint, not cache: anonymous
     # blocks the ContextCleaner reclaims when the plan is GC'd, so
     # repeated calls in a long session don't accumulate pinned memory.
-    # Pre-partitioned on sh_h BEFORE the checkpoint (LogicalRDD keeps
-    # the partitioning), so the hot-df aggregate, the anti-join's
-    # streamed side, AND both sides of the pair self-join reuse this
-    # ONE exchange of the exploded relation — the capped plan moves the
-    # big relation through the wire once, fewer times than the uncapped
-    # round-7 form did (which exchanged it per self-join side).
+    # Pre-partitioned on sh_h BEFORE the checkpoint. Honest plan note
+    # (r9 executed-plan audit): alias re-analysis re-keys the
+    # checkpointed attributes, so the hot-df aggregate + anti-join
+    # subtree still runs once PER pair-join side — duplicated work
+    # over the compact relation, measured CHEAPER than eliminating it
+    # with a second checkpoint barrier (1.7 s vs 2.2 s at sf0.1), and
+    # the pre-partition is still worth ~0.2 s. Total cap cost vs the
+    # uncapped form: +15 % interleaved matched-calib (SCALE.md r9).
     sh = (
         shingle_arrays(docs)
         .where(F.size("shingles") > 0)
