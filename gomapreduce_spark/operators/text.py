@@ -1409,13 +1409,33 @@ def _bpe_word_freqs(docs: DataFrame, top_words: int | None) -> list[tuple[str, i
     return [(r["w"], r["n"]) for r in rows]
 
 
-def _bpe_merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[int, str, str, int]]:
-    """Driver-side merge selection over the bounded word-freq dict —
-    the loop every BPE trainer runs (HF tokenizers included): count
-    adjacent symbol pairs weighted by word frequency, merge the
-    argmax, repeat. Deterministic: ties break (count desc, pair lex
-    asc); words carry an end-of-word sentinel so suffixes and free
-    tokens stay distinct symbols."""
+def _bpe_rewrite(syms: list[str], left: str, right: str, fused: str) -> list[str]:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    (left, right) symbol pair — the rewrite step both merge loops and
+    the encode pass share, so their semantics cannot drift apart."""
+    i, out = 0, []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_merge_loop_reference(
+    freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The textbook merge loop (Sennrich et al. 2016, Algorithm 1
+    verbatim): full pair recount over every word each iteration, merge
+    the argmax, repeat. O(n_merges × Σ|word|) — the REFERENCE
+    SEMANTICS, kept as the parity twin for :func:`_bpe_merge_loop`
+    (tests/test_bpe_fidelity.py asserts the fast loop reproduces it
+    exactly) and measured in SCALE.md's production-depth table (~100×
+    slower at n_merges=1k on a 100k-word dict). Deterministic: ties
+    break (count desc, pair lex asc); words carry an end-of-word
+    sentinel so suffixes and free tokens stay distinct symbols."""
     from collections import Counter
 
     words = [([*w] + ["</w>"], n) for w, n in freqs]
@@ -1431,15 +1451,85 @@ def _bpe_merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[i
         merges.append((rank, left, right, cnt))
         fused = left + right
         for k, (syms, n) in enumerate(words):
-            i, out = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(fused)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[k] = (out, n)
+            words[k] = (_bpe_rewrite(syms, left, right, fused), n)
+    return merges
+
+
+def _bpe_merge_loop(freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge selection over the bounded word-freq dict —
+    the INCREMENTAL form every production BPE trainer uses (HF
+    tokenizers' priority queue, Sennrich's indexed learn_bpe): pair
+    counts are maintained by exact deltas (only words CONTAINING the
+    merged pair are touched, found via a pair→word inverted index) and
+    the argmax comes from a lazy max-heap keyed (-count, pair) — the
+    same (count desc, pair lex asc) tie order as the reference loop,
+    whose full-recount semantics this reproduces EXACTLY (parity
+    pinned in tests/test_bpe_fidelity.py at fixture and synthetic-Zipf
+    scale; byte-identical VALUES oracles unchanged). Init is
+    O(Σ|word|); each merge costs O(words containing the pair × their
+    length) instead of a full dict sweep — at production depth
+    (n_merges=32k over a 100k-word Zipf dict) that is minutes instead
+    of the reference loop's days (measured: SCALE.md round-9 table).
+
+    When even the frequency HEAD cannot fit on the driver, the
+    distributed escape hatch keeps the same iteration structure with
+    Spark doing each round's work: symbolized words live in a
+    DataFrame, each round is (1) a pair-count partial+final agg
+    (exactly :func:`bpe_pair_counts`'s shape), (2) TakeOrdered(1) for
+    the argmax under the same tie order, (3) one narrow mapInPandas
+    rewrite pass of words containing the pair — O(n_merges) tiny jobs,
+    each corpus-bounded, none driver-bounded. That trades driver
+    memory for per-round scheduling latency, so it only wins when the
+    dict genuinely exceeds driver memory — document-scale corpora
+    with bounded vocab heads never need it."""
+    import heapq
+
+    words = [([*w] + ["</w>"], n) for w, n in freqs]
+    stats: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], dict[int, int]] = {}
+    for k, (syms, n) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + n
+            d = where.setdefault(p, {})
+            d[k] = d.get(k, 0) + 1
+    heap = [(-c, p) for p, c in stats.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        # lazy-pop stale entries (count changed since push)
+        while heap and stats.get(heap[0][1], 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
+            break
+        cnt = -heap[0][0]
+        left, right = heap[0][1]
+        merges.append((rank, left, right, cnt))
+        fused = left + right
+        touched: set[tuple[str, str]] = set()
+        for k in list(where.get((left, right), {})):
+            syms, n = words[k]
+            new_syms = _bpe_rewrite(syms, left, right, fused)
+            # exact deltas: retract this word's old pairs, add its new ones
+            for p in zip(syms, syms[1:]):
+                stats[p] -= n
+                d = where[p]
+                d[k] -= 1
+                if d[k] == 0:
+                    del d[k]
+                touched.add(p)
+            for p in zip(new_syms, new_syms[1:]):
+                stats[p] = stats.get(p, 0) + n
+                d = where.setdefault(p, {})
+                d[k] = d.get(k, 0) + 1
+                touched.add(p)
+            words[k] = (new_syms, n)
+        for p in touched:
+            c = stats.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                stats.pop(p, None)
+                where.pop(p, None)
     return merges
 
 

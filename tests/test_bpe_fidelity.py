@@ -18,6 +18,7 @@ from __future__ import annotations
 from gomapreduce_spark.operators.text import (
     BPE_N_MERGES,
     _bpe_merge_loop,
+    _bpe_merge_loop_reference,
     _bpe_word_freqs,
     bpe_learn_merges,
 )
@@ -80,3 +81,32 @@ def test_zipf_head_training_divergence_point_is_past_production_depth():
     for a, b in zip(m_full[:BPE_N_MERGES], m_head[:BPE_N_MERGES]):
         assert a[1:3] == b[1:3]
         assert 0 <= a[3] - b[3] <= tail_mass
+
+
+def test_incremental_loop_reproduces_reference_exactly():
+    """The production-depth loop (round-9): the incremental delta+heap
+    form must reproduce the textbook full-recount reference loop
+    BIT-IDENTICALLY — ranks, pairs, tie order, and counts — deep into
+    a heavy-tail dictionary, including past the point where merged
+    symbols themselves start pairing (multi-level merges) and through
+    count-tie runs where only the lex order decides. 300 merges over
+    the 6000-word Zipf dict exercises all of it; the fixture-corpus
+    oracle VALUES (unchanged since r7) pin the registered depth."""
+    order = _zipf_freqs()
+    assert _bpe_merge_loop(list(order), 300) == _bpe_merge_loop_reference(list(order), 300)
+
+
+def test_incremental_loop_edge_dicts():
+    """Degenerate shapes the delta bookkeeping must survive: repeated
+    symbols inside one word (overlapping pair occurrences, greedy
+    non-overlap rewrite), single-char words (sentinel-only pairs), and
+    a dict that EXHAUSTS (every word fused to one symbol) before the
+    requested depth — the loop must stop where the reference stops."""
+    cases = [
+        [("aaaa", 5), ("aa", 3), ("a", 9)],
+        [("ab", 2), ("ba", 2), ("abba", 1)],
+        [("x", 1)],
+        [("ab", 7), ("ab", 3)],  # duplicate words keep independent slots
+    ]
+    for freqs in cases:
+        assert _bpe_merge_loop(list(freqs), 50) == _bpe_merge_loop_reference(list(freqs), 50)
