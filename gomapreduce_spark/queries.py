@@ -554,76 +554,78 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 8 executes the round-7 verdict's rotation order
-# (item 6): the ENTIRE stale r1-r4 tail leads (43 queries — every
-# entry whose last driver row is r4 or older), then the round-8
-# additions/changes (1 new + 6 touched). That sums to exactly the
-# 50-row budget, so the four always-green core demos (wordcount,
-# mr_wordcount, group_collect, sum_reduce — driver rows r1-r7, the
-# LEAST stale entries in the repo) cede their head slots this round
-# and rotate back in r9. Every entry is still re-verified each round
-# by pytest + tools/check_oracle.py regardless of position.
-_R8_PRIORITY = [
-    # (a) the stale r1-r4 tail, stalest-first (last driver row in the comment)
-    "window_rank_showcase",       # r1
-    "exact_dedup",                # r3
-    "knn_bruteforce",             # r3
-    "minhash_signatures",         # r3
-    "ngram_jaccard_pairs",        # r3 — ALSO changed in r8 (hot-shingle df cap)
-    "profile_events",             # r3
-    "q1_pricing_summary",         # r3
-    "q6_forecast_revenue",        # r3
-    "simhash",                    # r3
-    "training_corpus",            # r3
-    "approx_distinct_users",      # r4 — ALSO promoted in r8 (HLL++ VALUES oracle)
-    "array_funcs_showcase",       # r4
-    "audio_chunk_stats",          # r4
-    "benchmark_overlap",          # r4
-    "bigram_stats",               # r4
-    "chunk_documents",            # r4
-    "corpus_mixture",             # r4
-    "doc_fingerprint",            # r4
-    "embedding_doc_join",         # r4
-    "frame_stats",                # r4 — also the round-7 bench-mover re-check
-    "gopher_rules",               # r4
-    "heavy_hitters",              # r4
-    "inverted_index",             # r4
-    "lang_id",                    # r4
-    "pack_training_sequences",    # r4
-    "pii_scrub",                  # r4
-    "quality_score",              # r4
-    "repetition_stats",           # r4
-    "sessionize",                 # r4
-    "simhash_pairs",              # r4
-    "sliding_window_counts",      # r4
-    "stratified_sample",          # r4
-    "streaming_dedup_events",     # r4
-    "streaming_gopher_filter",    # r4
-    "streaming_interval_join",    # r4
-    "streaming_session_windows",  # r4
-    "streaming_sliding_counts",   # r4
-    "streaming_stateful_sessions",# r4
-    "streaming_tumbling_counts",  # r4
-    "value_deciles_approx",       # r4 — rows-only; dual-bound tests added r8
-    # (tf_idf / token_stats / trimmed_mean_distributed — the last three
-    # of the r4 block — cede their slots to the three late-round-8
-    # touched queries below, keeping "≥40 stalest + ALL r8-touched"
-    # inside the 50-row budget; they lead the r9 stale block)
-    # (b) NEW in round 8 — no driver row exists yet
-    "attribution_last_touch",     # last-touch revenue attribution, no-join window form
-    # (c) implementation or oracle changed in round 8
-    "dedup_recall_audit",         # sample_mod + NULL guards + UNCAPPED ground truth
-    "mad_outliers",               # MAD=0 divide guard (advisor)
-    "heavy_hitters_approx",       # content-hash repartition + deterministic ties
-    "keyedtext_wordcount",        # deterministic per-app scratch dir (advisor)
-    "bpe_learn_merges",           # full-dict verification mode (top_words=None)
-    "bpe_encode_stats",           # same signature widening
-    "knn_lsh",                    # hot-bucket cap added (fixture output unchanged)
-    "knn_ivf_pq",                 # shared training sample (output byte-identical)
-    "hard_negative_mining",       # zero-norm cosine exclusion (guarded divide)
+# round. Round 9 executes the round-8 verdict's rotation order
+# (item 1): the seven queries that ceded r8 slots lead, then the
+# ENTIRE remaining r5 pool (32 — after r9 every registered query's
+# last driver row is r6+), then the seven stalest r6 entries
+# (registration order — including `boilerplate_spans`, the r8 bench
+# flag, which gets a fresh driver row), then the round-9 addition and
+# touched queries. Exactly the 50-row budget. Every entry is still
+# re-verified each round by pytest + tools/check_oracle.py regardless
+# of position.
+_R9_PRIORITY = [
+    # (a) the seven that ceded r8 slots (last driver row in the comment)
+    "tf_idf",                     # r4
+    "trimmed_mean_distributed",   # r4
+    "token_stats",                # r4
+    "wordcount",                  # r7 — core demo, verdict-named
+    "mr_wordcount",               # r7 — core demo, verdict-named
+    "group_collect",              # r7 — core demo, verdict-named
+    "sum_reduce",                 # r7 — core demo, verdict-named
+    # (b) the complete r5 pool, registration order
+    "multimodal_features",        # r5
+    "q13_customer_distribution",  # r5
+    "q22_global_sales_opportunity",  # r5
+    "paragraph_dedup",            # r5
+    "lm_perplexity",              # r5
+    "incremental_dedup",          # r5
+    "ordered_funnel",             # r5
+    "rolling_active_users",       # r5
+    "retention_cohorts",          # r5
+    "dsir_weights",               # r5
+    "token_budget_sample",        # r5
+    "grouping_sets_revenue",      # r5
+    "k_anonymity_audit",          # r5
+    "chunk_documents_udtf",       # r5
+    "full_outer_user_activity",   # r5
+    "map_funcs_showcase",         # r5 — also an r8 sub-second mover (re-row)
+    "math_funcs_showcase",        # r5
+    "quality_classifier",         # r5
+    "regression_stats",           # r5
+    "corpus_quality_report",      # r5
+    "bm25_search",                # r5
+    "distribution_drift",         # r5
+    "ngram_novelty",              # r5
+    "vocab_coverage",             # r5
+    "monthly_revenue_trend",      # r5
+    "bloom_decontamination",      # r5
+    "q11_important_parts",        # r5 — the r7-postmortem'd scheduler-bound query
+    "q12_late_by_returnflag",     # r5
+    "q15_top_supplier",           # r5
+    "q20_excess_suppliers",       # r5
+    "streaming_left_outer_join",  # r5
+    "streaming_chained_windows",  # r5
+    # (c) the seven stalest r6 entries, registration order
+    "winnow_fingerprints",        # r6
+    "embedding_dedup_clusters",   # r6
+    "canonical_docs",             # r6
+    "leakage_safe_split",         # r6
+    "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
+    "image_dhash_index",          # r6
+    "audio_spectral",             # r6
+    # (d) NEW in round 9 — no driver row exists yet
+    "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
+    # (e) implementation changed in round 9 (outputs pinned identical,
+    # re-rowed anyway): the BPE merge loop is now incremental
+    # delta+heap; keyedtext's scratch dir is keyed per-parameters.
+    # (dedup_recall_audit gained only a sample_mod=1 RuntimeWarning —
+    # plan and output untouched, r8 row stands)
+    "bpe_learn_merges",           # r8
+    "bpe_encode_stats",           # r8
+    "keyedtext_wordcount",        # r8
 ]
-_order = [n for n in QUERIES if n not in _R8_PRIORITY]
-_order[0:0] = _R8_PRIORITY
+_order = [n for n in QUERIES if n not in _R9_PRIORITY]
+_order[0:0] = _R9_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
