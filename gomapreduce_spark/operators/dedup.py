@@ -1610,3 +1610,127 @@ def lpa_communities(docs: DataFrame, threshold: float = 0.5, iters: int = 3) -> 
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("community"), F.col("n_members").cast("long").alias("n_members")
     )
+
+
+def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> DataFrame:
+    """EXACT shingle-set Jaccard self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW 2007, "Scaling
+    Up All Pairs Similarity Search"; Xiao, Wang, Lin & Yu, WWW 2008,
+    "Efficient Similarity Joins for Near Duplicate Detection").
+
+    The lossless exact twin of :func:`ngram_jaccard_pairs`: same
+    semantics (word-3-gram shingle Jaccard ≥ threshold), but where the
+    df cap is a one-sided approximation (capped pairs can only
+    UNDER-report), prefix filtering bounds the pair join with ZERO
+    recall loss: order every document's distinct shingles by one
+    global total order (document frequency ascending, hash ascending —
+    rarest first); any pair with ``J(x, y) >= t`` must share a shingle
+    inside BOTH documents' first ``|x| - ceil(t*|x|) + 1`` shingles.
+    Proof: ``J >= t`` forces overlap ``O >= t*(|x|+|y|)/(1+t) >=
+    t*|x|`` for both sides (the size filter ``|y| >= t*|x|`` makes the
+    worst case ``|y| = t*|x|``, where the bound is tight); if no
+    common shingle sat in x's prefix, all common shingles would fit in
+    the ``ceil(t*|x|) - 1 < O`` suffix positions — contradiction. Hot
+    boilerplate shingles have maximal df, sort LAST, and fall out of
+    every large document's prefix — the O(df²) blow-up the cap guards
+    against never enters the join.
+
+    Scale shape: the shingle Arrow pass runs ONCE into a compact
+    (doc_id, n_sh, tok_h) relation, pre-partitioned on tok_h and
+    localCheckpointed; the df aggregate reuses that exchange. Prefix
+    extraction is one doc_id window (row_number over (df, tok_h));
+    the checkpointed prefix relation feeds both sides of the
+    candidate equi-join, whose fan-out is bounded by rare-shingle
+    collisions instead of corpus df — observed, never silent, via the
+    ``ppjoin_candidates`` CollectMetrics. Verification joins the
+    candidate pairs back to the SAME checkpointed shingle relation
+    (semi-join-bounded: only candidate docs' shingles ship) and counts
+    the exact intersection; sizes/thresholds stay in int64 micro-units
+    (``ceil(t*n) = (n*t_micro + 999999) div 1e6``) so no float enters
+    a pruning decision. At 100 TB this is the exact-tier companion to
+    MinHash/LSH: run LSH for recall-tunable candidates, PPJoin when
+    the contract is exact pairs.
+    """
+    t_micro = int(round(threshold * 1_000_000))
+    tok = (
+        shingle_arrays(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.size("shingles").alias("n_tok"), F.explode("shingles").alias("token"))
+        .select("doc_id", "n_tok", h64(F.col("token")).alias("tok_h"))
+        .repartition(F.col("tok_h"))
+    ).localCheckpoint()
+    df_tok = tok.groupBy("tok_h").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length L = n_tok - ceil(t*n_tok) + 1, all-integer
+    prefix = (
+        tok.join(df_tok, "tok_h")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok_h"))),
+        )
+        .where(
+            F.col("pos")
+            <= F.col("n_tok")
+            - F.expr(f"(n_tok * {t_micro}L + 999999L) div 1000000L")
+            + F.lit(1)
+        )
+        .select("doc_id", "n_tok", "pos", "tok_h")
+        .repartition(F.col("tok_h"))
+    ).localCheckpoint()
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: required overlap α = ceil(t(|x|+|y|)/(1+t));
+    # a matching prefix token at (pos_a, pos_b) bounds the achievable
+    # overlap by 1 + min(|x|-pos_a, |y|-pos_b). Pruning per matching row
+    # is lossless: a qualifying pair's FIRST common token (global order)
+    # has no common token before it on either side, so its bound is
+    # valid and ≥ α — that row always survives. Integers throughout
+    # (α via floor((t(na+nb) + (1+t) - ulp)/(1+t)) in micro-units;
+    # products ≤ 2e12 « 2^53, so the double division is exact).
+    alpha = F.floor(
+        (
+            F.lit(t_micro) * (F.col("a.n_tok") + F.col("b.n_tok"))
+            + F.lit(1_000_000 + t_micro - 1)
+        )
+        / F.lit(1_000_000 + t_micro)
+    ).cast("long")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok_h") == F.col("b.tok_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: t*|x| <= |y| and t*|y| <= |x| (int micro-units)
+            & (F.col("b.n_tok") * F.lit(1_000_000) >= F.col("a.n_tok") * F.lit(t_micro))
+            & (F.col("a.n_tok") * F.lit(1_000_000) >= F.col("b.n_tok") * F.lit(t_micro))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n_tok") - F.col("a.pos"), F.col("b.n_tok") - F.col("b.pos")
+                )
+                >= alpha
+            ),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.min("a.n_tok").alias("n_a"), F.min("b.n_tok").alias("n_b"))
+        # candidate volume rides the plan as a named CollectMetrics by
+        # default (no-silent rule); tests pass a pyspark Observation to
+        # read the count directly and prove the prefix filter engages
+        .observe(
+            observation if observation is not None else "ppjoin_candidates",
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok_h")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok_h")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok_h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

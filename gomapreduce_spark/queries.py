@@ -367,6 +367,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
     "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
     "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(load_table(s, d, "documents")),
+    "ppjoin_pairs": lambda s, d: dedup.ppjoin_pairs(load_table(s, d, "documents")),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -612,9 +613,11 @@ _R9_PRIORITY = [
     "leakage_safe_split",         # r6
     "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
     "image_dhash_index",          # r6
-    "audio_spectral",             # r6
+    # (audio_spectral — r6 — cedes its filler slot to the second new
+    # r9 query below; it leads the r10 stale block)
     # (d) NEW in round 9 — no driver row exists yet
     "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
+    "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
     # (e) implementation changed in round 9 (outputs pinned identical,
     # re-rowed anyway): the BPE merge loop is now incremental
     # delta+heap; keyedtext's scratch dir is keyed per-parameters.
@@ -2681,6 +2684,12 @@ def _jaccard_sql(cap: int | None) -> str:
 # true set sizes predate the cap, so the capped jaccard can only
 # under-report (n/(A+B-n) is increasing in n) — mirrors max_df=1024
 ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(1024)
+
+# ppjoin_pairs is EXACT (prefix filtering is lossless), so its oracle
+# is the uncapped brute-force jaccard — the strongest statement the
+# harness can make: the clever scale plan and the naive SQL agree
+# bit-for-bit, with no cap mirrored anywhere.
+ORACLES["ppjoin_pairs"] = _jaccard_sql(None)
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the
 # EXACT head whenever each reported token survives every partition's

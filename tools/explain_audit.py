@@ -730,6 +730,15 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # prefix-filtered exact set-similarity join: every join is an
+    # equi-join (prefix candidates on tok_h, verification on
+    # doc/tok keys), pair counts partial-agg, no hints anywhere —
+    # the lossless-twin contract of the jaccard family
+    "ppjoin_pairs": {
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # hybrid retrieval: the corpus-sized work is the BM25 stage (term
     # filter pushed to the scan, partial-agg tf, bounded top-k); the
     # checkpoint cut hides it here, so this gate pins the rerank tail:
