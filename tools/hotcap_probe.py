@@ -120,6 +120,28 @@ def main() -> int:
         f"lsh @60%: cap {lu2[0] / lc2[0]:.1f}x faster "
         f"({lu2[1] - lc2[1]} quadratic candidates suppressed)"
     )
+
+    # PPJoin regime: hot boilerplate embedded in otherwise-DISSIMILAR
+    # docs (a cookie banner prepended to every organic text). Here the
+    # df cap is WRONG (banner shingles genuinely push some pairs over
+    # the threshold — one-sided under-report made concrete), brute
+    # force pays 18 hot shingles × C(n,2) join rows, and ppjoin's
+    # prefix order puts the banner shingles LAST — out of every
+    # prefix — so it returns the exact answer at bounded cost.
+    banner = " ".join(f"cb{i}" for i in range(20)) + " "
+    bdocs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("text", F.concat(F.lit(banner), F.col("text")))
+        .localCheckpoint()
+    )
+    bdocs.count()
+    pp = timed("ppjoin_pairs banner-100%", dedup.ppjoin_pairs(bdocs))
+    bu = timed("ngram_jaccard UNCAPPED banner", dedup.ngram_jaccard_pairs(bdocs, max_df=None))
+    bc = timed("ngram_jaccard capped banner", dedup.ngram_jaccard_pairs(bdocs))
+    print(
+        f"ppjoin: exact answer {bu[0] / pp[0]:.1f}x faster than brute force "
+        f"(same {pp[1]} pairs); the capped form under-reports {bu[1] - bc[1]} pairs here"
+    )
     return 0
 
 
