@@ -410,6 +410,56 @@ def stratified_sample(docs: DataFrame, target_per_stratum: int = 50) -> DataFram
     )
 
 
+def weighted_sample(
+    docs: DataFrame, rate: float = 0.2, seed: str = "ws|", weight_col: str | None = None
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling — the
+    importance-sampling member of the sampling family (the step that
+    APPLIES a quality/DSIR-style weight to thin a corpus, where
+    :func:`stratified_sample` balances strata and
+    :func:`token_budget_sample` enforces a budget).
+
+    Each doc is kept with probability ``min(1, rate * w_i * N / W)``
+    (``W = Σw``), so the expected sample size is ``rate * N`` with
+    inclusion odds proportional to weight. Membership is decided by a
+    seeded content-independent hash, and the probability comparison is
+    a MULTIPLY-compare — ``pmod(h64(doc_id), 1e6) * W <
+    rate_micro * w_i * N`` — carried in DECIMAL(38,0) so no division
+    and no float ever enters the decision (``h*W ≤ 1e6 · 1e16`` at
+    N=1e10 docs overflows int64; decimal keeps it exact at any corpus
+    size, and a zero total weight degenerates to an empty sample with
+    no guarded divide needed).
+
+    Weights default to :func:`quality_score`'s [0,1] composite in
+    micro-units; pass ``weight_col`` (int64 micro-units) to supply
+    DSIR or any other importance weight. Dataflow: one narrow scoring
+    pass, one 1-row (N, W) aggregate joined back (AQE broadcasts a
+    1-row relation), one filter — the corpus is never shuffled.
+    """
+    rate_micro = int(round(rate * 1_000_000))
+    if weight_col is None:
+        w = quality_score(docs).select(
+            "doc_id", F.round(F.col("quality") * 1_000_000).cast("long").alias("w_micro")
+        )
+        w = docs.select("doc_id", "source").join(w, "doc_id")
+    else:
+        w = docs.select("doc_id", "source", F.col(weight_col).cast("long").alias("w_micro"))
+    tot = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.coalesce(F.sum("w_micro"), F.lit(0)).cast("long").alias("w_total"),
+    )
+    dec = "decimal(38,0)"
+    keep = (
+        F.pmod(h64(F.col("doc_id").cast("string"), seed=seed), F.lit(1_000_000)).cast(dec)
+        * F.col("w_total").cast(dec)
+    ) < F.lit(rate_micro).cast(dec) * F.col("w_micro").cast(dec) * F.col("n_total").cast(dec)
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .where(keep)
+        .select("doc_id", "source", F.col("w_micro").alias("weight_micro"))
+    )
+
+
 def corpus_mixture(docs: DataFrame, budget_tokens: int = 1_000_000, alpha: float = 0.5) -> DataFrame:
     """Temperature-smoothed training-mixture allocation: per-language
     token counts → share of corpus → sampling weight ∝ share^alpha

@@ -363,6 +363,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- implementation CHANGED this round (re-verify) --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
     "quality_score": lambda s, d: text.quality_score(load_table(s, d, "documents")),
+    "weighted_sample": lambda s, d: text.weighted_sample(load_table(s, d, "documents")),
     "lang_id": lambda s, d: text.lang_id(load_table(s, d, "documents")),
     "doc_fingerprint": lambda s, d: text.doc_fingerprint(load_table(s, d, "documents")),
     "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
@@ -612,12 +613,13 @@ _R9_PRIORITY = [
     "canonical_docs",             # r6
     "leakage_safe_split",         # r6
     "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
-    "image_dhash_index",          # r6
-    # (audio_spectral — r6 — cedes its filler slot to the second new
-    # r9 query below; it leads the r10 stale block)
+    # (image_dhash_index / audio_spectral — r6 — cede their filler
+    # slots to the two newest r9 queries below; they lead the r10
+    # stale block)
     # (d) NEW in round 9 — no driver row exists yet
     "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
     "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
+    "weighted_sample",            # decimal multiply-compare importance sampler
     # (e) implementation changed in round 9 (outputs pinned identical,
     # re-rowed anyway): the BPE merge loop is now incremental
     # delta+heap; keyedtext's scratch dir is keyed per-parameters.
@@ -2851,6 +2853,37 @@ ORACLES["calibrated_quality"] = rf"""
            (quality >= 0.5) AS keep_raw,
            (pct_rank >= 0.5) AS keep_cal
     FROM p
+""".replace("{toks}", _TOKS)
+
+# weighted_sample: the quality CTE in micro-units + a HUGEINT
+# multiply-compare — the exact twin of the Spark DECIMAL(38,0) form
+# (no division, no float in the inclusion decision; W=0 degenerates
+# to an empty sample on both sides).
+ORACLES["weighted_sample"] = rf"""
+    WITH c AS (
+      SELECT doc_id, source, text, {{toks}} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(t) AS nt, greatest(len(t), 1) AS n,
+             len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS stop_hits,
+             len(list_distinct(t)) AS n_uniq,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             greatest(length(text), 1) AS len_text
+      FROM c
+    ), w AS (
+      SELECT doc_id, source,
+             CAST(round(round(0.3 * least(nt::DOUBLE / 100.0, 1.0)
+                   + 0.3 * least(stop_hits::DOUBLE / n * 5, 1.0)
+                   + 0.2 * (n_uniq::DOUBLE / n)
+                   + 0.2 * (n_alpha::DOUBLE / len_text), 6) * 1000000) AS BIGINT) AS w_micro
+      FROM m
+    ), tot AS (
+      SELECT count(*) AS n_total, coalesce(sum(w_micro), 0) AS w_total FROM w
+    )
+    SELECT doc_id, source, w_micro AS weight_micro
+    FROM w, tot
+    WHERE (({_H.format(s="'ws|' || doc_id")} % 1000000)::HUGEINT * w_total::HUGEINT)
+          < (200000::HUGEINT * w_micro::HUGEINT * n_total::HUGEINT)
 """.replace("{toks}", _TOKS)
 
 # session_paths: the sessionize tagging CTE + ordered string_agg —

@@ -462,6 +462,15 @@ AUDITS: dict[str, dict] = {
         # map-side, final on one task) — bounded by construction
         "max_single_partition": 1,
     },
+    # importance sampler: the (N, W) totals are a 1-row global agg
+    # broadcast back onto the scored corpus (static maxRows=1 — the
+    # structural hint gate validates it); the inclusion decision is a
+    # decimal multiply-compare filter, never a shuffle of the corpus
+    "weighted_sample": {
+        "partial_agg": True,
+        "forbid": ["CartesianProduct", "SortMergeJoin", "Window"],
+        "max_single_partition": 1,
+    },
     # budget sampler: ONE keyed shuffle into (lang, bucket) windows;
     # no join, no global sort
     "token_budget_sample": {
