@@ -49,6 +49,24 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_expr():
+    """The [0,1] quality composite as a plain Column expression —
+    usable in batch AND streaming projections (narrow, stateless)."""
+    toks = tokenize("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / n
+    return F.round(
+        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * ttr + 0.2 * alpha_ratio, 6
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length, stopword ratio, type-token
     ratio, alpha ratio → a [0,1] composite. Mirrors the usual LLM-corpus
@@ -61,11 +79,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
         / F.greatest(F.length("text"), F.lit(1))
     )
-    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
     stop_ratio = stop_hits.cast("double") / n
-    score = F.round(
-        0.3 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.2 * ttr + 0.2 * alpha_ratio, 6
-    )
+    score = quality_expr()
     return docs.select(
         "doc_id",
         F.col("n_chars"),
@@ -438,12 +453,12 @@ def weighted_sample(
     """
     rate_micro = int(round(rate * 1_000_000))
     if weight_col is None:
-        w = quality_score(docs).select(
-            "doc_id", F.round(F.col("quality") * 1_000_000).cast("long").alias("w_micro")
-        )
-        w = docs.select("doc_id", "source").join(w, "doc_id")
+        # quality as an inline expression: ONE corpus scan (a
+        # quality_score join-back would scan documents twice)
+        w_expr = F.round(quality_expr() * 1_000_000).cast("long")
     else:
-        w = docs.select("doc_id", "source", F.col(weight_col).cast("long").alias("w_micro"))
+        w_expr = F.col(weight_col).cast("long")
+    w = docs.select("doc_id", "source", w_expr.alias("w_micro"))
     tot = w.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.coalesce(F.sum("w_micro"), F.lit(0)).cast("long").alias("w_total"),

@@ -516,6 +516,20 @@ def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_static_enrichment"] = _streaming_enrichment
 
 
+def _streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_weighted_sample
+
+    return streaming_weighted_sample(
+        spark, f"{sf_dir}/documents.parquet", load_table(spark, sf_dir, "documents")
+    )
+
+
+# stateless row-level importance thinning calibrated by the static
+# snapshot: on a finite replay of the same corpus the output equals
+# batch weighted_sample, so it shares that full value-hash oracle
+QUERIES["streaming_weighted_sample"] = _streaming_weighted_sample
+
+
 def _streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import streaming_left_outer_interval_join
 
@@ -611,15 +625,15 @@ _R9_PRIORITY = [
     "winnow_fingerprints",        # r6
     "embedding_dedup_clusters",   # r6
     "canonical_docs",             # r6
-    "leakage_safe_split",         # r6
     "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
-    # (image_dhash_index / audio_spectral — r6 — cede their filler
-    # slots to the two newest r9 queries below; they lead the r10
-    # stale block)
+    # (image_dhash_index / audio_spectral / leakage_safe_split — r6 —
+    # cede their filler slots to the three newest r9 queries below;
+    # they lead the r10 stale block)
     # (d) NEW in round 9 — no driver row exists yet
     "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
     "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
     "weighted_sample",            # decimal multiply-compare importance sampler
+    "streaming_weighted_sample",  # its stateless streaming twin (shared oracle)
     # (e) implementation changed in round 9 (outputs pinned identical,
     # re-rowed anyway): the BPE merge loop is now incremental
     # delta+heap; keyedtext's scratch dir is keyed per-parameters.
@@ -2885,6 +2899,10 @@ ORACLES["weighted_sample"] = rf"""
     WHERE (({_H.format(s="'ws|' || doc_id")} % 1000000)::HUGEINT * w_total::HUGEINT)
           < (200000::HUGEINT * w_micro::HUGEINT * n_total::HUGEINT)
 """.replace("{toks}", _TOKS)
+
+# the streaming importance thinner replays the same corpus against
+# totals calibrated from it — identical rows as the batch sampler
+ORACLES["streaming_weighted_sample"] = ORACLES["weighted_sample"]
 
 # session_paths: the sessionize tagging CTE + ordered string_agg —
 # the ORDER BY step inside the aggregate states the same fold order

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.hashing import h64
+
 def _read_parquet_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -527,6 +529,60 @@ def streaming_gopher_filter(spark: SparkSession, docs_path: str) -> DataFrame:
 
     stream = _read_parquet_stream(spark, docs_path)
     return _run_to_memory(gopher_rules(stream), "append")
+
+
+def streaming_weighted_sample(
+    spark: SparkSession,
+    docs_path: str,
+    static_docs: DataFrame,
+    rate: float = 0.2,
+    seed: str = "ws|",
+) -> DataFrame:
+    """Streaming importance thinning: the batch
+    :func:`~..operators.text.weighted_sample` decision applied to a
+    DOCUMENTS firehose — keep each arriving doc with probability
+    ``min(1, rate * w * N / W)``, weights from the same quality
+    composite, membership from the same seeded hash.
+
+    The (N, W) calibration totals come from the STATIC corpus snapshot
+    (the production shape: a nightly profile calibrates the thinning
+    rate; the stream is scored row-by-row against it, so the filter is
+    completely STATELESS — no watermark, no join state, O(1) memory at
+    any ingest rate, and re-calibration is a constant swap between
+    micro-batches). The totals are a 1-row bounded aggregate collected
+    once at plan time (the ``limit(cap)`` collect doctrine), entering
+    the plan as literals in the same DECIMAL(38,0) multiply-compare as
+    the batch form — no division, float, or RNG in the decision.
+
+    Row-level and deterministic: on a finite replay of the same corpus
+    the output EQUALS the batch ``weighted_sample``, so this streaming
+    query carries the batch form's full value-hash DuckDB oracle
+    (like ``streaming_gopher_filter``), plus batch-parity and
+    micro-batch-split-invariance tests."""
+    from ..operators.text import quality_expr
+
+    rate_micro = int(round(rate * 1_000_000))
+    w_expr = F.round(quality_expr() * 1_000_000).cast("long")
+    n_total, w_total = (
+        static_docs.select(w_expr.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w"),
+        )
+        .first()
+    )
+    dec = "decimal(38,0)"
+    stream = _read_parquet_stream(spark, docs_path)
+    keep = (
+        F.pmod(h64(F.col("doc_id").cast("string"), seed=seed), F.lit(1_000_000)).cast(dec)
+        * F.lit(int(w_total)).cast(dec)
+    ) < F.lit(rate_micro).cast(dec) * F.col("w_micro").cast(dec) * F.lit(int(n_total)).cast(dec)
+    thinned = (
+        stream.select("doc_id", "source", w_expr.alias("w_micro"))
+        .where(keep)
+        .select("doc_id", "source", F.col("w_micro").alias("weight_micro"))
+    )
+    return _run_to_memory(thinned, "append")
 
 
 def streaming_static_enrichment(

@@ -417,6 +417,37 @@ def test_streaming_gopher_filter_matches_batch(spark, sf_small):
     assert got == want and len(got) > 0
 
 
+def test_streaming_weighted_sample_matches_batch(spark, sf_small):
+    """The streaming importance thinner, calibrated by the static
+    snapshot of the same corpus, must equal batch weighted_sample
+    row-for-row on a static replay (shared oracle contract)."""
+    from gomapreduce_spark.operators.text import weighted_sample
+    from gomapreduce_spark.streaming import streaming_weighted_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    batch = weighted_sample(docs)
+    stream = streaming_weighted_sample(spark, f"{sf_small}/documents.parquet", docs)
+    got, want = _as_set(stream.select(*batch.columns)), _as_set(batch)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_weighted_sample_split_invariant(spark, sf_small, tmp_path):
+    """A stateless per-row decision cannot depend on micro-batch
+    boundaries: streaming the corpus as a 3-file directory yields the
+    same sample as the single-file replay."""
+    import os
+
+    from gomapreduce_spark.streaming import streaming_weighted_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs")
+    os.makedirs(mb_dir, exist_ok=True)
+    docs.repartition(3).write.mode("overwrite").parquet(mb_dir)
+    single = _as_set(streaming_weighted_sample(spark, f"{sf_small}/documents.parquet", docs))
+    multi = _as_set(streaming_weighted_sample(spark, mb_dir, docs))
+    assert single == multi and len(single) > 0
+
+
 def test_streaming_chained_windows_matches_batch(spark, sf_small):
     """The two-tier chained rollup equals the equivalent batch two-level
     aggregation, restricted to hours the final watermark closed (hour

@@ -111,6 +111,9 @@ PROBE_QUERIES = [
     "volume_anomalies",
     # round-8 addition
     "attribution_last_touch",
+    # round-9 additions
+    "ppjoin_pairs",
+    "weighted_sample",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
