@@ -1637,7 +1637,8 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
 
     Scale shape: the shingle Arrow pass runs ONCE into a compact
     (doc_id, n_sh, tok_h) relation, pre-partitioned on tok_h and
-    localCheckpointed; the df aggregate reuses that exchange. Prefix
+    localCheckpointed; df comes from a count-over-window on that
+    same tok_h clustering (no second exchange, no join). Prefix
     extraction is one doc_id window (row_number over (df, tok_h));
     the checkpointed prefix relation feeds both sides of the
     candidate equi-join, whose fan-out is bounded by rare-shingle

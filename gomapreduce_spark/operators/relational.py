@@ -1028,3 +1028,38 @@ def merge_upsert_customers(customers: DataFrame) -> DataFrame:
         F.when(use_new, F.col("n_mktsegment")).otherwise(F.col("b_mktsegment")).alias("c_mktsegment"),
         F.coalesce(F.col("op"), F.lit("K")).alias("last_op"),
     )
+
+
+def lateral_topk_orders(
+    customer: DataFrame, orders: DataFrame, k: int = 3, sample_every: int = 50
+) -> DataFrame:
+    """ANSI correlated LATERAL subquery surface: for each sampled
+    customer, the top-k orders by price — written EXACTLY as a user
+    migrating SQL would write it (``FROM customer c, LATERAL (SELECT …
+    WHERE o_custkey = c.c_custkey ORDER BY … LIMIT k)``), not as the
+    window idiom.
+
+    The point is what Catalyst does with it: DecorrelateInnerQuery
+    rewrites the per-row ORDER BY/LIMIT into ``WindowGroupLimit`` (the
+    rank-pushdown group limit) feeding ONE equi-join on the
+    correlation key — verified by the plan gate, the same physical
+    shape as :func:`topk_per_group`. A correlated LATERAL therefore
+    costs nothing at 100 TB versus hand-writing the window; the
+    nested-loop per-customer re-scan a naive engine would run never
+    exists. Ties are broken by (o_totalprice DESC, o_orderkey) — a
+    total order, so the result is deterministic in both engines.
+    """
+    spark = customer.sparkSession
+    customer.createOrReplaceTempView("lat_customer")
+    orders.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT {int(k)}
+        ) o
+        WHERE c.c_custkey % {int(sample_every)} = 0
+        """
+    )

@@ -415,6 +415,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- round-1 rows (re-verified by pytest + check_oracle.py) and ----
     # ---- cede driver-check priority.                                ----
     "topk_per_group": lambda s, d: relational.topk_per_group(load_table(s, d, "lineitem")),
+    "lateral_topk_orders": lambda s, d: relational.lateral_topk_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
     "rollup_revenue": lambda s, d: relational.rollup_revenue(load_table(s, d, "lineitem")),
     "anti_join_customers": lambda s, d: relational.customers_without_orders(
         load_table(s, d, "customer"), load_table(s, d, "orders")
@@ -622,18 +625,18 @@ _R9_PRIORITY = [
     "streaming_left_outer_join",  # r5
     "streaming_chained_windows",  # r5
     # (c) the seven stalest r6 entries, registration order
-    "winnow_fingerprints",        # r6
     "embedding_dedup_clusters",   # r6
     "canonical_docs",             # r6
     "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
-    # (image_dhash_index / audio_spectral / leakage_safe_split — r6 —
-    # cede their filler slots to the three newest r9 queries below;
-    # they lead the r10 stale block)
+    # (winnow_fingerprints / image_dhash_index / audio_spectral /
+    # leakage_safe_split — r6 — cede their filler slots to the four
+    # newest r9 queries below; they lead the r10 stale block)
     # (d) NEW in round 9 — no driver row exists yet
     "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
     "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
     "weighted_sample",            # decimal multiply-compare importance sampler
     "streaming_weighted_sample",  # its stateless streaming twin (shared oracle)
+    "lateral_topk_orders",        # correlated LATERAL → WindowGroupLimit plan
     # (e) implementation changed in round 9 (outputs pinned identical,
     # re-rowed anyway): the BPE merge loop is now incremental
     # delta+heap; keyedtext's scratch dir is keyed per-parameters.
@@ -821,6 +824,17 @@ ORACLES: dict[str, str] = {
                (row_number() OVER (PARTITION BY l_returnflag
                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))::BIGINT AS rk
         FROM lineitem QUALIFY rk <= 5
+    """,
+    # the IDENTICAL correlated-LATERAL text Spark runs — both engines
+    # decorrelate it (Spark to WindowGroupLimit + equi-join)
+    "lateral_topk_orders": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        WHERE c.c_custkey % 50 = 0
     """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

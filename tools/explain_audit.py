@@ -739,6 +739,14 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # correlated LATERAL surface: the per-customer ORDER BY/LIMIT must
+    # DECORRELATE — WindowGroupLimit + one equi-join, never the
+    # nested-loop per-row re-scan a naive engine would run
+    "lateral_topk_orders": {
+        "require": ["WindowGroupLimit"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "forbid_scaling_hints": True,
+    },
     # prefix-filtered exact set-similarity join: every join is an
     # equi-join (prefix candidates on tok_h, verification on
     # doc/tok keys), pair counts partial-agg, no hints anywhere —
