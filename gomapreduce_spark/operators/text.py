@@ -1875,3 +1875,77 @@ def calibrated_quality(
         (F.col("quality") >= raw_threshold).alias("keep_raw"),
         (F.col("pct_rank") >= pct_threshold).alias("keep_cal"),
     )
+
+
+def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The huge-dict escape hatch PROTOTYPED (the path
+    :func:`_bpe_merge_loop`'s docstring documents): BPE training where
+    the symbolized dictionary never leaves the cluster — for corpora
+    whose DISTINCT-WORD table itself exceeds driver memory, where the
+    bounded-head driver loop cannot run even in verification mode.
+
+    Each merge round is exactly the documented 3-step shape: (1) a
+    pair-count partial+final aggregate over adjacent symbol pairs
+    (:func:`bpe_pair_counts`'s plan), (2) a 1-row TakeOrdered argmax
+    under the SAME (count desc, pair lex asc) tie order as both driver
+    loops, (3) one narrow Arrow rewrite pass sharing
+    :func:`_bpe_rewrite` — the literal function the driver loop and
+    the encode pass use, so the three paths cannot drift. Per-round
+    state is localCheckpointed to cut lineage (the LPA doctrine);
+    driver memory holds ONLY the merge table (n_merges rows).
+
+    O(n_merges) small jobs: this trades per-round scheduling latency
+    (~0.5 s/round on local[32]) for unbounded dictionary size, so it
+    only wins past driver-memory-sized dicts — document-scale corpora
+    with bounded vocab heads use :func:`bpe_learn_merges`.
+    tests/test_bpe_fidelity.py pins bit-exact parity with the driver
+    loop on the full fixture dictionary.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    state = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            # split at every intra-word position; the zero-width match
+            # at end-of-string leaves a trailing "" — filter it
+            F.concat(
+                F.filter(F.split("w", "(?!^)"), lambda s: F.length(s) > 0),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+            "n",
+        )
+    ).localCheckpoint()
+    adj = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i-1] AS left, syms[i] AS right))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            state.where(F.size("syms") >= 2)
+            .select(F.explode(F.expr(adj)).alias("p"), "n")
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        fused = left + right
+
+        def rewrite(batches, _l=left, _r=right, _f=fused):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    out.append(_bpe_rewrite(s, _l, _r, _f) if _l in s else s)
+                yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+
+        state = state.mapInPandas(rewrite, "syms array<string>, n long").localCheckpoint()
+    return spark.createDataFrame(merges, "rank long, left string, right string, pair_count long")

@@ -110,3 +110,25 @@ def test_incremental_loop_edge_dicts():
     ]
     for freqs in cases:
         assert _bpe_merge_loop(list(freqs), 50) == _bpe_merge_loop_reference(list(freqs), 50)
+
+
+def test_distributed_escape_hatch_matches_driver_loop(spark, sf_small):
+    """The huge-dict escape hatch (round-9 prototype): the per-merge
+    Spark recount loop — pair-count agg, TakeOrdered(1) argmax, Arrow
+    rewrite sharing _bpe_rewrite — must reproduce the driver loop
+    BIT-IDENTICALLY on the full fixture dictionary (no head), proving
+    the documented 100 TB path is real, not an argument."""
+    from gomapreduce_spark.operators.text import (
+        _bpe_merge_loop,
+        _bpe_word_freqs,
+        bpe_learn_merges_distributed,
+    )
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    dist = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges_distributed(docs, 8).collect()
+    ]
+    assert dist == _bpe_merge_loop(_bpe_word_freqs(docs, None), 8)
+    assert len(dist) == 8
