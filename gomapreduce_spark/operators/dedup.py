@@ -1646,13 +1646,25 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
     ``ppjoin_candidates`` CollectMetrics. Verification joins the
     candidate pairs back to the SAME checkpointed shingle relation
     (semi-join-bounded: only candidate docs' shingles ship) and counts
-    the exact intersection; sizes/thresholds stay in int64 micro-units
-    (``ceil(t*n) = (n*t_micro + 999999) div 1e6``) so no float enters
-    a pruning decision. At 100 TB this is the exact-tier companion to
+    the exact intersection; sizes/thresholds stay in int64 units so no
+    float enters a pruning decision — and every pruning filter runs at
+    the half-ulp-RELAXED threshold ``t_eff = t - 0.5e-6`` (half-micro
+    units), strictly looser than the emission predicate
+    ``round(J, 6) >= t`` shared with the oracle, so a pair whose
+    6-decimal rounding lands exactly on the threshold can never be
+    pruned away. At 100 TB this is the exact-tier companion to
     MinHash/LSH: run LSH for recall-tunable candidates, PPJoin when
     the contract is exact pairs.
     """
     t_micro = int(round(threshold * 1_000_000))
+    # Emission keeps round(jaccard, 6) >= threshold (mirroring the
+    # oracle), so a pair with TRUE J in [t - 0.5e-6, t) still belongs
+    # in the result. Every pruning filter therefore runs at the
+    # half-ulp-RELAXED threshold t_eff = t - 0.5e-6, carried exactly
+    # in half-micro units (hm/2e6) — pruning is strictly looser than
+    # emission, so the rounding boundary can never cost a pair.
+    hm = max(0, 2 * t_micro - 1)  # t_eff numerator over HM_D
+    HM_D = 2_000_000
     tok = (
         shingle_arrays(docs)
         .where(F.size("shingles") > 0)
@@ -1665,7 +1677,7 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
     # groupBy(df)+join-back at sf0.1 (one exchange instead of two, no
     # join); the window partition is one shingle's posting list, so
     # its size is bounded by corpus df exactly like the aggregate's
-    # prefix length L = n_tok - ceil(t*n_tok) + 1, all-integer
+    # prefix length L = n_tok - ceil(t_eff*n_tok) + 1, all-integer
     prefix = (
         tok.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok_h")))
         .withColumn(
@@ -1675,36 +1687,33 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
         .where(
             F.col("pos")
             <= F.col("n_tok")
-            - F.expr(f"(n_tok * {t_micro}L + 999999L) div 1000000L")
+            - F.expr(f"(n_tok * {hm}L + {HM_D - 1}L) div {HM_D}L")
             + F.lit(1)
         )
         .select("doc_id", "n_tok", "pos", "tok_h")
         .repartition(F.col("tok_h"))
     ).localCheckpoint()
     a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin positional filter: required overlap α = ceil(t(|x|+|y|)/(1+t));
+    # PPJoin positional filter: required overlap α = ceil(t_eff(|x|+|y|)/(1+t_eff));
     # a matching prefix token at (pos_a, pos_b) bounds the achievable
     # overlap by 1 + min(|x|-pos_a, |y|-pos_b). Pruning per matching row
     # is lossless: a qualifying pair's FIRST common token (global order)
     # has no common token before it on either side, so its bound is
     # valid and ≥ α — that row always survives. Integers throughout
-    # (α via floor((t(na+nb) + (1+t) - ulp)/(1+t)) in micro-units;
-    # products ≤ 2e12 « 2^53, so the double division is exact).
+    # (α = (hm(na+nb) + (HM_D+hm) - 1) div (HM_D+hm) in half-micro
+    # units; products ≤ 4e12 « 2^53, so the double division is exact).
     alpha = F.floor(
-        (
-            F.lit(t_micro) * (F.col("a.n_tok") + F.col("b.n_tok"))
-            + F.lit(1_000_000 + t_micro - 1)
-        )
-        / F.lit(1_000_000 + t_micro)
+        (F.lit(hm) * (F.col("a.n_tok") + F.col("b.n_tok")) + F.lit(HM_D + hm - 1))
+        / F.lit(HM_D + hm)
     ).cast("long")
     cand = (
         a.join(
             b,
             (F.col("a.tok_h") == F.col("b.tok_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter: t*|x| <= |y| and t*|y| <= |x| (int micro-units)
-            & (F.col("b.n_tok") * F.lit(1_000_000) >= F.col("a.n_tok") * F.lit(t_micro))
-            & (F.col("a.n_tok") * F.lit(1_000_000) >= F.col("b.n_tok") * F.lit(t_micro))
+            # size filter: t_eff*|x| <= |y| and t_eff*|y| <= |x| (half-micro)
+            & (F.col("b.n_tok") * F.lit(HM_D) >= F.col("a.n_tok") * F.lit(hm))
+            & (F.col("a.n_tok") * F.lit(HM_D) >= F.col("b.n_tok") * F.lit(hm))
             & (
                 F.lit(1)
                 + F.least(

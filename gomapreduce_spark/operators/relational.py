@@ -1049,17 +1049,31 @@ def lateral_topk_orders(
     exists. Ties are broken by (o_totalprice DESC, o_orderkey) — a
     total order, so the result is deterministic in both engines.
     """
+    import uuid
+
     spark = customer.sparkSession
-    customer.createOrReplaceTempView("lat_customer")
-    orders.createOrReplaceTempView("lat_orders")
-    return spark.sql(
-        f"""
-        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        FROM lat_customer c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM lat_orders
-          WHERE o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT {int(k)}
-        ) o
-        WHERE c.c_custkey % {int(sample_every)} = 0
-        """
-    )
+    # per-call view names: a fixed name would silently clobber a
+    # user's view of the same name (spark.sql resolves views at
+    # ANALYSIS time, so previously returned plans are unaffected
+    # either way — this guards the user's own catalog, not ours)
+    tag = uuid.uuid4().hex[:12]
+    vc, vo = f"lat_customer_{tag}", f"lat_orders_{tag}"
+    customer.createOrReplaceTempView(vc)
+    orders.createOrReplaceTempView(vo)
+    try:
+        return spark.sql(
+            f"""
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM {vc} c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM {vo}
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT {int(k)}
+            ) o
+            WHERE c.c_custkey % {int(sample_every)} = 0
+            """
+        )
+    finally:
+        # the returned plan is bound at analysis time; dropping the
+        # views immediately keeps the session catalog clean
+        spark.catalog.dropTempView(vc)
+        spark.catalog.dropTempView(vo)

@@ -425,6 +425,37 @@ def stratified_sample(docs: DataFrame, target_per_stratum: int = 50) -> DataFram
     )
 
 
+_DEC38 = "decimal(38,0)"
+
+
+def weighted_keep_expr(w_micro, n_total, w_total, rate_micro: int, seed: str = "ws|"):
+    """The weighted-sampling inclusion predicate, shared VERBATIM by
+    :func:`weighted_sample` and the streaming twin (their results are
+    checked against ONE oracle, so the predicate must not be able to
+    drift): ``pmod(h64(doc_id), 1e6) * W < rate_micro * w * N``, every
+    term in DECIMAL(38,0). All arguments are Columns except the two
+    Python ints."""
+    return (
+        F.pmod(h64(F.col("doc_id").cast("string"), seed=seed), F.lit(1_000_000)).cast(_DEC38)
+        * w_total.cast(_DEC38)
+    ) < F.lit(rate_micro).cast(_DEC38) * w_micro.cast(_DEC38) * n_total.cast(_DEC38)
+
+
+def weighted_totals_agg():
+    """The (N, W) calibration aggregate, decimal from the SUM inward:
+    an int64 sum of caller-injected weights can silently WRAP past
+    2^63 (inverting the keep comparison for every row), while the
+    DuckDB oracle's sum is HUGEINT and would not — decimal(38,0)
+    matches the oracle and degrades to NULL→empty-sample on the
+    (astronomical) 38-digit overflow instead of wrapping."""
+    return [
+        F.count(F.lit(1)).cast(_DEC38).alias("n_total"),
+        F.coalesce(F.sum(F.col("w_micro").cast(_DEC38)), F.lit(0).cast(_DEC38)).alias(
+            "w_total"
+        ),
+    ]
+
+
 def weighted_sample(
     docs: DataFrame, rate: float = 0.2, seed: str = "ws|", weight_col: str | None = None
 ) -> DataFrame:
@@ -446,8 +477,10 @@ def weighted_sample(
     no guarded divide needed).
 
     Weights default to :func:`quality_score`'s [0,1] composite in
-    micro-units; pass ``weight_col`` (int64 micro-units) to supply
-    DSIR or any other importance weight. Dataflow: one narrow scoring
+    micro-units (requires ``text``); pass ``weight_col`` (int64
+    micro-units) to supply DSIR or any other importance weight.
+    ``docs`` must carry ``doc_id`` and ``source`` (the documents
+    schema) — the sample keeps per-source accounting downstream. Dataflow: one narrow scoring
     pass, one 1-row (N, W) aggregate joined back (AQE broadcasts a
     1-row relation), one filter — the corpus is never shuffled.
     """
@@ -459,15 +492,10 @@ def weighted_sample(
     else:
         w_expr = F.col(weight_col).cast("long")
     w = docs.select("doc_id", "source", w_expr.alias("w_micro"))
-    tot = w.agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.coalesce(F.sum("w_micro"), F.lit(0)).cast("long").alias("w_total"),
+    tot = w.agg(*weighted_totals_agg())
+    keep = weighted_keep_expr(
+        F.col("w_micro"), F.col("n_total"), F.col("w_total"), rate_micro, seed
     )
-    dec = "decimal(38,0)"
-    keep = (
-        F.pmod(h64(F.col("doc_id").cast("string"), seed=seed), F.lit(1_000_000)).cast(dec)
-        * F.col("w_total").cast(dec)
-    ) < F.lit(rate_micro).cast(dec) * F.col("w_micro").cast(dec) * F.col("n_total").cast(dec)
     return (
         w.crossJoin(F.broadcast(tot))
         .where(keep)
@@ -1904,19 +1932,23 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
     import pandas as pd
 
     spark = docs.sparkSession
+
+    def symbolize(batches):
+        # Python-domain [*w]: per CODE POINT, exactly the driver
+        # loops' symbolization. A JVM split("(?!^)") operates on
+        # UTF-16 units and would cleave supplementary-plane chars
+        # (emoji, rare CJK) into lone surrogates — different pair
+        # counts than the driver loop AND invalid UTF-8 for Arrow.
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"syms": [[*w] + ["</w>"] for w in pdf["w"]], "n": pdf["n"]}
+            )
+
     state = (
         docs.select(F.explode(tokenize("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .select(
-            # split at every intra-word position; the zero-width match
-            # at end-of-string leaves a trailing "" — filter it
-            F.concat(
-                F.filter(F.split("w", "(?!^)"), lambda s: F.length(s) > 0),
-                F.array(F.lit("</w>")),
-            ).alias("syms"),
-            "n",
-        )
+        .mapInPandas(symbolize, "syms array<string>, n long")
     ).localCheckpoint()
     adj = (
         "transform(sequence(1, size(syms) - 1), "

@@ -313,17 +313,21 @@ def keyedtext_roundtrip_wordcount(
     key layout itself is API fidelity — the 100 TB form is
     ``df.write.partitionBy("key")`` per the module docstring.
 
-    The scratch dir is DETERMINISTIC PER (SESSION, PARAMETERS) —
-    keyed by the Spark applicationId (so concurrent drivers never
-    collide) AND by (every, max_id, chunk_bytes), so a later call with
-    different parameters writes a DIFFERENT directory instead of
-    overwriting the files a previously returned, still-uncollected
-    lazy plan reads (round-8 advisor: same-app aliasing made a stale
-    plan silently read the new subset). Same-parameter calls still
-    reuse one directory rather than leaking a mkdtemp per call. The
-    returned plan must stay lazy (the driver collects it; the plan
-    gate reads it), so cleanup is atexit rather than inline."""
+    The scratch dir is DETERMINISTIC PER (SESSION, INPUT, PARAMETERS)
+    — keyed by the Spark applicationId (so concurrent drivers never
+    collide) AND by (sf_dir, every, max_id, chunk_bytes), so a later
+    call with different parameters OR a different SF dir writes a
+    DIFFERENT directory instead of overwriting the files a previously
+    returned, still-uncollected lazy plan reads (round-8 advisor:
+    same-app aliasing made a stale plan silently read the new subset;
+    round-9 review: the sf_dir term was missing, so scale_probe's
+    3-SF session aliased across scale factors with identical
+    parameters). Same-argument calls still reuse one directory rather
+    than leaking a mkdtemp per call. The returned plan must stay lazy
+    (the driver collects it; the plan gate reads it), so cleanup is
+    atexit rather than inline."""
     import atexit
+    import hashlib
     import shutil
     import tempfile
     from pathlib import Path
@@ -337,11 +341,12 @@ def keyedtext_roundtrip_wordcount(
     docs = load_table(spark, sf_dir, "documents").where(
         (F.col("doc_id") % every == 0) & (F.col("doc_id") < max_id)
     )
+    sf_tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
     out = str(
         Path(tempfile.gettempdir())
         / (
             f"keyedtext_oracle_{spark.sparkContext.applicationId}"
-            f"_e{every}_m{max_id}_c{chunk_bytes}"
+            f"_s{sf_tag}_e{every}_m{max_id}_c{chunk_bytes}"
         )
     )
     if out not in _ROUNDTRIP_DIRS:

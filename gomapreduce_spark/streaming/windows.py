@@ -20,8 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import h64
-
 def _read_parquet_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -559,24 +557,23 @@ def streaming_weighted_sample(
     query carries the batch form's full value-hash DuckDB oracle
     (like ``streaming_gopher_filter``), plus batch-parity and
     micro-batch-split-invariance tests."""
-    from ..operators.text import quality_expr
+    from ..operators.text import quality_expr, weighted_keep_expr, weighted_totals_agg
 
     rate_micro = int(round(rate * 1_000_000))
     w_expr = F.round(quality_expr() * 1_000_000).cast("long")
     n_total, w_total = (
-        static_docs.select(w_expr.alias("w"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w"),
-        )
-        .first()
+        static_docs.select(w_expr.alias("w_micro")).agg(*weighted_totals_agg()).first()
     )
-    dec = "decimal(38,0)"
     stream = _read_parquet_stream(spark, docs_path)
-    keep = (
-        F.pmod(h64(F.col("doc_id").cast("string"), seed=seed), F.lit(1_000_000)).cast(dec)
-        * F.lit(int(w_total)).cast(dec)
-    ) < F.lit(rate_micro).cast(dec) * F.col("w_micro").cast(dec) * F.lit(int(n_total)).cast(dec)
+    # the SHARED predicate (weighted_keep_expr) with the calibration
+    # totals entering as decimal literals
+    keep = weighted_keep_expr(
+        F.col("w_micro"),
+        F.lit(int(n_total)),
+        F.lit(int(w_total)),
+        rate_micro,
+        seed,
+    )
     thinned = (
         stream.select("doc_id", "source", w_expr.alias("w_micro"))
         .where(keep)

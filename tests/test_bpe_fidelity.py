@@ -132,3 +132,28 @@ def test_distributed_escape_hatch_matches_driver_loop(spark, sf_small):
     ]
     assert dist == _bpe_merge_loop(_bpe_word_freqs(docs, None), 8)
     assert len(dist) == 8
+
+
+def test_distributed_escape_hatch_supplementary_plane(spark):
+    """Symbolization must be per CODE POINT, not per UTF-16 unit: a
+    JVM zero-width split cleaves supplementary-plane characters into
+    lone surrogates (different pair counts, invalid UTF-8 for Arrow).
+    The corpus plants emoji-bearing words to pin the Python-domain
+    [*w] symbolization against the driver loop."""
+    from gomapreduce_spark.operators.text import (
+        _bpe_merge_loop,
+        _bpe_word_freqs,
+        bpe_learn_merges_distributed,
+    )
+
+    rows = [
+        (1, "hi \U0001F600x \U0001F600x grin \U0001F600x"),
+        (2, "ab ab ab cd cd \U0001F600x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dist = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges_distributed(docs, 5).collect()
+    ]
+    assert dist == _bpe_merge_loop(_bpe_word_freqs(docs, None), 5)
+    assert any("\U0001F600" in left for _, left, _r, _ in dist)
