@@ -489,3 +489,28 @@ def test_attribution_matches_naive_reference(spark, journey):
         for r in events.attribution_last_touch(ev).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        # tiny vocab + 4..10 words per doc: dense shingle collisions,
+        # so random corpora actually produce candidate pairs
+        st.lists(st.sampled_from("abcdef"), min_size=4, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+@settings(**SETTINGS)
+def test_ppjoin_lossless_property(spark, docs, threshold):
+    """The PPJoin lossless contract as a property: on ANY corpus and
+    threshold, the prefix+positional+size-filtered join returns
+    EXACTLY the uncapped brute-force jaccard pairs — no pair gained,
+    none lost to pruning (incl. round-boundary and tie-heavy shapes
+    the tiny vocabulary provokes)."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = sorted(map(tuple, dedup.ppjoin_pairs(df, threshold).collect()))
+    want = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(df, threshold, max_df=None).collect())
+    )
+    assert got == want
