@@ -1748,3 +1748,64 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def synth_corpus_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic "next crawl" snapshot derived from the documents
+    table (the fixture ships no second snapshot; same synthetic-feed
+    pattern as relational.synth_customer_changes): DROP every
+    doc_id % 17 == 3, REVISE the text (append ``' rev2'``) of every
+    remaining doc_id % 13 == 5, and ADD one fresh doc per source
+    (doc_id = 9_000_000 + the source's numeric suffix). Reproducible
+    in ANSI SQL, so the diff oracle regenerates it."""
+    kept = docs.where(F.col("doc_id") % 17 != 3)
+    revised = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+            F.col("text")
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    fresh = (
+        docs.select("source")
+        .distinct()
+        .select(
+            (F.lit(9_000_000) + F.regexp_extract("source", r"(\d+)", 1).cast("long")).alias(
+                "doc_id"
+            ),
+            F.concat(F.lit("fresh crawl content for "), F.col("source")).alias("text"),
+            F.lit("en").alias("lang"),
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    return revised.select("doc_id", "text", "lang", "source", "n_chars").unionByName(fresh)
+
+
+def corpus_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Dataset-versioning governance: classify every doc_id across two
+    corpus snapshots as added / removed / changed / unchanged by
+    60-bit content hash, rolled up per (source, status) — the audit a
+    training pipeline runs between crawl snapshots before re-running
+    dedup/training downstream ("what actually changed, and where?").
+
+    Scale shape: each side is reduced to (doc_id, source, h64(text))
+    in its scan — the full-outer join ships 8-byte keys and hashes,
+    never text — followed by one partial+final count aggregate over
+    the (|sources| × 4)-row status rollup. Nothing else shuffles; at
+    100 TB this is two scans + one join keyed on doc_id. A doc present
+    in both snapshots reports the NEW side's source (a moved doc
+    counts as changed under its new home)."""
+    a = old.select("doc_id", F.col("source").alias("src_old"), h64(F.col("text")).alias("h_old"))
+    b = new.select("doc_id", F.col("source").alias("src_new"), h64(F.col("text")).alias("h_new"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(F.coalesce("src_new", "src_old").alias("source"), status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

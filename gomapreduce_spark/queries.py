@@ -369,6 +369,10 @@ QUERIES: dict[str, QueryFn] = {
     "exact_dedup": lambda s, d: dedup.exact_dedup(load_table(s, d, "documents")),
     "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(load_table(s, d, "documents")),
     "ppjoin_pairs": lambda s, d: dedup.ppjoin_pairs(load_table(s, d, "documents")),
+    "corpus_snapshot_diff": lambda s, d: dedup.corpus_snapshot_diff(
+        load_table(s, d, "documents"),
+        dedup.synth_corpus_snapshot(load_table(s, d, "documents")),
+    ),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -626,17 +630,18 @@ _R9_PRIORITY = [
     "streaming_chained_windows",  # r5
     # (c) the seven stalest r6 entries, registration order
     "embedding_dedup_clusters",   # r6
-    "canonical_docs",             # r6
     "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
-    # (winnow_fingerprints / image_dhash_index / audio_spectral /
-    # leakage_safe_split — r6 — cede their filler slots to the four
-    # newest r9 queries below; they lead the r10 stale block)
+    # (winnow_fingerprints / canonical_docs / image_dhash_index /
+    # audio_spectral / leakage_safe_split — r6 — cede their filler
+    # slots to the five newest r9 queries below; they lead the r10
+    # stale block)
     # (d) NEW in round 9 — no driver row exists yet
     "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
     "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
     "weighted_sample",            # decimal multiply-compare importance sampler
     "streaming_weighted_sample",  # its stateless streaming twin (shared oracle)
     "lateral_topk_orders",        # correlated LATERAL → WindowGroupLimit plan
+    "corpus_snapshot_diff",       # crawl-to-crawl hash-compare governance diff
     # (e) implementation changed in round 9 (outputs pinned identical,
     # re-rowed anyway): the BPE merge loop is now incremental
     # delta+heap; keyedtext's scratch dir is keyed per-parameters.
@@ -2720,6 +2725,32 @@ ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(1024)
 # harness can make: the clever scale plan and the naive SQL agree
 # bit-for-bit, with no cap mirrored anywhere.
 ORACLES["ppjoin_pairs"] = _jaccard_sql(None)
+
+# corpus_snapshot_diff: the synthetic next-crawl snapshot regenerated
+# in SQL (drop %17==3, revise %13==5, one fresh doc per source), then
+# the same hash-compare full-outer diff
+ORACLES["corpus_snapshot_diff"] = rf"""
+    WITH newsnap AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 != 3
+      UNION ALL
+      SELECT 9000000 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS doc_id,
+             source, 'fresh crawl content for ' || source AS text
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    a AS (SELECT doc_id, source AS src_old, {_H.format(s="text")} AS h_old FROM documents),
+    b AS (SELECT doc_id, source AS src_new, {_H.format(s="text")} AS h_new FROM newsnap),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, src_old, src_new, h_old, h_new
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT coalesce(src_new, src_old) AS source,
+           CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old = h_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs
+    FROM j GROUP BY 1, 2
+"""
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the
 # EXACT head whenever each reported token survives every partition's

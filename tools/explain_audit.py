@@ -739,6 +739,15 @@ AUDITS: dict[str, dict] = {
         "forbid_scaling_hints": True,
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # snapshot governance diff: each side reduces to (doc_id, source,
+    # h64) in its scan — ONE full-outer join on doc_id (8-byte keys,
+    # never text), one partial-agg rollup, no hints
+    "corpus_snapshot_diff": {
+        "require": ["FullOuter"],
+        "partial_agg": True,
+        "forbid_scaling_hints": True,
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    },
     # correlated LATERAL surface: the per-customer ORDER BY/LIMIT must
     # DECORRELATE — WindowGroupLimit + one equi-join, never the
     # nested-loop per-row re-scan a naive engine would run
