@@ -1394,6 +1394,13 @@ def source_overlap_matrix(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+# "non-trivial corpus" probe threshold for the sample_mod=1 warning:
+# every committed fixture is ≤5k docs (sample scale, where the
+# docstring endorses the uncapped audit); past 20k the O(df²) exact
+# side is no longer a fixture-scale cost and the caller should shard
+_AUDIT_WARN_DOCS = 20_000
+
+
 def dedup_recall_audit(
     docs: DataFrame, threshold: float = 0.5, sample_mod: int = 1
 ) -> DataFrame:
@@ -1411,8 +1418,10 @@ def dedup_recall_audit(
     when the caller passes sample_mod > 1: the default (1) audits the
     whole input with the df cap deliberately DISABLED, which is
     appropriate at fixture/sample scale and nowhere else, so
-    sample_mod==1 on a non-trivial corpus emits a RuntimeWarning
-    rather than silently running O(df²). Both inputs are existing oracle-verified operators; the
+    sample_mod==1 emits a RuntimeWarning once the input measures past
+    a bounded-probe threshold (``limit(N+1).count()``, the cap-probe
+    doctrine — fixture-scale runs stay silent) rather than silently
+    running O(df²). Both inputs are existing oracle-verified operators; the
     audit adds one full-outer pair join (pair-keyed, both sides
     already deduplicated) and a 1-row aggregate. Degenerate corpora
     (zero candidates / zero true pairs) report NULL ratios — guarded
@@ -1422,7 +1431,10 @@ def dedup_recall_audit(
         docs = docs.where(
             F.pmod(h64(F.col("doc_id"), seed="audit"), F.lit(sample_mod)) == 0
         )
-    else:
+    elif docs.limit(_AUDIT_WARN_DOCS + 1).count() > _AUDIT_WARN_DOCS:
+        # bounded probe (limit caps the scan) so fixture-scale runs —
+        # where the docstring says sample_mod=1 is appropriate — stay
+        # warning-free and the driver/bench logs stay clean
         import warnings
 
         warnings.warn(
@@ -1756,8 +1768,12 @@ def synth_corpus_snapshot(docs: DataFrame) -> DataFrame:
     pattern as relational.synth_customer_changes): DROP every
     doc_id % 17 == 3, REVISE the text (append ``' rev2'``) of every
     remaining doc_id % 13 == 5, and ADD one fresh doc per source
-    (doc_id = 9_000_000 + the source's numeric suffix). Reproducible
-    in ANSI SQL, so the diff oracle regenerates it."""
+    (doc_id = 2^60 + h64(source) — h64 is < 2^60 so a fresh id can
+    never collide with a real doc_id, and deriving from the hash
+    rather than a numeric-suffix regex means a digit-free source name
+    cannot NULL out and two sources sharing a suffix cannot collide
+    into one id, which would fan out the downstream full-outer join).
+    Reproducible in ANSI SQL, so the diff oracle regenerates it."""
     kept = docs.where(F.col("doc_id") % 17 != 3)
     revised = kept.withColumn(
         "text",
@@ -1769,9 +1785,7 @@ def synth_corpus_snapshot(docs: DataFrame) -> DataFrame:
         docs.select("source")
         .distinct()
         .select(
-            (F.lit(9_000_000) + F.regexp_extract("source", r"(\d+)", 1).cast("long")).alias(
-                "doc_id"
-            ),
+            (F.lit(1 << 60) + h64(F.col("source"))).alias("doc_id"),
             F.concat(F.lit("fresh crawl content for "), F.col("source")).alias("text"),
             F.lit("en").alias("lang"),
             "source",

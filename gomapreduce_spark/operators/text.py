@@ -10,7 +10,7 @@ parallel single scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
@@ -454,6 +454,20 @@ def weighted_totals_agg():
             "w_total"
         ),
     ]
+
+
+def weighted_total_lit(v) -> Column:
+    """Re-enter a COLLECTED calibration total (a ``decimal.Decimal``
+    from :func:`weighted_totals_agg`, or ``None`` on the 38-digit
+    overflow) into a plan as a DECIMAL(38,0) literal. The streaming
+    twin collects (N, W) at plan time; routing the value through
+    ``int()`` + ``F.lit`` would re-type it as a LongType literal and
+    RAISE past int64 — exactly the overflow the decimal aggregate was
+    built to absorb. String→decimal cast keeps the full 38 digits and
+    lets a NULL total degrade to the documented empty sample."""
+    if v is None:
+        return F.lit(None).cast(_DEC38)
+    return F.lit(str(v)).cast(_DEC38)
 
 
 def weighted_sample(

@@ -2727,15 +2727,16 @@ ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(1024)
 ORACLES["ppjoin_pairs"] = _jaccard_sql(None)
 
 # corpus_snapshot_diff: the synthetic next-crawl snapshot regenerated
-# in SQL (drop %17==3, revise %13==5, one fresh doc per source), then
-# the same hash-compare full-outer diff
+# in SQL (drop %17==3, revise %13==5, one fresh doc per source with
+# doc_id = 2^60 + h64(source), collision-free vs real ids), then the
+# same hash-compare full-outer diff
 ORACLES["corpus_snapshot_diff"] = rf"""
     WITH newsnap AS (
       SELECT doc_id, source,
              CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
       FROM documents WHERE doc_id % 17 != 3
       UNION ALL
-      SELECT 9000000 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS doc_id,
+      SELECT 1152921504606846976 + {_H.format(s="source")} AS doc_id,
              source, 'fresh crawl content for ' || source AS text
       FROM (SELECT DISTINCT source FROM documents)
     ),

@@ -557,7 +557,12 @@ def streaming_weighted_sample(
     query carries the batch form's full value-hash DuckDB oracle
     (like ``streaming_gopher_filter``), plus batch-parity and
     micro-batch-split-invariance tests."""
-    from ..operators.text import quality_expr, weighted_keep_expr, weighted_totals_agg
+    from ..operators.text import (
+        quality_expr,
+        weighted_keep_expr,
+        weighted_total_lit,
+        weighted_totals_agg,
+    )
 
     rate_micro = int(round(rate * 1_000_000))
     w_expr = F.round(quality_expr() * 1_000_000).cast("long")
@@ -566,11 +571,13 @@ def streaming_weighted_sample(
     )
     stream = _read_parquet_stream(spark, docs_path)
     # the SHARED predicate (weighted_keep_expr) with the calibration
-    # totals entering as decimal literals
+    # totals re-entering as DECIMAL(38,0) literals via the shared
+    # weighted_total_lit helper — an int() round-trip here would raise
+    # past int64 and lose the batch form's documented overflow safety
     keep = weighted_keep_expr(
         F.col("w_micro"),
-        F.lit(int(n_total)),
-        F.lit(int(w_total)),
+        weighted_total_lit(n_total),
+        weighted_total_lit(w_total),
         rate_micro,
         seed,
     )

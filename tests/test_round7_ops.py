@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -224,6 +225,31 @@ def test_dedup_recall_audit_counts_planted_pairs(spark):
     row = dedup_recall_audit(docs).collect()[0]
     assert row.n_true >= 1 and row.n_hit == row.n_true and row.recall == 1.0
     assert 0 < row.precision <= 1.0
+
+
+def test_dedup_recall_audit_warning_gated_on_size(spark, monkeypatch):
+    """Round-9 advisor finding: the sample_mod=1 RuntimeWarning fired
+    unconditionally, spamming every fixture-scale driver/bench run the
+    docstring itself endorses. It must stay silent below the probe
+    threshold and fire above it."""
+    import warnings
+
+    from gomapreduce_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i} with words", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # would raise if emitted
+        dedup.dedup_recall_audit(docs).collect()
+    monkeypatch.setattr(dedup, "_AUDIT_WARN_DOCS", 3)
+    with pytest.warns(RuntimeWarning, match="UNCAPPED exact n-gram"):
+        dedup.dedup_recall_audit(docs)  # plan construction probes + warns
+    # sample_mod>1 never probes or warns, at any size
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        dedup.dedup_recall_audit(docs, sample_mod=2)
 
 
 def test_hashed_features_signed_counts(spark):

@@ -56,5 +56,31 @@ def test_synth_snapshot_is_deterministic_and_disjoint(spark, sf_small):
     b = sorted(map(tuple, synth_corpus_snapshot(docs).collect()))
     assert a == b and len(a) > 0
     old_ids = {r.doc_id for r in docs.select("doc_id").collect()}
-    fresh = [t for t in a if t[0] >= 9_000_000]
-    assert fresh and not old_ids & {t[0] for t in fresh}
+    # fresh ids live above 2^60 (h64 < 2^60), structurally disjoint
+    # from any real doc_id
+    fresh = [t for t in a if t[0] >= (1 << 60)]
+    n_sources = docs.select("source").distinct().count()
+    assert len(fresh) == n_sources and not old_ids & {t[0] for t in fresh}
+
+
+def test_synth_snapshot_fresh_ids_survive_odd_sources(spark):
+    """Round-9 advisor finding: the old numeric-suffix regex NULLed a
+    digit-free source and collided sources sharing a suffix. The
+    h64-derived ids must give every source a distinct non-null id."""
+    from gomapreduce_spark.operators.dedup import synth_corpus_snapshot
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text", "en", "no-digits-here", 10),
+            (2, "beta text", "en", "crawl7", 9),
+            (3, "gamma text", "en", "batch7", 10),  # shares suffix '7'
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fresh = [
+        r
+        for r in synth_corpus_snapshot(docs).collect()
+        if r.doc_id is not None and r.doc_id >= (1 << 60)
+    ]
+    assert len(fresh) == 3
+    assert len({r.doc_id for r in fresh}) == 3

@@ -87,3 +87,37 @@ def test_default_weights_are_quality_scores(spark):
     }
     assert out
     assert all(q[d] == w for d, w in out.items())
+
+
+def test_weighted_total_lit_survives_beyond_int64(spark):
+    """Round-9 advisor finding: the streaming twin routed the collected
+    DECIMAL(38,0) totals through int() + F.lit, re-typing them as
+    LongType and raising past int64. weighted_total_lit must carry a
+    >2^63 Decimal intact and degrade NULL -> no rows kept."""
+    from decimal import Decimal
+
+    from gomapreduce_spark.operators.text import weighted_keep_expr, weighted_total_lit
+
+    big = Decimal(2**63) * 10  # far past int64
+    df = spark.createDataFrame([(1, 500_000)], "doc_id long, w_micro long")
+    keep = weighted_keep_expr(
+        F.col("w_micro"),
+        weighted_total_lit(Decimal(1)),
+        weighted_total_lit(big),
+        200_000,
+        "ws|",
+    )
+    # w_total huge vs n_total=1: probability ~0 -> row dropped, and no
+    # literal-construction error on the way
+    assert df.where(keep).count() == 0
+    # NULL total (38-digit overflow path) -> comparison NULL -> empty
+    keep_null = weighted_keep_expr(
+        F.col("w_micro"),
+        weighted_total_lit(None),
+        weighted_total_lit(Decimal(1)),
+        200_000,
+        "ws|",
+    )
+    assert df.where(keep_null).count() == 0
+    # (streaming-twin == batch parity after this fix is re-asserted by
+    # test_streaming.py::test_streaming_weighted_sample_matches_batch)
