@@ -1624,6 +1624,12 @@ def lpa_communities(docs: DataFrame, threshold: float = 0.5, iters: int = 3) -> 
     )
 
 
+# prefix filtering pays for itself only while prefixes are a small
+# slice of each document; below this threshold the candidate join
+# trends quadratic (measured: SCALE.md threshold-domain table)
+PPJOIN_MIN_RECOMMENDED_T = 0.3
+
+
 def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> DataFrame:
     """EXACT shingle-set Jaccard self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW 2007, "Scaling
@@ -1667,7 +1673,36 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
     pruned away. At 100 TB this is the exact-tier companion to
     MinHash/LSH: run LSH for recall-tunable candidates, PPJoin when
     the contract is exact pairs.
+
+    Supported threshold domain: the prefix length ``|x| - ceil(t*|x|)
+    + 1`` grows toward the WHOLE document as t falls — at t=0 every
+    shingle is in every prefix and the "filtered" join IS the
+    brute-force all-pairs join (measured at sf0.1: 12.8k candidates at
+    t=0.8, 125k at t=0.5, 325k at t=0.3, 499k at t=0.2 — the SCALE.md
+    threshold-domain table).
+    Thresholds below :data:`PPJOIN_MIN_RECOMMENDED_T` therefore emit a
+    RuntimeWarning (results stay exact — the cost, not the answer,
+    degrades); out-of-range thresholds (t <= 0 or t > 1) raise.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"ppjoin_pairs threshold must be in (0, 1], got {threshold!r}: "
+            "at t<=0 prefix filtering degenerates to the unfiltered "
+            "all-pairs join (prefix = whole document)"
+        )
+    if threshold < PPJOIN_MIN_RECOMMENDED_T:
+        import warnings
+
+        warnings.warn(
+            f"ppjoin_pairs(threshold={threshold}) is below the recommended "
+            f"domain (t >= {PPJOIN_MIN_RECOMMENDED_T}): the prefix length "
+            "|x| - ceil(t*|x|) + 1 approaches |x| as t falls, silently "
+            "degrading toward the brute-force join (SCALE.md "
+            "threshold-domain table). Results remain exact; expect "
+            "quadratic candidate growth.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     t_micro = int(round(threshold * 1_000_000))
     # Emission keeps round(jaccard, 6) >= threshold (mirroring the
     # oracle), so a pair with TRUE J in [t - 0.5e-6, t) still belongs

@@ -123,3 +123,31 @@ def test_ppjoin_edge_shapes(spark):
         "doc_id long, text string",
     )
     assert _pairs(ppjoin_pairs(docs, 1.0)) == [(1, 2, 1.0)]
+
+
+def test_ppjoin_threshold_domain_guard(spark):
+    """Round-9 verdict watch item: prefix length |x|-ceil(t|x|)+1
+    approaches |x| as t->0, silently degrading toward brute force.
+    Below the recommended domain the operator must WARN (results stay
+    exact); t<=0 / t>1 must raise."""
+    import warnings
+
+    import pytest
+
+    from gomapreduce_spark.operators.dedup import PPJOIN_MIN_RECOMMENDED_T, ppjoin_pairs
+
+    docs = _near_dup_docs(spark)
+    with pytest.warns(RuntimeWarning, match="below the recommended domain"):
+        low = ppjoin_pairs(docs, threshold=0.1)
+    # the warning is advisory only: the low-threshold run is still exact
+    # (a superset of the t=0.5 pairs, all with jaccard >= 0.1)
+    got = low.collect()
+    assert all(r.jaccard >= 0.1 for r in got)
+    at_half = {(r.doc_a, r.doc_b) for r in ppjoin_pairs(docs, threshold=0.5).collect()}
+    assert at_half <= {(r.doc_a, r.doc_b) for r in got}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # in-domain: silent
+        ppjoin_pairs(docs, threshold=PPJOIN_MIN_RECOMMENDED_T)
+    for bad in (0.0, -0.2, 1.5):
+        with pytest.raises(ValueError, match="threshold must be in"):
+            ppjoin_pairs(docs, threshold=bad)
