@@ -31,6 +31,21 @@ def streaming_queries(queries) -> list[str]:
 
 
 def main() -> None:
+    # The driver keeps only a ~2000-char tail of stdout, and pandas
+    # FutureWarnings from Arrow-path worker processes were eating most
+    # of it (round-9 verdict item 8) — the summary line survived by
+    # ordering luck. Silence library deprecation chatter in THIS
+    # process and (via PYTHONWARNINGS, set before the session spawns
+    # so python workers inherit it) in every executor worker. Repo
+    # RuntimeWarnings stay live — they are contracts, not chatter.
+    os.environ.setdefault(
+        "PYTHONWARNINGS", "ignore::FutureWarning,ignore::DeprecationWarning"
+    )
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    warnings.filterwarnings("ignore", category=DeprecationWarning)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
