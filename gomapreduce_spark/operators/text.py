@@ -1941,7 +1941,10 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
     only wins past driver-memory-sized dicts — document-scale corpora
     with bounded vocab heads use :func:`bpe_learn_merges`.
     tests/test_bpe_fidelity.py pins bit-exact parity with the driver
-    loop on the full fixture dictionary.
+    loop on the full fixture dictionary; REGISTERED (round 10) at
+    merge depth 8 against the same independent VALUES oracle
+    (truncated to rank <= 8 — valid because of that parity), so the
+    production escape hatch carries its own driver hash row.
     """
     import pandas as pd
 

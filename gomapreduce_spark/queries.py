@@ -247,6 +247,14 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_user_rollup": lambda s, d: events.incremental_user_rollup(load_table(s, d, "events")),
     "pmi_collocations": lambda s, d: text.pmi_collocations(load_table(s, d, "documents")),
     "bpe_learn_merges": lambda s, d: text.bpe_learn_merges(load_table(s, d, "documents")),
+    # the huge-dict escape hatch, registered at a small merge depth so
+    # the production path carries its own driver hash row (round-9
+    # verdict item 4): bit-exact with the driver loop by the parity
+    # tests, so it shares the same independent VALUES oracle truncated
+    # to rank <= 8
+    "bpe_learn_merges_distributed": lambda s, d: text.bpe_learn_merges_distributed(
+        load_table(s, d, "documents"), n_merges=8
+    ),
     "bpe_encode_stats": lambda s, d: text.bpe_encode_stats(load_table(s, d, "documents")),
     "distinctive_terms": lambda s, d: text.distinctive_terms(load_table(s, d, "documents")),
     "source_overlap_matrix": lambda s, d: dedup.source_overlap_matrix(load_table(s, d, "documents")),
@@ -2779,6 +2787,12 @@ from .bpe_expected import (
 
 ORACLES["bpe_learn_merges"] = BPE_MERGES_EXPECTED_SQL
 ORACLES["bpe_encode_stats"] = BPE_ENCODE_EXPECTED_SQL
+# the distributed escape hatch is bit-exact with the driver loop
+# (tests/test_bpe_fidelity.py), so it shares the same independent
+# VALUES oracle, truncated to its registered merge depth
+ORACLES["bpe_learn_merges_distributed"] = (
+    f"SELECT * FROM ({BPE_MERGES_EXPECTED_SQL}) WHERE rank <= 8"
+)
 
 # k-means oracle (round 7): the integer-exact Lloyd loop of
 # operators/clustering.py is deterministic end-to-end, so
@@ -3138,6 +3152,7 @@ ORACLES["embedding_drift"] = """
 
 PRECOMPUTED_ORACLE_SF = {
     "bpe_learn_merges": _BPE_SF,
+    "bpe_learn_merges_distributed": _BPE_SF,
     "bpe_encode_stats": _BPE_SF,
     "kmeans_embeddings": _KMEANS_SF,
     "semdedup_prune": _KMEANS_SF,
