@@ -63,6 +63,7 @@ from .operators import (
     relational,
     similarity,
     text,
+    web,
     wordcount,
 )
 from .operators.wordcount import WS_RE
@@ -381,6 +382,10 @@ QUERIES: dict[str, QueryFn] = {
         load_table(s, d, "documents"),
         dedup.synth_corpus_snapshot(load_table(s, d, "documents")),
     ),
+    # -- round-10: URL/domain governance (C4/CCNet domain hygiene) --
+    "url_canonicalize": lambda s, d: web.url_canonicalize(load_table(s, d, "documents")),
+    "domain_rollup": lambda s, d: web.domain_rollup(load_table(s, d, "documents")),
+    "blocklist_filter": lambda s, d: web.blocklist_filter(load_table(s, d, "documents")),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -2759,6 +2764,87 @@ ORACLES["corpus_snapshot_diff"] = rf"""
                 ELSE 'changed' END AS status,
            count(*) AS n_docs
     FROM j GROUP BY 1, 2
+"""
+
+# -- round-10: URL/domain governance ---------------------------------
+# The synthetic per-doc URL (operators/web.py synth_doc_urls) and its
+# canonicalization, restated in DuckDB. Every regex is in the shared
+# Java ∩ RE2 subset; DuckDB regexp_replace carries the 'g' flag
+# (Spark replaces all matches by default).
+
+_URL_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END
+    || '://'
+    || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'm.' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+    || CASE WHEN doc_id % 5 < 2 THEN '.co.uk' ELSE '.com' END
+    || CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
+    || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 9 AS VARCHAR)
+            WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR) || '&utm_campaign=news&ref=tw'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 2 THEN '#Section2' ELSE '' END
+"""
+
+# CTE chain ending in `rd(doc_id, source, n_chars, url,
+# canonical_url, registered_domain)` — shared by all three oracles
+_URL_CANON_CTES = rf"""
+    urls AS (SELECT doc_id, source, n_chars, {_URL_SQL} AS url FROM documents),
+    u1 AS (SELECT *, regexp_replace(url, '#.*$', '', 'g') AS u FROM urls),
+    parts AS (SELECT *,
+        lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth0,
+        regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', '', 'g') AS rest0
+        FROM u1),
+    auth_steps AS (SELECT *,
+        CASE WHEN scheme = 'http'
+             THEN regexp_replace(regexp_replace(auth0, '^www\.', '', 'g'), ':80$', '', 'g')
+             WHEN scheme = 'https'
+             THEN regexp_replace(regexp_replace(auth0, '^www\.', '', 'g'), ':443$', '', 'g')
+             ELSE regexp_replace(auth0, '^www\.', '', 'g') END AS auth
+        FROM parts),
+    rest_steps AS (SELECT *,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(rest0, '&(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
+            '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*&', '?', 'g'),
+          '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*$', '', 'g') AS rest
+        FROM auth_steps),
+    canon AS (SELECT *,
+        regexp_replace(scheme || '://' || auth || rest, '/$', '', 'g') AS canonical_url
+        FROM rest_steps),
+    hosts AS (SELECT *,
+        regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS h
+        FROM canon),
+    rd AS (SELECT doc_id, source, n_chars, url, canonical_url,
+        CASE WHEN regexp_extract(h, '([^.]+\.(?:co|ac|gov)\.[a-z]+)$', 1) != ''
+             THEN regexp_extract(h, '([^.]+\.(?:co|ac|gov)\.[a-z]+)$', 1)
+             ELSE regexp_extract(h, '([^.]+\.[^.]+)$', 1) END AS registered_domain
+        FROM hosts)
+"""
+
+_BLOCKLIST_SQL = "('src3.com', 'src7.co.uk', 'src13.com', 'badsite.example')"
+
+ORACLES["url_canonicalize"] = f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, url, canonical_url, registered_domain FROM rd
+"""
+
+ORACLES["domain_rollup"] = f"""
+    WITH {_URL_CANON_CTES}
+    SELECT registered_domain,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           sum(n_chars)::BIGINT AS total_chars,
+           registered_domain IN {_BLOCKLIST_SQL} AS blocked
+    FROM rd GROUP BY registered_domain
+"""
+
+ORACLES["blocklist_filter"] = f"""
+    WITH {_URL_CANON_CTES}
+    SELECT doc_id, canonical_url, registered_domain FROM rd
+    WHERE registered_domain NOT IN {_BLOCKLIST_SQL}
 """
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the

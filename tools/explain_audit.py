@@ -876,6 +876,38 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join"],
         "max_single_partition": 0,
     },
+    # -- round-10: URL/domain governance --
+    # canonicalization is pure row-level JVM regexp rewriting: one
+    # scan, rebalance only, no join/window/agg, no Python exchange
+    "url_canonicalize": {
+        "max_scans": 1,
+        "max_exchanges": 1,  # rebalance only
+        "forbid": ["CartesianProduct", "Join", "Window", "HashAggregate", "InPandas", "EvalPython"],
+        "max_single_partition": 0,
+    },
+    # registered-domain rollup: one scan feeding the standard two-phase
+    # distinct aggregate (partial dedup on (domain, source) BEFORE the
+    # shuffle, then the domain rollup) — the blocked flag is a literal
+    # IN, never a join
+    "domain_rollup": {
+        "max_scans": 1,
+        "max_exchanges": 3,  # rebalance + (domain, source) + domain
+        "partial_agg": True,
+        "require": ["partial_count(distinct"],
+        "forbid": ["CartesianProduct", "Join", "Window", "collect_set"],
+        "max_single_partition": 0,
+    },
+    # blocklist admission filter: the blocklist dim is catalog-bounded
+    # (LocalRelation, statically sized), so the LEFT ANTI join must
+    # broadcast it — the corpus side never shuffles beyond rebalance
+    "blocklist_filter": {
+        "max_scans": 1,
+        "max_exchanges": 1,  # rebalance only; blocklist ships broadcast
+        "require_executed": [("BroadcastHashJoin", 1)],
+        "require": ["LeftAnti"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window"],
+        "max_single_partition": 0,
+    },
 }
 
 
