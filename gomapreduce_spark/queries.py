@@ -590,82 +590,79 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 9 executes the round-8 verdict's rotation order
-# (item 1): the seven queries that ceded r8 slots lead, then the
-# ENTIRE remaining r5 pool (32 — after r9 every registered query's
-# last driver row is r6+), then the seven stalest r6 entries
-# (registration order — including `boilerplate_spans`, the r8 bench
-# flag, which gets a fresh driver row), then the round-9 addition and
-# touched queries. Exactly the 50-row budget. Every entry is still
-# re-verified each round by pytest + tools/check_oracle.py regardless
-# of position.
-_R9_PRIORITY = [
-    # (a) the seven that ceded r8 slots (last driver row in the comment)
-    "tf_idf",                     # r4
-    "trimmed_mean_distributed",   # r4
-    "token_stats",                # r4
-    "wordcount",                  # r7 — core demo, verdict-named
-    "mr_wordcount",               # r7 — core demo, verdict-named
-    "group_collect",              # r7 — core demo, verdict-named
-    "sum_reduce",                 # r7 — core demo, verdict-named
-    # (b) the complete r5 pool, registration order
-    "multimodal_features",        # r5
-    "q13_customer_distribution",  # r5
-    "q22_global_sales_opportunity",  # r5
-    "paragraph_dedup",            # r5
-    "lm_perplexity",              # r5
-    "incremental_dedup",          # r5
-    "ordered_funnel",             # r5
-    "rolling_active_users",       # r5
-    "retention_cohorts",          # r5
-    "dsir_weights",               # r5
-    "token_budget_sample",        # r5
-    "grouping_sets_revenue",      # r5
-    "k_anonymity_audit",          # r5
-    "chunk_documents_udtf",       # r5
-    "full_outer_user_activity",   # r5
-    "map_funcs_showcase",         # r5 — also an r8 sub-second mover (re-row)
-    "math_funcs_showcase",        # r5
-    "quality_classifier",         # r5
-    "regression_stats",           # r5
-    "corpus_quality_report",      # r5
-    "bm25_search",                # r5
-    "distribution_drift",         # r5
-    "ngram_novelty",              # r5
-    "vocab_coverage",             # r5
-    "monthly_revenue_trend",      # r5
-    "bloom_decontamination",      # r5
-    "q11_important_parts",        # r5 — the r7-postmortem'd scheduler-bound query
-    "q12_late_by_returnflag",     # r5
-    "q15_top_supplier",           # r5
-    "q20_excess_suppliers",       # r5
-    "streaming_left_outer_join",  # r5
-    "streaming_chained_windows",  # r5
-    # (c) the seven stalest r6 entries, registration order
-    "embedding_dedup_clusters",   # r6
-    "boilerplate_spans",          # r6 — r8 bench flag, postmortem'd r9 (SCALE.md)
-    # (winnow_fingerprints / canonical_docs / image_dhash_index /
-    # audio_spectral / leakage_safe_split — r6 — cede their filler
-    # slots to the five newest r9 queries below; they lead the r10
-    # stale block)
-    # (d) NEW in round 9 — no driver row exists yet
-    "value_deciles_approx_seq",   # deterministic GK twin, VALUES-oracled
-    "ppjoin_pairs",               # lossless prefix-filtered exact jaccard twin
-    "weighted_sample",            # decimal multiply-compare importance sampler
-    "streaming_weighted_sample",  # its stateless streaming twin (shared oracle)
-    "lateral_topk_orders",        # correlated LATERAL → WindowGroupLimit plan
-    "corpus_snapshot_diff",       # crawl-to-crawl hash-compare governance diff
-    # (e) implementation changed in round 9 (outputs pinned identical,
-    # re-rowed anyway): the BPE merge loop is now incremental
-    # delta+heap; keyedtext's scratch dir is keyed per-parameters.
-    # (dedup_recall_audit gained only a sample_mod=1 RuntimeWarning —
-    # plan and output untouched, r8 row stands)
-    "bpe_learn_merges",           # r8
-    "bpe_encode_stats",           # r8
-    "keyedtext_wordcount",        # r8
+# round. Round 10 executes the round-9 verdict's rotation order
+# (item 1): the ENTIRE 41-query r6-stale block (the only queries
+# whose last driver row is older than r7 after r9), led by the five
+# r6 fillers that ceded their r9 slots, then the remaining r6 pool in
+# registration order; then the four round-10 additions and the five
+# queries whose implementation (or construction path) changed this
+# round. Exactly the 50-row budget; after r10 no registered query's
+# last driver row is older than r7. Every entry is still re-verified
+# each round by pytest + tools/check_oracle.py regardless of position.
+_R10_PRIORITY = [
+    # (a) the five r6 fillers that ceded r9 slots (verdict-named)
+    "winnow_fingerprints",        # r6
+    "canonical_docs",             # r6
+    "image_dhash_index",          # r6
+    "audio_spectral",             # r6
+    "leakage_safe_split",         # r6
+    # (b) the rest of the r6-stale pool, registration order
+    "event_transition_matrix",    # r6
+    "bpe_pair_counts",            # r6
+    "sparse_doc_similarity",      # r6
+    "scd2_user_state",            # r6
+    "merge_upsert_customers",     # r6
+    "html_boilerplate_strip",     # r6
+    "duplicate_spans",            # r6
+    "pagerank_dedup_graph",       # r6
+    "variant_props_stats",        # r6
+    "triangle_stats",             # r6
+    "minhash_lsh_pairs",          # r6
+    "dedup_clusters",             # r6
+    "embedding_near_dup",         # r6
+    "q4_late_shipments",          # r6
+    "asof_join_orders",           # r6
+    "range_join_shipments",       # r6
+    "percentile_stats",           # r6
+    "topk_per_group",             # r6
+    "rollup_revenue",             # r6
+    "anti_join_customers",        # r6
+    "semi_join_big_spenders",     # r6
+    "order_status_pivot",         # r6
+    "tumbling_window_counts",     # r6
+    "running_totals",             # r6
+    "cube_by_type_hour",          # r6
+    "funnel_set_ops",             # r6
+    "json_props_stats",           # r6
+    "latest_event_per_user",      # r6
+    "value_deciles",              # r6
+    "value_prop_correlation",     # r6
+    "trimmed_mean_by_type",       # r6
+    "distinct_words",             # r6
+    "string_funcs_showcase",      # r6
+    "date_funcs_showcase",        # r6
+    "salted_user_counts",         # r6
+    "streaming_transition_matrix",  # r6
+    # (c) NEW in round 10 — no driver row exists yet
+    "bpe_learn_merges_distributed",  # huge-dict escape hatch, registered (r9 verdict item 4)
+    "url_canonicalize",           # URL hygiene, row-level (r9 verdict item 5)
+    "domain_rollup",              # registered-domain governance rollup
+    "blocklist_filter",           # LEFT ANTI broadcast admission filter
+    # (d) implementation/construction changed in round 10 (re-row):
+    # ppjoin_pairs gained the threshold-domain guard;
+    # corpus_snapshot_diff's synthetic feed derives fresh ids from
+    # h64(source); streaming_weighted_sample re-enters calibration
+    # totals as decimal literals (weighted_total_lit, shared with
+    # weighted_sample's module); dedup_recall_audit gained the
+    # bounded size probe ahead of its warning
+    "ppjoin_pairs",               # r9
+    "corpus_snapshot_diff",       # r9
+    "streaming_weighted_sample",  # r9
+    "weighted_sample",            # r9
+    "dedup_recall_audit",         # r8
 ]
-_order = [n for n in QUERIES if n not in _R9_PRIORITY]
-_order[0:0] = _R9_PRIORITY
+_order = [n for n in QUERIES if n not in _R10_PRIORITY]
+_order[0:0] = _R10_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
