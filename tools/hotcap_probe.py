@@ -142,6 +142,31 @@ def main() -> int:
         f"ppjoin: exact answer {bu[0] / pp[0]:.1f}x faster than brute force "
         f"(same {pp[1]} pairs); the capped form under-reports {bu[1] - bc[1]} pairs here"
     )
+
+    # Snapshot-diff under SOURCE skew (round-9 verdict item 6): one
+    # source owning 90 % of the corpus. Structural expectation: the
+    # full-outer join keys on doc_id (uniform — skew CANNOT reach it),
+    # and the only source-keyed stage is the (source, status) rollup,
+    # whose hot group collapses map-side in the partial aggregate, so
+    # the final exchange carries per-partition partials, not 90 % of
+    # the rows. Wall parity with the uniform corpus is the proof.
+    base = load_table(spark, sf_dir, "documents")
+    skewed = base.withColumn(
+        "source",
+        F.when(F.pmod("doc_id", F.lit(10)) < 9, F.lit("megasource")).otherwise(
+            F.col("source")
+        ),
+    ).localCheckpoint()
+    skewed.count()
+    du = timed("snapshot_diff uniform sources", dedup.corpus_snapshot_diff(
+        base, dedup.synth_corpus_snapshot(base)))
+    ds = timed("snapshot_diff 90%-one-source", dedup.corpus_snapshot_diff(
+        skewed, dedup.synth_corpus_snapshot(skewed)))
+    print(
+        f"snapshot-diff skew: uniform {du[0]:.2f}s vs 90%-one-source {ds[0]:.2f}s "
+        f"(x{ds[0] / max(du[0], 1e-9):.2f} — join keys on doc_id, hot source "
+        f"collapses in the partial agg)"
+    )
     return 0
 
 

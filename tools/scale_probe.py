@@ -114,6 +114,12 @@ PROBE_QUERIES = [
     # round-9 additions
     "ppjoin_pairs",
     "weighted_sample",
+    # round-10 additions (r9 verdict item 6 + the new governance family)
+    "corpus_snapshot_diff",
+    "url_canonicalize",
+    "domain_rollup",
+    "blocklist_filter",
+    "bpe_learn_merges_distributed",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
