@@ -44,8 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the eight approximate /
-    non-SQL ops are intentionally absent (rows-only check plus
-    error-bound / recall / exact-numpy-reference tests); every
-    streaming query IS present (deterministic on finite replay)."""
+    """DuckDB-equivalent SQL per query. Exactly ONE query is
+    intentionally absent — value_deciles_approx (GK sketch merges in
+    shuffle-arrival order; dual-bound tests + the hash-oracled
+    repartition(1) twin value_deciles_approx_seq compensate); every
+    streaming query IS present (deterministic on finite replay), and
+    the deterministic codec/ANN/BPE/HLL/kmeans pipelines carry
+    precomputed independent-reference VALUES oracles."""
     return dict(_q.ORACLES)
