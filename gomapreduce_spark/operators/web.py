@@ -97,7 +97,12 @@ def canonical_url_expr(url: Column) -> Column:
     ``fbclid``, ``gclid``) wherever they sit in the query string,
     healing the ``?``/``&`` separators; drop a trailing slash."""
     scheme, auth, rest = _auth_parts(url)
-    auth = F.regexp_replace(auth, r"^www\.", "")
+    # repetition-safe forms ('(www\.)+', '/+$') keep the transform
+    # IDEMPOTENT — canon(canon(u)) == canon(u) — so re-canonicalizing
+    # an already-clean catalog is a no-op, not a drift source
+    # (property-tested); the single-step '^www\.' / '/$' variants break
+    # that on 'www.www.' hosts and '//' tails
+    auth = F.regexp_replace(auth, r"^(www\.)+", "")
     auth = (
         F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
@@ -108,7 +113,7 @@ def canonical_url_expr(url: Column) -> Column:
     rest = F.regexp_replace(rest, rf"&{_TRACKING}=[^&#]*", "")
     rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*&", "?")
     rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*$", "")
-    return F.regexp_replace(F.concat(scheme, F.lit("://"), auth, rest), r"/$", "")
+    return F.regexp_replace(F.concat(scheme, F.lit("://"), auth, rest), r"/+$", "")
 
 
 def registered_domain_expr(canonical: Column) -> Column:

@@ -2796,10 +2796,10 @@ _URL_CANON_CTES = rf"""
         FROM u1),
     auth_steps AS (SELECT *,
         CASE WHEN scheme = 'http'
-             THEN regexp_replace(regexp_replace(auth0, '^www\.', '', 'g'), ':80$', '', 'g')
+             THEN regexp_replace(regexp_replace(auth0, '^(www\.)+', '', 'g'), ':80$', '', 'g')
              WHEN scheme = 'https'
-             THEN regexp_replace(regexp_replace(auth0, '^www\.', '', 'g'), ':443$', '', 'g')
-             ELSE regexp_replace(auth0, '^www\.', '', 'g') END AS auth
+             THEN regexp_replace(regexp_replace(auth0, '^(www\.)+', '', 'g'), ':443$', '', 'g')
+             ELSE regexp_replace(auth0, '^(www\.)+', '', 'g') END AS auth
         FROM parts),
     rest_steps AS (SELECT *,
         regexp_replace(
@@ -2809,7 +2809,7 @@ _URL_CANON_CTES = rf"""
           '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*$', '', 'g') AS rest
         FROM auth_steps),
     canon AS (SELECT *,
-        regexp_replace(scheme || '://' || auth || rest, '/$', '', 'g') AS canonical_url
+        regexp_replace(scheme || '://' || auth || rest, '/+$', '', 'g') AS canonical_url
         FROM rest_steps),
     hosts AS (SELECT *,
         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS h

@@ -111,3 +111,52 @@ def test_domain_rollup_accounts_every_doc(spark, sf_small):
     # registered domains never NULL (governance must count unparseable
     # hosts, not drop them)
     assert all(r.registered_domain is not None for r in rows)
+
+
+def test_canonicalization_idempotent(spark):
+    """canon(canon(u)) == canon(u): re-canonicalizing an already-clean
+    catalog must be a no-op (the repetition-safe '(www\\.)+' / '/+$'
+    forms exist exactly for this — single-step variants drift on
+    'www.www.' hosts and '//' tails). Checked on the crafted traps, a
+    hypothesis sweep of URL-shaped strings, and the full synthetic
+    corpus feed."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomapreduce_spark.operators.web import canonical_url_expr, synth_doc_urls
+    from gomapreduce_spark.sources.registry import load_table
+
+    def canon_once(vals):
+        df = spark.createDataFrame([(u,) for u in vals], "url string")
+        return [r.c for r in df.select(canonical_url_expr(F.col("url")).alias("c")).collect()]
+
+    traps = [
+        "https://www.www.a.com/x//",
+        "HTTP://WWW.WWW.WWW.b.co.uk:80///",
+        "https://a.com/p?utm_a=1&utm_b=2#f/",
+        "https://www.a.com:443/?ref=x",
+    ]
+    once = canon_once(traps)
+    assert canon_once(once) == once
+
+    host = st.from_regex(r"(www\.){0,2}[a-z]{1,6}(\.[a-z]{2,3}){1,2}", fullmatch=True)
+    tail = st.from_regex(
+        r"(:\d{2,4})?(/[A-Za-z0-9]{0,5}){0,3}/{0,2}"
+        r"(\?(utm_[a-z]{1,4}|ref|id|q)=[A-Za-z0-9]{0,4}(&(utm_[a-z]{1,4}|ref|id|q)=[A-Za-z0-9]{0,4}){0,3})?"
+        r"(#[A-Za-z0-9]{0,4})?",
+        fullmatch=True,
+    )
+
+    @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.sampled_from(["http", "HTTPS", "https"]), host, tail),
+                    min_size=1, max_size=8))
+    def sweep(parts):
+        urls = [f"{s}://{h}{t}" for s, h, t in parts]
+        c1 = canon_once(urls)
+        assert canon_once(c1) == c1
+
+    sweep()
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = canon_once([r.url for r in synth_doc_urls(docs).select("url").collect()])
+    assert canon_once(corpus) == corpus
