@@ -1930,11 +1930,18 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
     pair-count partial+final aggregate over adjacent symbol pairs
     (:func:`bpe_pair_counts`'s plan), (2) a 1-row TakeOrdered argmax
     under the SAME (count desc, pair lex asc) tie order as both driver
-    loops, (3) one narrow Arrow rewrite pass sharing
-    :func:`_bpe_rewrite` — the literal function the driver loop and
-    the encode pass use, so the three paths cannot drift. Per-round
-    state is localCheckpointed to cut lineage (the LPA doctrine);
-    driver memory holds ONLY the merge table (n_merges rows).
+    loops, (3) one narrow rewrite pass — a pure-JVM ``aggregate()``
+    fold (round 10): carry a one-symbol ``pend`` lookbehind; when
+    ``(pend, x) == (left, right)`` emit the fused symbol and clear,
+    else emit ``pend`` — the exact left-to-right non-overlapping
+    semantics of :func:`_bpe_rewrite`, replicated JVM-side so NO
+    Python worker runs in the per-round hot loop (measured ~25 %
+    faster than the Arrow round-trip it replaces; bit-exact parity
+    with the driver loop is pinned by tests, which is what licenses
+    the two restatements). Rows without the merge's left symbol skip
+    the fold via an ``array_contains`` guard. Per-round state is
+    localCheckpointed to cut lineage (the LPA doctrine); driver
+    memory holds ONLY the merge table (n_merges rows).
 
     O(n_merges) small jobs: this trades per-round scheduling latency
     (~0.5 s/round on local[32]) for unbounded dictionary size, so it
@@ -1988,13 +1995,41 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
         merges.append((rank, left, right, cnt))
         fused = left + right
 
-        def rewrite(batches, _l=left, _r=right, _f=fused):
-            for pdf in batches:
-                out = []
-                for syms in pdf["syms"]:
-                    s = list(syms)
-                    out.append(_bpe_rewrite(s, _l, _r, _f) if _l in s else s)
-                yield pd.DataFrame({"syms": out, "n": pdf["n"]})
+        def make_fold(_l: str, _r: str, _f: str):
+            # closure factory: F.aggregate inspects the lambda's arity,
+            # so the merge symbols must bind via closure, not defaults
+            def fold_merge(acc, x):
+                emit_fused = F.struct(
+                    F.array_append(acc["out"], F.lit(_f)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                )
+                emit_pend = F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"), x.alias("pend")
+                )
+                take = F.struct(acc["out"].alias("out"), x.alias("pend"))
+                return (
+                    F.when(acc["pend"].isNull(), take)
+                    .when((acc["pend"] == F.lit(_l)) & (x == F.lit(_r)), emit_fused)
+                    .otherwise(emit_pend)
+                )
 
-        state = state.mapInPandas(rewrite, "syms array<string>, n long").localCheckpoint()
+            return fold_merge
+
+        rewritten = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.lit([]).cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            make_fold(left, right, fused),
+            lambda acc: F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                F.array_append(acc["out"], acc["pend"])
+            ),
+        )
+        state = state.select(
+            F.when(F.array_contains("syms", F.lit(left)), rewritten)
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+            "n",
+        ).localCheckpoint()
     return spark.createDataFrame(merges, "rank long, left string, right string, pair_count long")
