@@ -119,12 +119,16 @@ def canonical_url_expr(url: Column) -> Column:
 def registered_domain_expr(canonical: Column) -> Column:
     """Registered domain of a CANONICAL url (lowercased, www-less):
     last three labels under a multi-part public suffix (``co.uk`` …),
-    else last two. Unparseable hosts yield '' (kept, never NULL — a
-    governance rollup must count them, not drop them)."""
+    else last two. An IPv4-literal host IS its own registered domain
+    (a label-suffix rule would blocklist '3.4' instead of the actual
+    address — crawl blocklists carry raw IPs). Unparseable hosts
+    yield '' (kept, never NULL — a governance rollup must count them,
+    not drop them)."""
     host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    ipv4 = F.regexp_extract(host, r"^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
     rd3 = F.regexp_extract(host, _MULTIPART_SUFFIX, 1)
     rd2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(rd3 != "", rd3).otherwise(rd2)
+    return F.when(ipv4 != "", ipv4).when(rd3 != "", rd3).otherwise(rd2)
 
 
 def url_canonicalize(docs: DataFrame) -> DataFrame:

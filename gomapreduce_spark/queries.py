@@ -2815,7 +2815,9 @@ _URL_CANON_CTES = rf"""
         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS h
         FROM canon),
     rd AS (SELECT doc_id, source, n_chars, url, canonical_url,
-        CASE WHEN regexp_extract(h, '([^.]+\.(?:co|ac|gov)\.[a-z]+)$', 1) != ''
+        CASE WHEN regexp_extract(h, '^(\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}})$', 1) != ''
+             THEN h
+             WHEN regexp_extract(h, '([^.]+\.(?:co|ac|gov)\.[a-z]+)$', 1) != ''
              THEN regexp_extract(h, '([^.]+\.(?:co|ac|gov)\.[a-z]+)$', 1)
              ELSE regexp_extract(h, '([^.]+\.[^.]+)$', 1) END AS registered_domain
         FROM hosts)

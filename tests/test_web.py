@@ -54,6 +54,10 @@ def test_registered_domain_edges(spark):
         ("https://src5.com", "src5.com"),
         ("https://localhost/p", ""),                 # no dot: unparseable, '' not NULL
         ("https://x.ac.jp:8080/p", "x.ac.jp"),       # port never leaks into the domain
+        # an IPv4 literal is its own registered domain (blocklists
+        # carry raw IPs; the label-suffix rule would emit '3.4')
+        ("https://192.168.3.4/p", "192.168.3.4"),
+        ("http://10.0.0.7:8080/x", "10.0.0.7"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "canonical string")
     got = [
