@@ -464,10 +464,14 @@ def weighted_total_lit(v) -> Column:
     ``int()`` + ``F.lit`` would re-type it as a LongType literal and
     RAISE past int64 — exactly the overflow the decimal aggregate was
     built to absorb. String→decimal cast keeps the full 38 digits and
-    lets a NULL total degrade to the documented empty sample."""
+    lets a NULL total degrade to the documented empty sample. The
+    string goes through ``int()`` first (Python ints are unbounded —
+    only ``F.lit(int)`` was the trap) because ``str(Decimal)`` can
+    render scientific notation ('1E+20'), which a non-ANSI cast may
+    NULL out silently; plain digits are canonical in every engine."""
     if v is None:
         return F.lit(None).cast(_DEC38)
-    return F.lit(str(v)).cast(_DEC38)
+    return F.lit(str(int(v))).cast(_DEC38)
 
 
 def weighted_sample(
