@@ -447,12 +447,19 @@ def weighted_totals_agg():
     2^63 (inverting the keep comparison for every row), while the
     DuckDB oracle's sum is HUGEINT and would not — decimal(38,0)
     matches the oracle and degrades to NULL→empty-sample on the
-    (astronomical) 38-digit overflow instead of wrapping."""
+    (astronomical) 38-digit overflow instead of wrapping.
+
+    W is deliberately NOT coalesced: a NULL sum means either an empty
+    corpus or a 38-digit overflow, and in both cases the NULL must
+    PROPAGATE into the keep comparison (NULL predicate → every row
+    dropped → the documented empty sample). The earlier
+    ``coalesce(sum, 0)`` turned an overflowed W into 0, which made
+    ``h·W < rate·w·N`` TRUE for every row — overflow would have
+    admitted 100 % of the corpus instead of 0 % (round-10 review
+    finding)."""
     return [
         F.count(F.lit(1)).cast(_DEC38).alias("n_total"),
-        F.coalesce(F.sum(F.col("w_micro").cast(_DEC38)), F.lit(0).cast(_DEC38)).alias(
-            "w_total"
-        ),
+        F.sum(F.col("w_micro").cast(_DEC38)).alias("w_total"),
     ]
 
 

@@ -95,7 +95,15 @@ def canonical_url_expr(url: Column) -> Column:
     ``:443`` for https — an explicit ``:8080`` is a different origin
     and stays); remove tracking query parameters (``utm_*``, ``ref``,
     ``fbclid``, ``gclid``) wherever they sit in the query string,
-    healing the ``?``/``&`` separators; drop a trailing slash."""
+    healing the ``?``/``&`` separators; drop trailing slashes from the
+    PATH (never from a query value — '?next=/' keeps its slash).
+
+    A string with no ``scheme://`` prefix passes through UNCHANGED
+    (canonicalizing what we cannot parse would corrupt it — the old
+    behavior manufactured '://…' and grew on every application); such
+    rows carry registered_domain '' downstream, so governance COUNTS
+    them (domain_rollup) rather than judging them — normalize
+    scheme-less records at ingest if they must face the blocklist."""
     scheme, auth, rest = _auth_parts(url)
     # repetition-safe forms ('(www\.)+', '/+$') keep the transform
     # IDEMPOTENT — canon(canon(u)) == canon(u) — so re-canonicalizing
@@ -113,7 +121,14 @@ def canonical_url_expr(url: Column) -> Column:
     rest = F.regexp_replace(rest, rf"&{_TRACKING}=[^&#]*", "")
     rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*&", "?")
     rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*$", "")
-    return F.regexp_replace(F.concat(scheme, F.lit("://"), auth, rest), r"/+$", "")
+    # trailing-slash strip on the PATH only: split rest at the first
+    # '?' (no lookbehind — RE2 has none) so a slash ending a QUERY
+    # VALUE ('?next=/') survives — it distinguishes real pages
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    qs = F.regexp_replace(rest, r"^[^?]*", "")
+    return F.when(
+        scheme == "", url  # not URL-shaped: pass through, stay idempotent
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, path, qs))
 
 
 def registered_domain_expr(canonical: Column) -> Column:

@@ -2809,7 +2809,10 @@ _URL_CANON_CTES = rf"""
           '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*$', '', 'g') AS rest
         FROM auth_steps),
     canon AS (SELECT *,
-        regexp_replace(scheme || '://' || auth || rest, '/+$', '', 'g') AS canonical_url
+        CASE WHEN scheme = '' THEN url
+             ELSE scheme || '://' || auth
+                  || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '', 'g')
+                  || regexp_replace(rest, '^[^?]*', '', 'g') END AS canonical_url
         FROM rest_steps),
     hosts AS (SELECT *,
         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS h

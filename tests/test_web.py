@@ -39,6 +39,13 @@ def _canon(spark, urls):
         # trailing slash dropped; www under m. NOT stripped (not a prefix)
         ("https://m.a.com/dir/", "https://m.a.com/dir"),
         ("https://www.a.co.uk/", "https://a.co.uk"),
+        # PATH trailing slash strips even ahead of a query…
+        ("https://a.com/p/?id=3", "https://a.com/p?id=3"),
+        # …but a slash ending a QUERY VALUE is content and survives
+        ("https://a.com/p?next=/", "https://a.com/p?next=/"),
+        # not URL-shaped: pass through untouched (no manufactured '://')
+        ("example.com/path", "example.com/path"),
+        ("/relative/only", "/relative/only"),
     ],
 )
 def test_canonical_branches(spark, raw, want):
@@ -100,7 +107,13 @@ def test_blocklist_filter_drops_only_blocked(spark, sf_small):
     rollup = {r.registered_domain: r for r in domain_rollup(docs).collect()}
     blocked_docs = sum(r.n_docs for r in rollup.values() if r.blocked)
     assert dropped == blocked_docs > 0
-    assert not any(r.blocked for d, r in rollup.items() if d not in rollup or not r.blocked)
+    # the rollup's blocked flag is EXACTLY blocklist membership — no
+    # domain flagged that isn't listed, none listed-and-present missed
+    from gomapreduce_spark.operators.web import DEFAULT_BLOCKLIST
+
+    assert {d for d, r in rollup.items() if r.blocked} == (
+        set(DEFAULT_BLOCKLIST) & set(rollup)
+    )
     kept_domains = {r.registered_domain for r in kept.collect()}
     assert all(not rollup[d].blocked for d in kept_domains)
 
@@ -139,6 +152,8 @@ def test_canonicalization_idempotent(spark):
         "HTTP://WWW.WWW.WWW.b.co.uk:80///",
         "https://a.com/p?utm_a=1&utm_b=2#f/",
         "https://www.a.com:443/?ref=x",
+        "scheme-less.com/x//",  # pass-through must not grow '://'
+        "https://a.com/p//?next=/",  # path slash strips, query slash stays
     ]
     once = canon_once(traps)
     assert canon_once(once) == once

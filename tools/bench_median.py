@@ -48,12 +48,22 @@ def one_run(i: int) -> dict:
 
 def merge(runs: list[dict]) -> dict:
     def med_spread(key: str) -> tuple[dict, dict]:
-        names = runs[0][key]
+        # union across runs, not runs[0]'s keys: bench.py's per-query
+        # isolation records an errored query only under 'errors', so a
+        # query that flaked in SOME run would otherwise KeyError the
+        # whole merge (or silently vanish if it flaked in run 1); the
+        # median is taken over the runs that have it, and partial
+        # coverage is reported, never silent
+        names: dict[str, None] = {}
+        for r in runs:
+            names.update(dict.fromkeys(r[key]))
         meds, spread = {}, {}
         for q in names:
-            vals = sorted(r[key][q] for r in runs)
+            vals = sorted(r[key][q] for r in runs if q in r[key])
             meds[q] = round(statistics.median(vals), 3)
             spread[q] = [vals[0], vals[-1]]
+            if len(vals) < len(runs):
+                print(f"WARNING: {q} timed in only {len(vals)}/{len(runs)} runs")
         return meds, spread
 
     q_med, q_spread = med_spread("queries")
