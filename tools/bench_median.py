@@ -29,6 +29,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+# the round driver's own end-of-round bench run OVERWRITES
+# BENCH_DETAIL.json with a single-run snapshot (observed in every
+# round-N driver commit), so the median merge is ALSO written to a
+# file the driver never touches — the durable committed evidence
+MEDIAN = os.path.join(REPO, "BENCH_MEDIAN.json")
 
 
 def one_run(i: int) -> dict:
@@ -103,9 +108,10 @@ def main() -> int:
         print(f"WARNING: load {load1:.1f} — snapshot quality needs a quiet host")
     runs = [one_run(i + 1) for i in range(n)]
     merged = merge(runs)
-    with open(DETAIL, "w") as fh:
-        json.dump(merged, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    for path in (DETAIL, MEDIAN):
+        with open(path, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(
         json.dumps(
             {
