@@ -567,24 +567,46 @@ def hard_negative_mining(emb: DataFrame, n_anchors: int = 10) -> DataFrame:
     reduced to two argmax rows per anchor via conditional max-of-struct
     aggregation (sim desc, id asc tie-break — deterministic in any
     engine). At 100 TB the exact scorer swaps for the knn_pq/knn_ivf
-    shortlist with identical downstream aggregation."""
-    base = emb.select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")).where(
-        F.col("nrm") > 0  # cosine undefined for zero vectors (guarded-divide doctrine)
+    shortlist with identical downstream aggregation.
+
+    Similarity rides the int64 micro-grid (the embedding_drift
+    doctrine): elements quantize ONCE to floor(x·1e6 + 0.5), the dot
+    and squared norms are exact order-free int64 sums (≤ 6.4e13 at
+    64 dims — inside 2^53, so the double casts are exact), and sqrt/
+    divide/round are correctly-rounded IEEE ops on BIT-IDENTICAL
+    inputs in both engines. A float32 fold instead differs by an ULP
+    between engines, and round(·, 6) amplifies that to a wrong 6th
+    decimal whenever a sim lands on a rounding boundary — observed
+    live at sf0.001 (round-10 cross-SF oracle sweep)."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    nrm2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = (
+        emb.select("vec_id", "label", q.alias("qv"))
+        .select("vec_id", "label", "qv", F.sqrt(nrm2.cast("double")).alias("nrm"))
+        .where(F.col("nrm") > 0)  # cosine undefined for zero vectors (guarded-divide doctrine)
     )
     a = base.where(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("qe"),
+        F.col("qv").alias("qe"),
         F.col("nrm").alias("qn"),
+    )
+    dot_int = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     scored = base.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id")).select(
         "anchor_id",
         "anchor_label",
         "vec_id",
         "label",
-        F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6).alias(
-            "sim"
-        ),
+        F.round(dot_int.cast("double") / (F.col("qn") * F.col("nrm")), 6).alias("sim"),
     )
     # argmax as max-of-struct: (sim, -vec_id) orders by sim desc then
     # vec_id asc — the same total order the SQL row_number uses

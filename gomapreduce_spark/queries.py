@@ -2391,20 +2391,30 @@ ORACLES["quality_classifier"] = rf"""
 # hardest positive / hardest negative per anchor: row_number over
 # (sim desc, vec_id asc) within the label/non-label slices — the same
 # total order the Spark max-of-struct aggregation encodes
+# similarity on the int64 micro-grid (embedding_drift doctrine):
+# quantize once, exact integer dot/norm² (< 2^53, so the DOUBLE casts
+# are exact), then correctly-rounded sqrt/divide/round on inputs that
+# are BIT-IDENTICAL to Spark's — a float32 fold differs by an ULP
+# between engines and round(,6) flips at a boundary (seen at sf0.001)
 ORACLES["hard_negative_mining"] = """
     WITH base AS (
       SELECT * FROM (
-        SELECT vec_id, label, embedding,
-               sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum')) AS nrm
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv,
+               sqrt(CAST(list_aggregate(list_transform(
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+                 x -> x * x), 'sum') AS DOUBLE)) AS nrm
         FROM embeddings
       ) WHERE nrm > 0
     ),
-    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe, nrm AS qn
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, qv AS qe, nrm AS qn
           FROM base WHERE vec_id < 10),
     scored AS (
       SELECT a.anchor_id, a.anchor_label, b.vec_id, b.label,
-             round(list_aggregate(list_transform(range(1, len(qe) + 1),
-                     i -> qe[i] * b.embedding[i]), 'sum') / (qn * b.nrm), 6) AS sim
+             round(CAST(list_aggregate(list_transform(range(1, len(qe) + 1),
+                     i -> qe[i] * b.qv[i]), 'sum') AS DOUBLE) / (qn * b.nrm), 6) AS sim
       FROM a JOIN base b ON b.vec_id <> a.anchor_id
     ),
     pos AS (
