@@ -1064,31 +1064,60 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     hard rule filters (:func:`gopher_rules`): rules kill the obvious
     garbage, the model ranks the grey zone.
 
-    Entirely closed-form scalar math → one narrow scan at any size, and
-    the DuckDB oracle evaluates the identical formula (sigmoid rounded
-    to 4 decimals — far above cross-libm exp() ulp wiggle)."""
+    Entirely closed-form scalar math → one narrow scan at any size.
+
+    Cross-engine exactness (round-10 sf0.1 sweep finding): every
+    feature is a ratio of exact integer counts and every weight has
+    one decimal, so the logit is the exact rational NUM / (1000·n·L)
+    — and the 4-decimal HALF-UP rounding is done IN int64 (sign ·
+    (2·|NUM|·10⁴ + DEN) div (2·DEN), the pmod-free signed form of the
+    repo's integer half-up doctrine). Rounding the double instead
+    diverges between engines whenever the true value sits exactly on
+    a half: Spark rounds the shortest decimal repr (BigDecimal
+    HALF_UP → 0.78175 → 0.7818) while DuckDB rounds the binary double
+    (0.781749999… → 0.7817). The keep flag compares NUM ≥ 0 (sigmoid
+    is monotone; p ≥ 0.5 ⇔ logit ≥ 0) — no float ever decides it.
+    p_keep still rounds the double sigmoid — exp() has no exact form
+    — but its input is the bit-identical exact logit in both engines
+    (residual risk: a cross-libm exp() ulp landing exactly on a
+    4-decimal half)."""
+    if threshold != 0.5:
+        raise ValueError(
+            "quality_classifier's exact keep flag encodes p >= 0.5 as "
+            f"logit >= 0; threshold={threshold} needs logit >= ln(t/(1-t)) "
+            "— extend the integer comparison before changing it"
+        )
     toks = tokenize("text")
-    n = F.greatest(F.size(toks), F.lit(1))
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    alpha_ratio = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast(
-        "double"
-    ) / F.greatest(F.length("text"), F.lit(1))
-    len_score = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
-    w = QC_WEIGHTS
-    logit = (
-        F.lit(w["bias"])
-        + F.lit(w["len_score"]) * len_score
-        + F.lit(w["stop_ratio"]) * stop_ratio
-        + F.lit(w["ttr"]) * ttr
-        + F.lit(w["alpha_ratio"]) * alpha_ratio
+    nt = F.size(toks).cast("long")
+    n = F.greatest(nt, F.lit(1))
+    L = F.greatest(F.length("text").cast("long"), F.lit(1))
+    s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    u = F.size(F.array_distinct(toks)).cast("long")
+    a = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
+    # 10·logit · (100·n·L) — all int64: NUM ≤ ~5·(100·n·L), and
+    # 100·n·L ≤ 1e2·1e5·1e6 « 2^63 at any fixture scale
+    num = (
+        F.lit(-2000) * n * L
+        + F.lit(18) * F.least(nt, F.lit(100)) * n * L
+        + F.lit(3000) * s * L
+        + F.lit(1200) * u * L
+        + F.lit(1500) * a * n
     )
+    den = F.lit(1000) * n * L
+    # signed HALF_UP to 4 decimals in exact integers (away from zero);
+    # `div` is int64 division — a float `/` + floor can be off by one
+    # when the quotient sits within an ulp of an integer
+    feat = docs.select("doc_id", num.alias("num"), den.alias("den"))
+    logit4 = F.signum("num").cast("long") * F.expr(
+        "(2 * 10000 * abs(num) + den) div (2 * den)"
+    )
+    logit = logit4.cast("double") / F.lit(10_000.0)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    return docs.select(
+    return feat.select(
         "doc_id",
-        F.round(logit, 4).alias("logit"),
+        logit.alias("logit"),
         F.round(prob, 4).alias("p_keep"),
-        (prob >= threshold).cast("boolean").alias("keep"),
+        (F.col("num") >= 0).cast("boolean").alias("keep"),
     )
 
 

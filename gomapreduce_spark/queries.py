@@ -2365,26 +2365,41 @@ ORACLES["math_funcs_showcase"] = """
 # logistic classifier inference: identical closed-form features and
 # weights as text.QC_WEIGHTS; sigmoid rounded to 4 decimals (cross-libm
 # exp() agrees far beyond that)
+# the logit is the exact rational NUM/(1000·n·L) and its 4-decimal
+# HALF-UP rounding is done in int64 (sign · (2·|NUM|·1e4 + DEN) //
+# (2·DEN)) — rounding the DOUBLE diverges between engines exactly on
+# half boundaries (Spark rounds the shortest decimal repr, DuckDB the
+# binary value; seen live at sf0.1); keep compares NUM >= 0 (p>=0.5 ⇔
+# logit>=0), float-free
 ORACLES["quality_classifier"] = rf"""
     WITH c AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
     m AS (
       SELECT doc_id,
-             least(len(t)::DOUBLE / 100.0, 1.0) AS len_score,
-             len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
-               / greatest(len(t), 1) AS stop_ratio,
-             len(list_distinct(t))::DOUBLE / greatest(len(t), 1) AS ttr,
-             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-               / greatest(length(text), 1) AS alpha_ratio
+             len(t)::BIGINT AS nt,
+             greatest(len(t), 1)::BIGINT AS n,
+             greatest(length(text), 1)::BIGINT AS chars,
+             len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT AS s,
+             len(list_distinct(t))::BIGINT AS u,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha
       FROM c
+    ),
+    f AS (
+      SELECT doc_id,
+             (-2000 * n * chars + 18 * least(nt, 100) * n * chars
+              + 3000 * s * chars + 1200 * u * chars + 1500 * alpha * n) AS num,
+             1000 * n * chars AS den
+      FROM m
     ),
     lg AS (
       SELECT doc_id,
-             -2.0 + 1.8 * len_score + 3.0 * stop_ratio + 1.2 * ttr + 1.5 * alpha_ratio AS logit
-      FROM m
+             (sign(num)::BIGINT * ((2 * 10000 * abs(num) + den) // (2 * den)))::DOUBLE
+               / 10000.0 AS logit,
+             num >= 0 AS keep
+      FROM f
     )
-    SELECT doc_id, round(logit, 4) AS logit,
+    SELECT doc_id, logit,
            round(1.0 / (1.0 + exp(-logit)), 4) AS p_keep,
-           (1.0 / (1.0 + exp(-logit)) >= 0.5) AS keep
+           keep
     FROM lg
 """
 
