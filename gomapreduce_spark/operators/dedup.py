@@ -1421,7 +1421,15 @@ def dedup_recall_audit(
     sample_mod==1 emits a RuntimeWarning once the input measures past
     a bounded-probe threshold (``limit(N+1).count()``, the cap-probe
     doctrine — fixture-scale runs stay silent) rather than silently
-    running O(df²). Both inputs are existing oracle-verified operators; the
+    running O(df²). Probe caveat: the ``limit(N+1).count()`` fires an
+    eager Spark job at CALL time, and the limit bounds only the rows
+    COLLECTED — if the caller hands a derived DataFrame behind a wide
+    shuffle, that upstream exchange still computes in full, so the
+    "bounded probe" guarantee holds for scan-shaped inputs (a parquet
+    read ± row filters, the intended audit entry point); pre-derived
+    inputs should be materialized first or passed with sample_mod>1,
+    which skips the probe entirely. Both inputs are existing
+    oracle-verified operators; the
     audit adds one full-outer pair join (pair-keyed, both sides
     already deduplicated) and a 1-row aggregate. Degenerate corpora
     (zero candidates / zero true pairs) report NULL ratios — guarded

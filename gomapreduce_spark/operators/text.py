@@ -1094,8 +1094,14 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
     u = F.size(F.array_distinct(toks)).cast("long")
     a = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
-    # 10·logit · (100·n·L) — all int64: NUM ≤ ~5·(100·n·L), and
-    # 100·n·L ≤ 1e2·1e5·1e6 « 2^63 at any fixture scale
+    # 10·logit · (100·n·L) — int64: |NUM| ≤ 9500·n·L (term bounds
+    # s,u ≤ n and a ≤ L), so num itself is safe while n·L < ~9.7e14
+    # (a 1e5-token doc of 1e6 chars sits at 9.5e14 — inside). The
+    # ROUNDING step multiplies by a further 2·10⁴, which would blow
+    # int64 at n·L ≈ 4.8e13 (a multi-MB document) and wrap silently
+    # under non-ANSI Spark — so that step runs in DECIMAL(38,0)
+    # below, which is exact to 1e38 (`keep` compares raw num and
+    # never needed the headroom)
     num = (
         F.lit(-2000) * n * L
         + F.lit(18) * F.least(nt, F.lit(100)) * n * L
@@ -1108,8 +1114,12 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # `div` is int64 division — a float `/` + floor can be off by one
     # when the quotient sits within an ulp of an integer
     feat = docs.select("doc_id", num.alias("num"), den.alias("den"))
+    # decimal(38,0) arithmetic for the ×2·10⁴ blow-up only; `div` on
+    # decimals is still integral division returning BIGINT, so the
+    # value is bit-identical to the int64 form wherever that form
+    # didn't overflow (tri-SF hash parity re-pinned after this change)
     logit4 = F.signum("num").cast("long") * F.expr(
-        "(2 * 10000 * abs(num) + den) div (2 * den)"
+        "(2 * 10000 * cast(abs(num) as decimal(38,0)) + den) div (2 * cast(den as decimal(38,0)))"
     )
     logit = logit4.cast("double") / F.lit(10_000.0)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))

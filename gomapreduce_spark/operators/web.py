@@ -116,16 +116,20 @@ def canonical_url_expr(url: Column) -> Column:
         .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
         .otherwise(auth)
     )
-    # tracking params: '&p=v' anywhere, then a leading '?p=v&' (keeps
-    # the '?' for survivors), then a lone '?p=v' at end-of-string
-    rest = F.regexp_replace(rest, rf"&{_TRACKING}=[^&#]*", "")
-    rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*&", "?")
-    rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&#]*$", "")
-    # trailing-slash strip on the PATH only: split rest at the first
-    # '?' (no lookbehind — RE2 has none) so a slash ending a QUERY
-    # VALUE ('?next=/') survives — it distinguishes real pages
+    # split rest into PATH and QUERY at the first '?' FIRST (no
+    # lookbehind — RE2 has none), then transform each side on its own:
+    # tracking-param removal must never see the path ('&' is legal
+    # inside a path segment, e.g. '/a&ref=x/p' — running the strip over
+    # path+query as one string would eat that segment), and the
+    # trailing-slash strip must never see the query (a slash ending a
+    # QUERY VALUE, '?next=/', distinguishes real pages)
     path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
     qs = F.regexp_replace(rest, r"^[^?]*", "")
+    # tracking params, QUERY side only: '&p=v' anywhere, then a leading
+    # '?p=v&' (keeps the '?' for survivors), then a lone '?p=v' at end
+    qs = F.regexp_replace(qs, rf"&{_TRACKING}=[^&#]*", "")
+    qs = F.regexp_replace(qs, rf"\?{_TRACKING}=[^&#]*&", "?")
+    qs = F.regexp_replace(qs, rf"\?{_TRACKING}=[^&#]*$", "")
     return F.when(
         scheme == "", url  # not URL-shaped: pass through, stay idempotent
     ).otherwise(F.concat(scheme, F.lit("://"), auth, path, qs))
@@ -138,7 +142,15 @@ def registered_domain_expr(canonical: Column) -> Column:
     (a label-suffix rule would blocklist '3.4' instead of the actual
     address — crawl blocklists carry raw IPs). Unparseable hosts
     yield '' (kept, never NULL — a governance rollup must count them,
-    not drop them)."""
+    not drop them). Two documented fixture-scale simplifications of
+    the lite rule: (a) 2-letter country TLDs outside co/ac/gov
+    collapse to two labels ('example.com.br' → 'com.br'); (b) a host
+    whose registered domain itself starts with 'www' is mangled
+    upstream — canonicalization strips '(www.)+', so 'www.com'
+    becomes 'com' and lands in the '' bucket, silently EXEMPT from
+    the blocklist. Production deployments must use the broadcast
+    public-suffix-list variant (:func:`registered_domain_psl_expr` /
+    ``domain_rollup(..., psl=...)``) which both cases motivate."""
     host = F.regexp_extract(canonical, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
     ipv4 = F.regexp_extract(host, r"^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
     rd3 = F.regexp_extract(host, _MULTIPART_SUFFIX, 1)

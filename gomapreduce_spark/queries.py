@@ -2392,7 +2392,8 @@ ORACLES["quality_classifier"] = rf"""
     ),
     lg AS (
       SELECT doc_id,
-             (sign(num)::BIGINT * ((2 * 10000 * abs(num) + den) // (2 * den)))::DOUBLE
+             (sign(num)::BIGINT *
+              ((2 * 10000 * abs(num)::HUGEINT + den) // (2 * den::HUGEINT))::BIGINT)::DOUBLE
                / 10000.0 AS logit,
              num >= 0 AS keep
       FROM f
@@ -2826,19 +2827,23 @@ _URL_CANON_CTES = rf"""
              THEN regexp_replace(regexp_replace(auth0, '^(www\.)+', '', 'g'), ':443$', '', 'g')
              ELSE regexp_replace(auth0, '^(www\.)+', '', 'g') END AS auth
         FROM parts),
-    rest_steps AS (SELECT *,
+    -- split path/query FIRST, then strip tracking params from the
+    -- QUERY only ('&' is legal in a path segment — mirrors web.py)
+    split_steps AS (SELECT *,
+        regexp_replace(regexp_extract(rest0, '^([^?]*)', 1), '/+$', '', 'g') AS path1,
+        regexp_replace(rest0, '^[^?]*', '', 'g') AS qs0
+        FROM auth_steps),
+    qs_steps AS (SELECT *,
         regexp_replace(
           regexp_replace(
-            regexp_replace(rest0, '&(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
+            regexp_replace(qs0, '&(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
             '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*&', '?', 'g'),
-          '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*$', '', 'g') AS rest
-        FROM auth_steps),
+          '\?(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*$', '', 'g') AS qs
+        FROM split_steps),
     canon AS (SELECT *,
         CASE WHEN scheme = '' THEN url
-             ELSE scheme || '://' || auth
-                  || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '', 'g')
-                  || regexp_replace(rest, '^[^?]*', '', 'g') END AS canonical_url
-        FROM rest_steps),
+             ELSE scheme || '://' || auth || path1 || qs END AS canonical_url
+        FROM qs_steps),
     hosts AS (SELECT *,
         regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS h
         FROM canon),

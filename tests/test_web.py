@@ -46,6 +46,13 @@ def _canon(spark, urls):
         # not URL-shaped: pass through untouched (no manufactured '://')
         ("example.com/path", "example.com/path"),
         ("/relative/only", "/relative/only"),
+        # '&' is LEGAL inside a path segment: a literal '&ref=' or
+        # '&utm_x=' in the PATH must survive — tracking removal runs
+        # over the query only (round-11 advisor fix; the old
+        # path+query-as-one-string form ate '/a&ref=x/p' down to '/a')
+        ("https://a.com/a&ref=x/p", "https://a.com/a&ref=x/p"),
+        ("https://a.com/x&utm_s=1/y?utm_a=2", "https://a.com/x&utm_s=1/y"),
+        ("https://a.com/a&gclid=q/p?id=3&ref=t", "https://a.com/a&gclid=q/p?id=3"),
     ],
 )
 def test_canonical_branches(spark, raw, want):
