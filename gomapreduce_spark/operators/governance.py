@@ -1,0 +1,191 @@
+"""Corpus governance: the reproducibility artifacts a production
+training-data pipeline ships alongside the corpus itself — the
+per-document provenance/lineage manifest (C4, Dolma, and FineWeb all
+publish exactly this: where each document came from, what was done to
+it, and where it landed) and the end-to-end dedup certification row
+(the nightly composed-pipeline counts that catch inter-stage contract
+drift the per-stage oracles can't see).
+
+The reference engine has no governance surface (its output is a bare
+keyed write, outputer.go:29-34); this family is part of the repo's
+mandated LLM-data-pipeline surface, composing stages that are each
+individually oracle-verified: url_canonicalize (web.py),
+canonical_docs / exact_dedup / leakage_safe_split (dedup.py), and the
+synthetic next-crawl snapshot (dedup.synth_corpus_snapshot).
+
+Scale shape: every input side arrives ALREADY REDUCED — per-doc rows
+of ids + small scalars, never text — so the manifest is a multi-way
+join keyed on doc_id (8-byte keys), and the e2e row is a pair of
+1-row aggregates unpivoted with stack(). Nothing here adds a
+corpus-sized shuffle beyond what the composed stages already pay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import h64
+from .dedup import canonical_docs, exact_dedup, synth_corpus_snapshot
+from .web import DEFAULT_BLOCKLIST, registered_domain_expr, synth_doc_urls, canonical_url_expr
+
+
+def _split_cols(cluster_col: str, test_pct: int = 10, val_pct: int = 10):
+    """(bucket, split) columns from a cluster-id column — the SAME
+    deterministic assignment as dedup.leakage_safe_split (60-bit md5
+    of the cluster id, mod 100), restated here so the manifest and
+    e2e row reuse the cluster labels they already have instead of
+    re-running connected components."""
+    bucket = F.pmod(h64(F.col(cluster_col), seed="split:"), F.lit(100))
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "validation")
+        .otherwise("train")
+    )
+    return bucket.cast("long"), split
+
+
+def doc_provenance(
+    docs: DataFrame, threshold: float = 0.5, blocklist: list[str] | None = None
+) -> DataFrame:
+    """Per-document provenance manifest: one row per input document
+    with every lineage fact downstream reproducibility needs —
+    (doc_id, source, canonical_url, registered_domain, blocked,
+    snapshot_status, cluster_id, cluster_size, is_canonical, split,
+    transforms). `transforms` is the comma-joined audit of what the
+    pipeline DID to this document (url rewritten, pruned as a
+    near-dup, dropped by the domain blocklist) — empty string when the
+    document passed through untouched.
+
+    Unifies four oracle-verified stages on doc_id:
+      - web.url_canonicalize → canonical_url / registered_domain
+        (row-level, same scan);
+      - dedup.canonical_docs → near-dup cluster id/size + the
+        keep-one-representative decision;
+      - the leakage-safe split, derived from the SAME cluster labels
+        (hash-of-cluster-id mod 100 — identical assignment to
+        dedup.leakage_safe_split, which coalesces unclustered docs to
+        their own id exactly as canonical_docs does);
+      - snapshot status vs the deterministic next crawl
+        (dedup.synth_corpus_snapshot): unchanged / changed / removed
+        by 60-bit content-hash compare — the per-doc view that
+        corpus_snapshot_diff aggregates away.
+
+    Scale shape: the expensive subtree is canonical_docs' LSH cluster
+    pipeline, paid once; everything else is narrow projections and
+    three doc_id-keyed joins of already-reduced sides (ids + hashes +
+    short strings, never text). At 100 TB the manifest costs the dedup
+    pipeline + three 8-byte-key joins — and it is the artifact that
+    makes the whole corpus auditable."""
+    bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    web_side = synth_doc_urls(docs)
+    canon_url = canonical_url_expr(F.col("url"))
+    urls = web_side.select(
+        "doc_id",
+        "url",
+        canon_url.alias("canonical_url"),
+        registered_domain_expr(canon_url).alias("registered_domain"),
+    )
+    # per-doc snapshot status: LEFT join old→new on doc_id (the fresh
+    # docs the synth crawl ADDS have ids ≥ 2^60 and can't match, so
+    # an old doc is removed / changed / unchanged, never 'added')
+    new_h = synth_corpus_snapshot(docs).select("doc_id", h64(F.col("text")).alias("h_new"))
+    snap = (
+        docs.select("doc_id", "source", h64(F.col("text")).alias("h_old"))
+        .join(new_h, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("snapshot_status"),
+        )
+    )
+    clusters = canonical_docs(docs, threshold).select(
+        "doc_id", "cluster_id", "cluster_size", F.col("keep").alias("is_canonical")
+    )
+    bucket, split = _split_cols("cluster_id")
+    out = (
+        snap.join(urls, "doc_id")
+        .join(clusters, "doc_id")
+        .withColumn("blocked", F.col("registered_domain").isin(bl))
+        .withColumn("split", split)
+    )
+    transforms = F.concat_ws(
+        ",",
+        F.when(F.col("canonical_url") != F.col("url"), F.lit("canonicalize_url")),
+        F.when(F.col("blocked"), F.lit("blocklist_drop")),
+        F.when(~F.col("is_canonical"), F.lit("near_dup_prune")),
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "canonical_url",
+        "registered_domain",
+        "blocked",
+        "snapshot_status",
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+        "split",
+        transforms.alias("transforms"),
+    )
+
+
+def corpus_dedup_e2e(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """End-to-end dedup certification: the composed
+    exact_dedup → minhash-LSH → dedup_clusters → canonical_docs →
+    leakage-safe-split pipeline run as ONE query, reduced to the
+    per-stage document counts a deployment checks nightly —
+    (stage, n_docs) rows:
+
+      e2e_00_input              documents in
+      e2e_01_exact_survivors    after exact (content-hash) dedup
+      e2e_02_near_dup_docs      survivors inside a near-dup cluster
+      e2e_03_near_dup_clusters  distinct multi-doc clusters
+      e2e_04_canonical_kept     one representative kept per cluster
+      e2e_05_train/06_validation/07_test   kept docs per split
+
+    Each stage is individually hash-oracled; this row certifies the
+    COMPOSITION — near-dup clustering runs on the exact-dedup
+    SURVIVORS (not the raw corpus), canonical selection on those
+    clusters, the split on the kept set — so any inter-stage contract
+    drift (schema, null handling, coalesce semantics) breaks the
+    count chain even when every stage is green in isolation.
+
+    Scale shape: exact survivors are one hash-groupBy + a self-join on
+    doc_id; the LSH subtree is canonical_docs' (paid once, on the
+    reduced survivor set); the certification itself is two single-row
+    aggregates cross-joined (broadcast of 1 row) and unpivoted with
+    stack() — the output is 8 rows at any corpus size."""
+    keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep_ids, "doc_id")
+    canon = canonical_docs(survivors, threshold)
+    _, split = _split_cols("cluster_id")
+    enriched = canon.withColumn("split", split)
+    stages = enriched.agg(
+        F.count(F.lit(1)).alias("n_exact_survivors"),
+        F.sum((F.col("cluster_size") >= 2).cast("long")).alias("n_near_dup_docs"),
+        F.count_distinct(
+            F.when(F.col("cluster_size") >= 2, F.col("cluster_id"))
+        ).alias("n_near_dup_clusters"),
+        F.sum(F.col("keep").cast("long")).alias("n_canonical_kept"),
+        F.sum((F.col("keep") & (F.col("split") == "train")).cast("long")).alias("n_train"),
+        F.sum((F.col("keep") & (F.col("split") == "validation")).cast("long")).alias("n_validation"),
+        F.sum((F.col("keep") & (F.col("split") == "test")).cast("long")).alias("n_test"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_input"))
+    # 1-row × 1-row cross join (broadcast-of-1-row scalar, the repo's
+    # blessed crossJoin shape) then stack() into the (stage, n) rows
+    return stages.crossJoin(F.broadcast(totals)).selectExpr(
+        """stack(8,
+             'e2e_00_input', n_input,
+             'e2e_01_exact_survivors', n_exact_survivors,
+             'e2e_02_near_dup_docs', n_near_dup_docs,
+             'e2e_03_near_dup_clusters', n_near_dup_clusters,
+             'e2e_04_canonical_kept', n_canonical_kept,
+             'e2e_05_train', n_train,
+             'e2e_06_validation', n_validation,
+             'e2e_07_test', n_test) AS (stage, n_docs)"""
+    )

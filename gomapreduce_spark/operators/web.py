@@ -158,6 +158,156 @@ def registered_domain_expr(canonical: Column) -> Column:
     return F.when(ipv4 != "", ipv4).when(rd3 != "", rd3).otherwise(rd2)
 
 
+# Committed public-suffix-list slice (publicsuffix.org format, public
+# data): enough of the real list to exercise every rule shape the
+# algorithm must handle — plain multi-label suffixes, 2-letter country
+# TLDs whose SLDs are suffixes (com.br — the lite regex collapses
+# these), wildcard rules (*.ck: EVERY label under ck is a public
+# suffix) and their exceptions (!www.ck: www.ck is registrable).
+# Production swaps in the full ~10k-row Mozilla list — same broadcast
+# dim, same algorithm, zero code change.
+PSL_SLICE = [
+    "com", "org", "net", "edu", "gov", "io", "info", "biz",
+    "uk", "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "jp", "ac.jp", "co.jp", "go.jp", "or.jp", "ne.jp",
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "in", "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "nz", "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    "za", "co.za", "net.za", "org.za", "ac.za", "gov.za",
+    "ar", "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "mx", "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "tr", "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "cn", "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "kr", "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr",
+    "pl", "com.pl", "net.pl", "org.pl", "gov.pl", "edu.pl",
+    "ru", "com.ru", "org.ru", "net.ru",
+    "fr", "de", "it", "es", "nl", "se", "no", "fi", "ch", "at", "be",
+    "ck", "*.ck", "!www.ck",
+    "bd", "*.bd",
+    "kw", "*.kw", "com.kw", "edu.kw", "gov.kw",
+    "er", "*.er",
+    "jm", "*.jm",
+]
+
+_PSL_MAX_LABELS = 6  # longest rule in the full Mozilla list is 5 labels
+
+
+def psl_rules_df(spark, psl: list[str] | None = None) -> DataFrame:
+    """The public-suffix list as a broadcast-sized rules dim:
+    (rule, n_labels, is_exception). Exception rules are stored with
+    the '!' stripped; wildcard rules keep their literal '*.' head (the
+    candidate generator below emits star-headed candidates to match
+    them with a plain equi-join — no LIKE, no UDF)."""
+    rows = []
+    for raw in psl if psl is not None else PSL_SLICE:
+        exc = raw.startswith("!")
+        rule = raw[1:] if exc else raw
+        rows.append((rule, rule.count(".") + 1, exc))
+    return spark.createDataFrame(rows, "rule string, n_labels int, is_exception boolean")
+
+
+def registered_domain_psl(
+    keyed: DataFrame, rules: DataFrame, host_col: str = "host", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """PSL-exact registered domain for a host column — the production
+    replacement for :func:`registered_domain_expr`'s fixture-scoped
+    regex, implementing the publicsuffix.org algorithm as pure
+    DataFrame ops: explode each host into its ≤2·min(labels, 6)
+    label-suffix candidates (literal + star-headed per length), ONE
+    broadcast equi-join against the rules dim, then per-host rule
+    resolution (an exception rule prevails and registers at
+    rule_labels−1; else the longest matching rule; else the implicit
+    '*' default, 1 label). Registered domain = public suffix + one
+    label; a host that IS a public suffix registers '' (kept, never
+    NULL — same governance contract as the lite rule); IPv4 literals
+    are their own registered domain.
+
+    Scale shape: the fan-out is a bounded ≤12-row explode per host,
+    the PSL join broadcasts the ~10k-row rules dim with a LEFT join
+    (so rule-less hosts like 'localhost' survive to the implicit '*'
+    default), and the resolve is ONE partial+final max-aggregate
+    keyed on the id that carries the host and any extra payload
+    columns through as min() — there is NO join back to the corpus,
+    so the only corpus-keyed shuffle is that single agg. Keep the
+    payload narrow (ids + rollup scalars); for wide payloads
+    (text/embeddings) resolve on a projected slice and join back on
+    the id instead."""
+    h = F.col(host_col)
+    keyed = keyed.withColumn("__n", F.size(F.split(h, r"\.")))
+    payload = [c for c in keyed.columns if c not in id_cols and c != host_col]
+    n = F.col("__n")
+    cand_i = F.explode(F.sequence(F.lit(1), F.least(n, F.lit(_PSL_MAX_LABELS)))).alias("i")
+    # substring_index via expr: the python wrapper pins count to a
+    # literal int, but the catalyst function takes any expression
+    exploded = keyed.select(
+        *id_cols, h.alias("__host"), *payload, cand_i
+    ).withColumn(
+        "cand",
+        F.explode(
+            F.array(
+                F.expr("substring_index(__host, '.', -i)"),
+                F.when(
+                    F.col("i") >= 2,
+                    F.concat(F.lit("*."), F.expr("substring_index(__host, '.', -(i - 1))")),
+                ),
+            )
+        ),
+    )
+    # LEFT join: unmatched candidates carry NULL rule metadata and
+    # resolve to the default below (NULL star-candidates at i=1 and
+    # never-matching literal candidates just contribute NULL rows)
+    matched = exploded.join(F.broadcast(rules), F.col("cand") == F.col("rule"), "left")
+    resolved = matched.groupBy(*id_cols).agg(
+        F.max(F.when(F.col("is_exception"), F.col("n_labels") - 1)).alias("__exc_ps"),
+        F.max(F.when(~F.col("is_exception"), F.col("n_labels"))).alias("__lit_ps"),
+        F.min("__host").alias("__host"),
+        *[F.min(c).alias(c) for c in payload],
+    ).withColumn("__ps", F.coalesce("__exc_ps", "__lit_ps", F.lit(1)))
+    hh = F.col("__host")
+    ipv4 = F.regexp_extract(hh, r"^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
+    nn = F.size(F.split(hh, r"\."))
+    rd = (
+        F.when(ipv4 != "", ipv4)
+        .when(nn > F.col("__ps"), F.expr("substring_index(__host, '.', -(__ps + 1))"))
+        .otherwise(F.lit(""))
+    )
+    return resolved.withColumn("registered_domain", rd).withColumn(
+        host_col, hh
+    ).drop("__exc_ps", "__lit_ps", "__ps", "__host")
+
+
+def domain_rollup_psl(
+    docs: DataFrame, blocklist: list[str] | None = None, psl: list[str] | None = None
+) -> DataFrame:
+    """:func:`domain_rollup` with the registered domain resolved by the
+    broadcast public-suffix list instead of the fixture-scoped regex —
+    the variant a production deployment runs (the lite rule collapses
+    'example.com.br' to 'com.br' and mis-registers wildcard ccTLDs;
+    the PSL path handles both, divergence pinned in tests). Same
+    output shape and blocked flag; one extra broadcast join + one
+    keyed agg over the lite plan."""
+    spark = docs.sparkSession
+    bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    canon = canonical_url_expr(F.col("url"))
+    keyed = synth_doc_urls(docs).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).alias("host"),
+    )
+    rd = registered_domain_psl(keyed, psl_rules_df(spark, psl))
+    return (
+        rd.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("blocked", F.col("registered_domain").isin(bl))
+    )
+
+
 def url_canonicalize(docs: DataFrame) -> DataFrame:
     """Per-document URL hygiene: raw url → canonical url + registered
     domain. Row-level (one narrow scan, zero shuffle, all codegen'd

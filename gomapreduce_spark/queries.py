@@ -58,6 +58,7 @@ from .operators import (
     clustering,
     dedup,
     events,
+    governance,
     linkage,
     multimodal,
     relational,
@@ -386,6 +387,10 @@ QUERIES: dict[str, QueryFn] = {
     "url_canonicalize": lambda s, d: web.url_canonicalize(load_table(s, d, "documents")),
     "domain_rollup": lambda s, d: web.domain_rollup(load_table(s, d, "documents")),
     "blocklist_filter": lambda s, d: web.blocklist_filter(load_table(s, d, "documents")),
+    # -- round-11: provenance manifest + e2e certification + PSL --
+    "doc_provenance": lambda s, d: governance.doc_provenance(load_table(s, d, "documents")),
+    "corpus_dedup_e2e": lambda s, d: governance.corpus_dedup_e2e(load_table(s, d, "documents")),
+    "domain_rollup_psl": lambda s, d: web.domain_rollup_psl(load_table(s, d, "documents")),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -2877,6 +2882,162 @@ ORACLES["blocklist_filter"] = f"""
     WITH {_URL_CANON_CTES}
     SELECT doc_id, canonical_url, registered_domain FROM rd
     WHERE registered_domain NOT IN {_BLOCKLIST_SQL}
+"""
+
+# -- round-11: provenance manifest + e2e certification + PSL ---------
+
+# the canonical_docs cluster/quality CTE chain (verbatim from its
+# oracle) against a parameterizable source table, reused by the
+# provenance manifest and the e2e certification row
+def _cluster_ctes(tbl: str) -> str:
+    lsh = ORACLE_MINHASH_LSH.replace("FROM documents", f"FROM {tbl}")
+    return rf"""
+    pairs AS ({lsh}),
+    edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
+    qual AS (
+      SELECT doc_id,
+             round(0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * least(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
+                                 / greatest(len(t), 1) * 5, 1.0)
+                   + 0.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+                   + 0.2 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1)), 6) AS quality
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM {tbl})
+    ),
+    j AS (
+      SELECT q.doc_id,
+             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+             coalesce(s.n, 1)::BIGINT AS cluster_size,
+             q.quality
+      FROM qual q
+      LEFT JOIN labels l ON q.doc_id = l.doc_id
+      LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+    ),
+    keepd AS (
+      SELECT doc_id, cluster_id, cluster_size,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
+      FROM j
+    )"""
+
+
+_SPLIT_CASE = f"""CASE WHEN {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 < 10 THEN 'test'
+                       WHEN {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 < 20 THEN 'validation'
+                       ELSE 'train' END"""
+
+ORACLES["doc_provenance"] = f"""
+    WITH RECURSIVE {_URL_CANON_CTES},
+    {_cluster_ctes("documents")},
+    newsnap AS (
+      SELECT doc_id, CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 != 3
+    ),
+    snap AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN {_H.format(s='d.text')} = {_H.format(s='n.text')} THEN 'unchanged'
+                  ELSE 'changed' END AS snapshot_status
+      FROM documents d LEFT JOIN newsnap n ON d.doc_id = n.doc_id
+    ),
+    manifest AS (
+      SELECT s.doc_id, s.source, rd.url, rd.canonical_url, rd.registered_domain,
+             rd.registered_domain IN {_BLOCKLIST_SQL} AS blocked,
+             s.snapshot_status, k.cluster_id, k.cluster_size, k.keep AS is_canonical,
+             {_SPLIT_CASE} AS split
+      FROM snap s
+      JOIN rd ON rd.doc_id = s.doc_id
+      JOIN keepd k ON k.doc_id = s.doc_id
+    )
+    SELECT doc_id, source, canonical_url, registered_domain, blocked, snapshot_status,
+           cluster_id, cluster_size, is_canonical, split,
+           concat_ws(',',
+             CASE WHEN canonical_url != url THEN 'canonicalize_url' END,
+             CASE WHEN blocked THEN 'blocklist_drop' END,
+             CASE WHEN NOT is_canonical THEN 'near_dup_prune' END) AS transforms
+    FROM manifest
+"""
+
+ORACLES["corpus_dedup_e2e"] = f"""
+    WITH RECURSIVE
+    sv AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_H.format(s='text')})
+    ),
+    {_cluster_ctes("sv")},
+    spl AS (SELECT *, {_SPLIT_CASE} AS split FROM keepd)
+    SELECT 'e2e_00_input' AS stage, count(*)::BIGINT AS n_docs FROM documents
+    UNION ALL SELECT 'e2e_01_exact_survivors', count(*)::BIGINT FROM keepd
+    UNION ALL SELECT 'e2e_02_near_dup_docs', count(*)::BIGINT FROM keepd WHERE cluster_size >= 2
+    UNION ALL SELECT 'e2e_03_near_dup_clusters', count(DISTINCT cluster_id)::BIGINT
+              FROM keepd WHERE cluster_size >= 2
+    UNION ALL SELECT 'e2e_04_canonical_kept', count(*)::BIGINT FROM keepd WHERE keep
+    UNION ALL SELECT 'e2e_05_train', count(*)::BIGINT FROM spl WHERE keep AND split = 'train'
+    UNION ALL SELECT 'e2e_06_validation', count(*)::BIGINT FROM spl WHERE keep AND split = 'validation'
+    UNION ALL SELECT 'e2e_07_test', count(*)::BIGINT FROM spl WHERE keep AND split = 'test'
+"""
+
+# the publicsuffix.org resolution algorithm restated in SQL over the
+# committed PSL slice: explode ≤2·min(labels,6) candidates per host
+# (literal + star-headed), match rules, exception prevails else
+# longest, registered domain = public suffix + 1 label
+_PSL_VALUES = ", ".join(f"('{r}')" for r in web.PSL_SLICE)
+
+ORACLES["domain_rollup_psl"] = f"""
+    WITH {_URL_CANON_CTES},
+    psl_raw(raw) AS (VALUES {_PSL_VALUES}),
+    rules AS (
+      SELECT CASE WHEN raw LIKE '!%' THEN substr(raw, 2) ELSE raw END AS rule,
+             len(string_split(CASE WHEN raw LIKE '!%' THEN substr(raw, 2) ELSE raw END, '.')) AS n_labels,
+             raw LIKE '!%' AS is_exception
+      FROM psl_raw
+    ),
+    hl AS (
+      SELECT doc_id, source, n_chars,
+             regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+             string_split(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '.') AS parts,
+             len(string_split(regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), '.')) AS n
+      FROM rd
+    ),
+    cands AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(parts, n - i + 1, n), '.') AS lit_cand,
+             CASE WHEN i >= 2 THEN '*.' || array_to_string(list_slice(parts, n - i + 2, n), '.') END AS star_cand
+      FROM hl, unnest(range(1, least(n, 6) + 1)) AS u(i)
+    ),
+    matched AS (
+      SELECT c.doc_id, r.n_labels, r.is_exception
+      FROM cands c JOIN rules r ON r.rule = c.lit_cand OR r.rule = c.star_cand
+    ),
+    resolved AS (
+      SELECT doc_id,
+             max(CASE WHEN is_exception THEN n_labels - 1 END) AS exc_ps,
+             max(CASE WHEN NOT is_exception THEN n_labels END) AS lit_ps
+      FROM matched GROUP BY doc_id
+    ),
+    rdp AS (
+      SELECT h.doc_id, h.source, h.n_chars,
+             CASE WHEN regexp_extract(h.host, '^(\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}})$', 1) != ''
+                  THEN h.host
+                  WHEN h.n > coalesce(r.exc_ps, r.lit_ps, 1)
+                  THEN array_to_string(
+                         list_slice(h.parts, h.n - coalesce(r.exc_ps, r.lit_ps, 1), h.n), '.')
+                  ELSE '' END AS registered_domain
+      FROM hl h LEFT JOIN resolved r USING (doc_id)
+    )
+    SELECT registered_domain,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           sum(n_chars)::BIGINT AS total_chars,
+           registered_domain IN {_BLOCKLIST_SQL} AS blocked
+    FROM rdp GROUP BY registered_domain
 """
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the

@@ -1,0 +1,102 @@
+"""Provenance manifest + e2e dedup certification: cross-operator
+consistency contracts the per-query hash oracles can't see — the
+manifest must agree row-for-row with the standalone operators it
+unifies, and the e2e count chain must satisfy the pipeline's
+arithmetic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_small):
+    from gomapreduce_spark.sources.registry import load_table
+
+    return load_table(spark, sf_small, "documents")
+
+
+def test_provenance_covers_every_doc_once(spark, sf_small):
+    from gomapreduce_spark.operators.governance import doc_provenance
+
+    docs = _docs(spark, sf_small)
+    prov = doc_provenance(docs)
+    assert prov.count() == docs.count()
+    assert prov.select("doc_id").distinct().count() == docs.count()
+    # governance columns never NULL
+    for c in prov.columns:
+        assert prov.where(F.col(c).isNull()).count() == 0, c
+
+
+def test_provenance_agrees_with_standalone_operators(spark, sf_small):
+    """The manifest restates four oracle-verified operators; each
+    facet must match the standalone run exactly (split is DERIVED
+    from cluster_id rather than re-running components — this is the
+    test that proves the derivation equals dedup.leakage_safe_split)."""
+    from gomapreduce_spark.operators.dedup import canonical_docs, leakage_safe_split
+    from gomapreduce_spark.operators.governance import doc_provenance
+    from gomapreduce_spark.operators.web import url_canonicalize
+
+    docs = _docs(spark, sf_small)
+    prov = {r.doc_id: r for r in doc_provenance(docs).collect()}
+
+    for r in leakage_safe_split(docs).collect():
+        assert prov[r.doc_id].split == r.split
+        assert prov[r.doc_id].cluster_id == r.cluster_id
+    for r in canonical_docs(docs).collect():
+        assert prov[r.doc_id].is_canonical == r.keep
+        assert prov[r.doc_id].cluster_size == r.cluster_size
+    for r in url_canonicalize(docs).collect():
+        assert prov[r.doc_id].canonical_url == r.canonical_url
+        assert prov[r.doc_id].registered_domain == r.registered_domain
+
+
+def test_provenance_transforms_audit(spark, sf_small):
+    """`transforms` is the comma-joined audit of what the pipeline did:
+    each flag present iff its condition holds, '' for untouched docs."""
+    from gomapreduce_spark.operators.governance import doc_provenance
+
+    docs = _docs(spark, sf_small)
+    rows = doc_provenance(docs).collect()
+    n_untouched = 0
+    for r in rows:
+        t = set(r.transforms.split(",")) if r.transforms else set()
+        assert ("blocklist_drop" in t) == r.blocked
+        assert ("near_dup_prune" in t) == (not r.is_canonical)
+        if not t:
+            n_untouched += 1
+    # the synthetic feed guarantees all three transforms fire somewhere
+    all_t = {x for r in rows if r.transforms for x in r.transforms.split(",")}
+    assert all_t == {"canonicalize_url", "blocklist_drop", "near_dup_prune"}
+    assert n_untouched > 0  # and some docs pass through clean
+
+
+def test_e2e_count_chain(spark, sf_small):
+    """The certification row's arithmetic invariants: monotone chain,
+    split partition of the kept set, near-dup cluster consistency,
+    and stage agreement with the standalone operators."""
+    from gomapreduce_spark.operators.dedup import exact_dedup
+    from gomapreduce_spark.operators.governance import corpus_dedup_e2e
+
+    docs = _docs(spark, sf_small)
+    got = {r.stage: r.n_docs for r in corpus_dedup_e2e(docs).collect()}
+    assert set(got) == {
+        "e2e_00_input", "e2e_01_exact_survivors", "e2e_02_near_dup_docs",
+        "e2e_03_near_dup_clusters", "e2e_04_canonical_kept",
+        "e2e_05_train", "e2e_06_validation", "e2e_07_test",
+    }
+    assert got["e2e_00_input"] == docs.count()
+    assert got["e2e_01_exact_survivors"] == exact_dedup(docs).count()
+    assert got["e2e_00_input"] >= got["e2e_01_exact_survivors"]
+    assert got["e2e_01_exact_survivors"] >= got["e2e_04_canonical_kept"] > 0
+    # every multi-doc cluster has >= 2 docs; kept = survivors - pruned
+    assert got["e2e_02_near_dup_docs"] >= 2 * got["e2e_03_near_dup_clusters"]
+    assert (
+        got["e2e_04_canonical_kept"]
+        == got["e2e_01_exact_survivors"]
+        - (got["e2e_02_near_dup_docs"] - got["e2e_03_near_dup_clusters"])
+    )
+    # the split partitions the kept set
+    assert (
+        got["e2e_05_train"] + got["e2e_06_validation"] + got["e2e_07_test"]
+        == got["e2e_04_canonical_kept"]
+    )

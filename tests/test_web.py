@@ -137,6 +137,74 @@ def test_domain_rollup_accounts_every_doc(spark, sf_small):
     assert all(r.registered_domain is not None for r in rows)
 
 
+def test_psl_registered_domain_edges(spark):
+    """The publicsuffix.org algorithm on the committed PSL slice:
+    literal rules, longest-match, wildcard (*.ck), exception
+    (!www.ck), host-is-a-suffix, no-rule default, and IPv4 — each
+    edge the fixture-scoped lite regex cannot represent."""
+    from gomapreduce_spark.operators.web import psl_rules_df, registered_domain_psl
+
+    cases = [
+        ("a.src3.co.uk", "src3.co.uk"),        # multi-label literal rule
+        ("deep.sub.src4.com", "src4.com"),      # plain literal rule
+        ("example.com.br", "example.com.br"),   # SLD suffix the lite rule collapses
+        ("a.b.example.com.br", "example.com.br"),
+        ("foo.bar.ck", "foo.bar.ck"),           # wildcard *.ck: bar.ck is a suffix
+        ("www.ck", "www.ck"),                   # exception !www.ck: registrable
+        ("sub.www.ck", "www.ck"),               # exception beats the wildcard
+        ("co.uk", ""),                          # host IS a public suffix
+        ("com", ""),
+        ("localhost", ""),                      # no dot, no rule: default, too short
+        ("example.fr", "example.fr"),           # 1-label ccTLD rule
+        ("a.example.xyz", "example.xyz"),       # NO rule at all: implicit '*'
+        ("192.168.3.4", "192.168.3.4"),         # IPv4 literal
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "doc_id long, host string"
+    )
+    out = registered_domain_psl(df, psl_rules_df(spark))
+    got = {r.doc_id: r.registered_domain for r in out.collect()}
+    for i, (host, want) in enumerate(cases):
+        assert got[i] == want, (host, got[i], want)
+
+
+def test_psl_vs_lite_parity_and_divergence(spark, sf_small):
+    """On the synthetic fixture feed (hosts under .com / .co.uk only)
+    the PSL path and the lite regex agree domain-for-domain — and on
+    the PSL slice's richer shapes they provably diverge (that
+    divergence is WHY the PSL variant exists)."""
+    from gomapreduce_spark.operators.web import (
+        domain_rollup,
+        domain_rollup_psl,
+        psl_rules_df,
+        registered_domain_expr,
+        registered_domain_psl,
+    )
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    lite = {(r.registered_domain, r.n_docs, r.n_sources, r.total_chars, r.blocked)
+            for r in domain_rollup(docs).collect()}
+    psl = {(r.registered_domain, r.n_docs, r.n_sources, r.total_chars, r.blocked)
+           for r in domain_rollup_psl(docs).collect()}
+    assert lite == psl  # fixture-feed parity
+
+    # divergence: lite collapses com.br and misreads wildcard ccTLDs
+    urls = ["https://a.example.com.br/p", "https://foo.bar.ck/p"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    lite_rd = [
+        r.d for r in df.select(registered_domain_expr(F.col("url")).alias("d")).orderBy("doc_id").collect()
+    ]
+    hosts = df.select("doc_id", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"))
+    psl_rd_map = {
+        r.doc_id: r.registered_domain
+        for r in registered_domain_psl(hosts, psl_rules_df(spark)).collect()
+    }
+    psl_rd = [psl_rd_map[i] for i in range(len(urls))]
+    assert lite_rd == ["com.br", "bar.ck"]              # wrong at production scale
+    assert psl_rd == ["example.com.br", "foo.bar.ck"]   # PSL-correct
+
+
 def test_canonicalization_idempotent(spark):
     """canon(canon(u)) == canon(u): re-canonicalizing an already-clean
     catalog must be a no-op (the repetition-safe '(www\\.)+' / '/+$'

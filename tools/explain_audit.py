@@ -908,6 +908,37 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window"],
         "max_single_partition": 0,
     },
+    # -- round-11: provenance manifest + e2e certification + PSL --
+    # PSL registered-domain rollup: corpus scan → bounded ≤12× explode
+    # → broadcast LEFT join against the rules dim → ONE doc_id-keyed
+    # resolve aggregate → domain rollup. NO join back to the corpus
+    # (the resolve agg carries the payload), so exchanges are exactly
+    # rebalance + doc_id + the two distinct-agg phases.
+    "domain_rollup_psl": {
+        "max_scans": 1,
+        "max_exchanges": 4,
+        "require_executed": [("BroadcastHashJoin", 1)],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+                   "Window", "InPandas", "EvalPython"],
+        "max_single_partition": 0,
+    },
+    # provenance manifest: the LSH cluster subtree is canonical_docs'
+    # (audited there); the manifest itself must add only doc_id-keyed
+    # equi-joins of already-reduced sides — never a nested loop, a
+    # cartesian expansion, or a Python exchange
+    "doc_provenance": {
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "InPandas", "EvalPython"],
+    },
+    # e2e certification: composed dedup pipeline reduced to two 1-row
+    # aggregates; the ONLY nested loop allowed is the blessed 1-row
+    # broadcast stack source (verified by the static-bound check the
+    # scaling-hint audit applies), so forbid cartesian + Python paths
+    # and require the final stack Generate
+    "corpus_dedup_e2e": {
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
+        "forbid_scaling_hints": True,
+    },
 }
 
 
