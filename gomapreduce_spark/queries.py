@@ -3446,6 +3446,43 @@ PRECOMPUTED_ORACLE_SF = {
     "value_deciles_approx_seq": _VDA_SF,
 }
 
+# Round-11 (r10 verdict item 6): each generator now emits expected
+# tables for EVERY committed SF (EXPECTED_BY_SF), so check tooling can
+# hash-verify the precomputed-oracle queries at sf0.001/sf0.1 too
+# instead of degrading to rows-only. ORACLES itself stays the
+# PRIMARY-SF (sf0.01) tables — the driver contract runs there. The one
+# intentional hole: value_deciles_approx_seq has no sf0.1 entry (100k
+# values exceed the GK 50k single-flush bound, where even the
+# repartition(1) twin is arrival-order-dependent — see
+# tools/gen_vda_oracle.py), so it stays rows-only at sf0.1 by design.
+PRECOMPUTED_ORACLE_SQL_BY_SF: dict[str, dict[str, str]] = {}
+
+
+def _load_by_sf() -> None:
+    from . import (
+        ann_expected,
+        bpe_expected,
+        codec_expected,
+        hll_expected,
+        kmeans_expected,
+        vda_expected,
+    )
+
+    for mod in (ann_expected, bpe_expected, codec_expected, hll_expected,
+                kmeans_expected, vda_expected):
+        for sfd, tabs in getattr(mod, "EXPECTED_BY_SF", {}).items():
+            for qname, sql in tabs.items():
+                PRECOMPUTED_ORACLE_SQL_BY_SF.setdefault(qname, {})[sfd] = sql
+    # the distributed BPE escape hatch is bit-exact with the driver
+    # loop, sharing the merges table truncated to its registered depth
+    for sfd, sql in PRECOMPUTED_ORACLE_SQL_BY_SF.get("bpe_learn_merges", {}).items():
+        PRECOMPUTED_ORACLE_SQL_BY_SF.setdefault("bpe_learn_merges_distributed", {})[sfd] = (
+            f"SELECT * FROM ({sql}) WHERE rank <= 8"
+        )
+
+
+_load_by_sf()
+
 # -- round-6 additions ------------------------------------------------
 
 # SymSpell deletion-neighborhood linkage: the oracle regenerates the

@@ -93,6 +93,17 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     from gomapreduce_spark.queries import PRECOMPUTED_ORACLE_SF as PRECOMPUTED_SF
+    from gomapreduce_spark.queries import PRECOMPUTED_ORACLE_SQL_BY_SF as BY_SF
+
+    def _by_sf_sql(name: str) -> str | None:
+        """Per-SF expected-table SQL for a precomputed-oracle query at
+        the SF under check (round-11: generators emit every committed
+        SF, so off-primary checks hash-verify instead of rows-only)."""
+        want = os.path.normpath(SF_DIR)
+        for sfd, sql in BY_SF.get(name, {}).items():
+            if os.path.normpath(sfd) == want:
+                return sql
+        return None
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     unknown = ONLY - set(qs)
@@ -108,9 +119,10 @@ def main() -> int:
         # instead of hard-failing on stale literals (round-6 advisor)
         gen_sf = PRECOMPUTED_SF.get(name)
         sf_mismatch = gen_sf is not None and os.path.normpath(gen_sf) != os.path.normpath(SF_DIR)
+        alt_sql = _by_sf_sql(name) if sf_mismatch else None
         try:
             sdf = fn(spark, SF_DIR)
-            if sf_mismatch:
+            if sf_mismatch and alt_sql is None:
                 n = len(sdf.collect())
                 print(
                     f"ok   {name}: rows-only ({n} rows, {time.time()-t0:.1f}s) "
@@ -134,7 +146,7 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            dcols, drows = pandas_rows(con.sql(oracles[name]).fetchdf())
+            dcols, drows = pandas_rows(con.sql(alt_sql or oracles[name]).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1

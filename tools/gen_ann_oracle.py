@@ -165,19 +165,16 @@ def exact_cos_topk(E: np.ndarray, norms: np.ndarray, ids: np.ndarray, qi: int, c
     return topk(ids[cand], rounded, k)
 
 
-def main() -> int:
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+PRIMARY_SF = "/root/testdata/sf0.01"
+
+
+def build(sf_dir: str, spark) -> dict[str, str]:
     import duckdb
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
-    from gomapreduce_spark.operators import similarity as pipe
-
-    import inspect
-
-    assert (pipe.IVF_SEED, pipe.IVF_SAMPLE, pipe.IVF_ITERS) == (KM_SEED, KM_SAMPLE, KM_ITERS)
-    assert (pipe.PQ_M, pipe.PQ_KSUB, pipe.PQ_ITERS) == (PQ_M, PQ_KSUB, PQ_ITERS)
-    lsh_sig = inspect.signature(pipe.knn_lsh).parameters
-    assert (lsh_sig["n_planes"].default, lsh_sig["n_tables"].default) == (LSH_PLANES, LSH_TABLES)
 
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
@@ -241,10 +238,7 @@ def main() -> int:
 
     # self-check: reference vs the LIVE Spark pipelines, cell-for-cell
     from gomapreduce_spark.queries import QUERIES
-    from gomapreduce_spark.session import get_spark
 
-    spark = get_spark("gen_ann_oracle", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
     for qname, expected in (
         ("knn_lsh", lsh_rows),
         ("knn_ivf", ivf_rows),
@@ -272,6 +266,34 @@ def main() -> int:
             "WHERE v.query_id IN (SELECT vec_id FROM embeddings)"
         )
 
+    print(
+        f"built {sf_dir}: {len(lsh_rows)} lsh, {len(ivf_rows)} ivf, {len(pq_rows)} pq, "
+        f"{len(ivfpq_rows)} ivfpq rows"
+    )
+    return {
+        "knn_lsh": values_sql(lsh_rows),
+        "knn_ivf": values_sql(ivf_rows),
+        "knn_pq": values_sql(pq_rows),
+        "knn_ivf_pq": values_sql(ivfpq_rows),
+    }
+
+
+def main() -> int:
+    import inspect
+
+    from gomapreduce_spark.operators import similarity as pipe
+    from gomapreduce_spark.session import get_spark
+
+    assert (pipe.IVF_SEED, pipe.IVF_SAMPLE, pipe.IVF_ITERS) == (KM_SEED, KM_SAMPLE, KM_ITERS)
+    assert (pipe.PQ_M, pipe.PQ_KSUB, pipe.PQ_ITERS) == (PQ_M, PQ_KSUB, PQ_ITERS)
+    lsh_sig = inspect.signature(pipe.knn_lsh).parameters
+    assert (lsh_sig["n_planes"].default, lsh_sig["n_tables"].default) == (LSH_PLANES, LSH_TABLES)
+
+    spark = get_spark("gen_ann_oracle", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    by_sf = {sf: build(sf, spark) for sf in SF_DIRS}
+    prim = by_sf[PRIMARY_SF]
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -282,19 +304,24 @@ def main() -> int:
             '"""Precomputed ANN oracles (GENERATED — do not edit).\n\n'
             "Source: tools/gen_ann_oracle.py (independent numpy reference,\n"
             "self-checked against the live pipelines at generation time).\n"
-            "Valid ONLY at the scale factor below — check tooling skips the\n"
-            "comparison elsewhere instead of failing on stale literals.\n"
-            '"""\n\n'
-            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            f"KNN_LSH_EXPECTED_SQL = '''\n{values_sql(lsh_rows)}\n'''\n\n"
-            f"KNN_IVF_EXPECTED_SQL = '''\n{values_sql(ivf_rows)}\n'''\n\n"
-            f"KNN_PQ_EXPECTED_SQL = '''\n{values_sql(pq_rows)}\n'''\n\n"
-            f"KNN_IVF_PQ_EXPECTED_SQL = '''\n{values_sql(ivfpq_rows)}\n'''\n"
+            "Primary constants below are the GENERATED_SF_DIR tables; every\n"
+            "committed SF has its own tables in EXPECTED_BY_SF so the tri-SF\n"
+            'sweep hash-verifies instead of degrading to rows-only.\n"""\n\n'
+            f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
+            f"KNN_LSH_EXPECTED_SQL = '''\n{prim['knn_lsh']}\n'''\n\n"
+            f"KNN_IVF_EXPECTED_SQL = '''\n{prim['knn_ivf']}\n'''\n\n"
+            f"KNN_PQ_EXPECTED_SQL = '''\n{prim['knn_pq']}\n'''\n\n"
+            f"KNN_IVF_PQ_EXPECTED_SQL = '''\n{prim['knn_ivf_pq']}\n'''\n\n"
+            "EXPECTED_BY_SF = {\n"
+            + "".join(
+                f"    {sf!r}: {{\n"
+                + "".join(f"        {k!r}: '''\n{v}\n''',\n" for k, v in tabs.items())
+                + "    },\n"
+                for sf, tabs in by_sf.items()
+            )
+            + "}\n"
         )
-    print(
-        f"wrote {out_path}: {len(lsh_rows)} lsh, {len(ivf_rows)} ivf, {len(pq_rows)} pq, "
-        f"{len(ivfpq_rows)} ivfpq rows (sf_dir={sf_dir})"
-    )
+    print("wrote", out_path)
     return 0
 
 

@@ -76,14 +76,16 @@ def encode_len(word: str, table: list[tuple[int, str, str, int]], memo: dict) ->
     return len(syms)
 
 
-def main() -> int:
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+PRIMARY_SF = "/root/testdata/sf0.01"
+
+
+def build(sf_dir: str, spark) -> dict[str, str]:
     import duckdb
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
-    from gomapreduce_spark.operators import text as pipe
-
-    assert (pipe.BPE_N_MERGES, pipe.BPE_TOP_WORDS) == (N_MERGES, TOP_WORDS)
 
     docs = duckdb.sql(
         f"SELECT lang, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY lang, text"
@@ -111,10 +113,7 @@ def main() -> int:
 
     # self-check vs the live Spark pipelines
     from gomapreduce_spark.queries import QUERIES
-    from gomapreduce_spark.session import get_spark
 
-    spark = get_spark("gen_bpe_oracle", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
     got_m = sorted(tuple(r) for r in QUERIES["bpe_learn_merges"](spark, sf_dir).collect())
     assert got_m == sorted(table), (
         f"merge table disagrees\n  only-spark: {[x for x in got_m if x not in table][:3]}"
@@ -149,6 +148,21 @@ def main() -> int:
         + "\n) AS v(lang, n_words, n_tokens, n_single, fertility)"
     )
 
+    print(f"built {sf_dir}: {len(table)} merges, {len(enc_rows)} encode rows")
+    return {"bpe_learn_merges": merges_sql, "bpe_encode_stats": enc_sql}
+
+
+def main() -> int:
+    from gomapreduce_spark.operators import text as pipe
+    from gomapreduce_spark.session import get_spark
+
+    assert (pipe.BPE_N_MERGES, pipe.BPE_TOP_WORDS) == (N_MERGES, TOP_WORDS)
+
+    spark = get_spark("gen_bpe_oracle", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    by_sf = {sf: build(sf, spark) for sf in SF_DIRS}
+    prim = by_sf[PRIMARY_SF]
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -159,14 +173,22 @@ def main() -> int:
             '"""Precomputed BPE oracles (GENERATED — do not edit).\n\n'
             "Source: tools/gen_bpe_oracle.py (independent reference,\n"
             "self-checked against the live pipelines at generation time).\n"
-            "Valid ONLY at the scale factor below — check tooling skips the\n"
-            "comparison elsewhere.\n"
-            '"""\n\n'
-            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            f"BPE_MERGES_EXPECTED_SQL = '''\n{merges_sql}\n'''\n\n"
-            f"BPE_ENCODE_EXPECTED_SQL = '''\n{enc_sql}\n'''\n"
+            "Primary constants below are the GENERATED_SF_DIR tables; every\n"
+            "committed SF has its own tables in EXPECTED_BY_SF so the tri-SF\n"
+            'sweep hash-verifies instead of degrading to rows-only.\n"""\n\n'
+            f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
+            f"BPE_MERGES_EXPECTED_SQL = '''\n{prim['bpe_learn_merges']}\n'''\n\n"
+            f"BPE_ENCODE_EXPECTED_SQL = '''\n{prim['bpe_encode_stats']}\n'''\n\n"
+            "EXPECTED_BY_SF = {\n"
+            + "".join(
+                f"    {sf!r}: {{\n"
+                + "".join(f"        {k!r}: '''\n{v}\n''',\n" for k, v in tabs.items())
+                + "    },\n"
+                for sf, tabs in by_sf.items()
+            )
+            + "}\n"
         )
-    print(f"wrote {out_path}: {len(table)} merges, {len(enc_rows)} encode rows")
+    print("wrote", out_path)
     return 0
 
 

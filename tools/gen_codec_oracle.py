@@ -80,10 +80,17 @@ def ref_spectral(text: str):
     return n, centroid, rolloff, flatness
 
 
-def main() -> int:
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+PRIMARY_SF = "/root/testdata/sf0.01"
+
+
+def build(sf_dir: str, spark) -> dict[str, str]:
     import duckdb
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
@@ -123,10 +130,7 @@ def main() -> int:
     # self-check: the independent reference must agree with the live
     # Spark pipeline cell-for-cell before anything is written
     from gomapreduce_spark.queries import QUERIES
-    from gomapreduce_spark.session import get_spark
 
-    spark = get_spark("gen_codec_oracle", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
     got_d = {
         r.doc_id: (r.width, r.height, r.dhash)
         for r in QUERIES["image_dhash_index"](spark, sf_dir).collect()
@@ -140,6 +144,18 @@ def main() -> int:
     exp_a = {d: (n, f"{c:.9g}", f"{r:.9g}", f"{f:.9g}") for d, n, c, r, f in audio_rows}
     assert got_a == exp_a, "spectral reference disagrees with the Spark pipeline"
 
+    print(f"built {sf_dir}: {len(dhash_rows)} dhash rows, {len(audio_rows)} audio rows")
+    return {"image_dhash_index": dhash_sql, "audio_spectral": audio_sql}
+
+
+def main() -> int:
+    from gomapreduce_spark.session import get_spark
+
+    spark = get_spark("gen_codec_oracle", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    by_sf = {sf: build(sf, spark) for sf in SF_DIRS}
+    prim = by_sf[PRIMARY_SF]
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -148,18 +164,26 @@ def main() -> int:
     with open(out_path, "w") as fh:
         fh.write(
             '"""Precomputed codec-pipeline oracles (GENERATED — do not edit).\n\n'
-            f"Source: tools/gen_codec_oracle.py over {sf_dir} "
-            "(independent numpy reference, self-checked against the live\n"
-            "pipeline at generation time). Valid for the deterministic\n"
-            "testdata generation seeded at that sf; regenerate if testdata\n"
-            "or the synth/codec parameters change. Check tooling consults\n"
-            "GENERATED_SF_DIR and skips the value compare at any other SF.\n"
-            '"""\n\n'
-            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            f"DHASH_EXPECTED_SQL = '''\n{dhash_sql}\n'''\n\n"
-            f"AUDIO_SPECTRAL_EXPECTED_SQL = '''\n{audio_sql}\n'''\n"
+            "Source: tools/gen_codec_oracle.py (independent numpy reference,\n"
+            "self-checked against the live pipeline at generation time).\n"
+            "Valid for the deterministic testdata generation seeded per sf;\n"
+            "regenerate if testdata or the synth/codec parameters change.\n"
+            "Primary constants below are the GENERATED_SF_DIR tables; every\n"
+            "committed SF has its own tables in EXPECTED_BY_SF so the tri-SF\n"
+            'sweep hash-verifies instead of degrading to rows-only.\n"""\n\n'
+            f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
+            f"DHASH_EXPECTED_SQL = '''\n{prim['image_dhash_index']}\n'''\n\n"
+            f"AUDIO_SPECTRAL_EXPECTED_SQL = '''\n{prim['audio_spectral']}\n'''\n\n"
+            "EXPECTED_BY_SF = {\n"
+            + "".join(
+                f"    {sf!r}: {{\n"
+                + "".join(f"        {k!r}: '''\n{v}\n''',\n" for k, v in tabs.items())
+                + "    },\n"
+                for sf, tabs in by_sf.items()
+            )
+            + "}\n"
         )
-    print(f"wrote {out_path}: {len(dhash_rows)} dhash rows, {len(audio_rows)} audio rows")
+    print("wrote", out_path)
     return 0
 
 

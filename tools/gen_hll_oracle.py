@@ -107,11 +107,21 @@ def hllpp_estimate(keys: list[int], rsd: float = RSD) -> int:
     return math.floor(h + 0.5)
 
 
-def main() -> int:
-    import duckdb
+#: all committed fixture SFs; the PRIMARY (driver-facing) generation
+#: SF stays sf0.01 — the others feed EXPECTED_BY_SF so the tri-SF
+#: sweep hash-verifies instead of degrading to rows-only (round-10
+#: verdict item 6)
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+PRIMARY_SF = "/root/testdata/sf0.01"
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    con = duckdb.connect()
+
+def build(sf_dir: str, spark, con) -> str:
+    """Expected-table SQL for one sf_dir, self-checked against the
+    live pipeline (raises on mismatch)."""
     groups = con.execute(
         f"""
         SELECT event_type, list(DISTINCT user_id) FROM
@@ -121,22 +131,32 @@ def main() -> int:
     ).fetchall()
     expected = [(t, hllpp_estimate(keys)) for t, keys in groups]
 
-    # self-check vs the live Spark pipeline (refuse to write otherwise)
     from gomapreduce_spark.operators.events import approx_distinct_users
-    from gomapreduce_spark.session import get_spark
     from gomapreduce_spark.sources.registry import load_table
 
-    spark = get_spark("gen_hll_oracle", cpus=8)
     live = sorted(
         (r["event_type"], r["approx_users"])
         for r in approx_distinct_users(load_table(spark, sf_dir, "events")).collect()
     )
     if live != expected:
-        print("SELF-CHECK FAILED:\n  live    =", live, "\n  restated=", expected)
-        return 1
-    print("self-check OK:", expected)
-
+        raise AssertionError(f"SELF-CHECK FAILED at {sf_dir}: live={live} restated={expected}")
+    print(f"self-check OK at {sf_dir}:", expected)
     rows = ",\n    ".join(f"('{t}', {n}::BIGINT)" for t, n in expected)
+    return (
+        "\n    SELECT col0 AS event_type, col1 AS approx_users FROM (VALUES\n"
+        f"    {rows}) t\n"
+    )
+
+
+def main() -> int:
+    import duckdb
+
+    from gomapreduce_spark.session import get_spark
+
+    con = duckdb.connect()
+    spark = get_spark("gen_hll_oracle", cpus=8)
+    by_sf = {sf: build(sf, spark, con) for sf in SF_DIRS}
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -145,14 +165,18 @@ def main() -> int:
     with open(out, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_hll_oracle.py — do not edit.\n\n'
-            f"Expected approx_distinct_users output at {sf_dir} from the\n"
-            'independent pure-python xxHash64 + HLL++ restatement (see the\n'
-            'generator docstring), self-checked against the live pipeline.\n"""\n\n'
-            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            'APPROX_DISTINCT_USERS_SQL = """\n'
-            "    SELECT col0 AS event_type, col1 AS approx_users FROM (VALUES\n"
-            f"    {rows}) t\n"
-            '"""\n'
+            f"Expected approx_distinct_users output at {PRIMARY_SF} (primary;\n"
+            "every committed SF in EXPECTED_BY_SF) from the independent\n"
+            'pure-python xxHash64 + HLL++ restatement (see the generator\n'
+            'docstring), self-checked against the live pipeline per SF.\n"""\n\n'
+            f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
+            f'APPROX_DISTINCT_USERS_SQL = """{by_sf[PRIMARY_SF]}"""\n\n'
+            "EXPECTED_BY_SF = {\n"
+            + "".join(
+                f'    {sf!r}: {{"approx_distinct_users": """{sql}"""}},\n'
+                for sf, sql in by_sf.items()
+            )
+            + "}\n"
         )
     print("wrote", out)
     return 0

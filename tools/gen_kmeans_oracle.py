@@ -70,19 +70,16 @@ def lloyd(ids: np.ndarray, Q: np.ndarray, rounds: int = KM_ROUNDS) -> np.ndarray
     return lloyd_rounds(Q, cents, rounds)
 
 
-def main() -> int:
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+PRIMARY_SF = "/root/testdata/sf0.01"
+
+
+def build(sf_dir: str, spark) -> dict[str, str]:
     import duckdb
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
-    from gomapreduce_spark.operators import clustering as pipe
-
-    import inspect
-
-    assert (pipe.KM_K, pipe.KM_ROUNDS, pipe.KM_SCALE) == (KM_K, KM_ROUNDS, KM_SCALE)
-    assert (pipe.SEMDEDUP_THRESHOLD, pipe.SEMDEDUP_MAX_CLUSTER) == (SD_THRESHOLD, SD_MAX_CLUSTER)
-    incr_sig = inspect.signature(pipe.kmeans_incremental_update).parameters
-    assert incr_sig["refresh_rounds"].default == INCR_REFRESH_ROUNDS
 
     rows = duckdb.sql(
         f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
@@ -161,10 +158,7 @@ def main() -> int:
 
     # self-check vs the LIVE Spark pipelines, cell-for-cell
     from gomapreduce_spark.queries import QUERIES
-    from gomapreduce_spark.session import get_spark
 
-    spark = get_spark("gen_kmeans_oracle", cpus=8)
-    spark.sparkContext.setLogLevel("ERROR")
     got = sorted(
         (r.cluster_id, r.n_points, r.majority_label, f"{r.purity:.9g}", f"{r.inertia:.9g}", f"{r.c_norm:.9g}")
         for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
@@ -197,7 +191,9 @@ def main() -> int:
         f"  only-ref:   {[x for x in sd_want if x not in sd_got][:3]}"
     )
     n_pruned = sum(1 for _, _, _, kp in sd_rows if not kp)
-    assert n_pruned > 0, "fixture produced no pruning — threshold too high to exercise the path"
+    assert n_pruned > 0 or sf_dir != PRIMARY_SF, (
+        "fixture produced no pruning — threshold too high to exercise the path"
+    )
 
     values = ",\n".join(
         f"  ({c}, {n}, {m}, {p!r}, {i!r}, {cn!r})" for c, n, m, p, i, cn in out
@@ -229,6 +225,33 @@ def main() -> int:
         "WHERE v.vec_id IN (SELECT vec_id FROM embeddings)"
     )
 
+    print(
+        f"built {sf_dir}: {len(out)} clusters, {len(sd_rows)} semdedup rows "
+        f"({n_pruned} pruned), {len(incr_rows)} incremental rows"
+    )
+    return {
+        "kmeans_embeddings": sql,
+        "semdedup_prune": sd_sql,
+        "kmeans_incremental": incr_sql,
+    }
+
+
+def main() -> int:
+    import inspect
+
+    from gomapreduce_spark.operators import clustering as pipe
+    from gomapreduce_spark.session import get_spark
+
+    assert (pipe.KM_K, pipe.KM_ROUNDS, pipe.KM_SCALE) == (KM_K, KM_ROUNDS, KM_SCALE)
+    assert (pipe.SEMDEDUP_THRESHOLD, pipe.SEMDEDUP_MAX_CLUSTER) == (SD_THRESHOLD, SD_MAX_CLUSTER)
+    incr_sig = inspect.signature(pipe.kmeans_incremental_update).parameters
+    assert incr_sig["refresh_rounds"].default == INCR_REFRESH_ROUNDS
+
+    spark = get_spark("gen_kmeans_oracle", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    by_sf = {sf: build(sf, spark) for sf in SF_DIRS}
+    prim = by_sf[PRIMARY_SF]
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "gomapreduce_spark",
@@ -239,18 +262,23 @@ def main() -> int:
             '"""Precomputed k-means + SemDeDup oracles (GENERATED — do not edit).\n\n'
             "Source: tools/gen_kmeans_oracle.py (independent numpy reference,\n"
             "self-checked against the live pipelines at generation time).\n"
-            "Valid ONLY at the scale factor below — check tooling degrades to\n"
-            "rows-only elsewhere instead of failing on stale literals.\n"
-            '"""\n\n'
-            f"GENERATED_SF_DIR = {sf_dir!r}\n\n"
-            f"KMEANS_EXPECTED_SQL = '''\n{sql}\n'''\n\n"
-            f"SEMDEDUP_EXPECTED_SQL = '''\n{sd_sql}\n'''\n\n"
-            f"KMEANS_INCR_EXPECTED_SQL = '''\n{incr_sql}\n'''\n"
+            "Primary constants below are the GENERATED_SF_DIR tables; every\n"
+            "committed SF has its own tables in EXPECTED_BY_SF so the tri-SF\n"
+            'sweep hash-verifies instead of degrading to rows-only.\n"""\n\n'
+            f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
+            f"KMEANS_EXPECTED_SQL = '''\n{prim['kmeans_embeddings']}\n'''\n\n"
+            f"SEMDEDUP_EXPECTED_SQL = '''\n{prim['semdedup_prune']}\n'''\n\n"
+            f"KMEANS_INCR_EXPECTED_SQL = '''\n{prim['kmeans_incremental']}\n'''\n\n"
+            "EXPECTED_BY_SF = {\n"
+            + "".join(
+                f"    {sf!r}: {{\n"
+                + "".join(f"        {k!r}: '''\n{v}\n''',\n" for k, v in tabs.items())
+                + "    },\n"
+                for sf, tabs in by_sf.items()
+            )
+            + "}\n"
         )
-    print(
-        f"wrote {out_path}: {len(out)} clusters, {len(sd_rows)} semdedup rows "
-        f"({n_pruned} pruned), {len(incr_rows)} incremental rows (sf_dir={sf_dir})"
-    )
+    print("wrote", out_path)
     return 0
 
 

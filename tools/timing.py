@@ -7,7 +7,22 @@ from __future__ import annotations
 
 import time
 
-WARMUP_QUERIES = ("q6_forecast_revenue", "multimodal_features")
+# q6 warms the JVM + parquet footers, multimodal_features the batch
+# Arrow/pandas worker pool, and the stateful streaming query the
+# applyInPandasWithState path — the stateful Arrow runner keeps its
+# OWN python worker pool (keyed by eval type) plus state-store
+# provider/checkpoint init, so the FIRST stateful query of a session
+# reads ~+2s regardless of which one it is (round-11 postmortem of the
+# streaming_transition_matrix r10 "drift": the rotation moved it from
+# last-of-13 to first, i.e. from warm to cold slot; controlled
+# order-swap runs showed 4.4-5.3s in slot 1 vs 2.1-2.7s steady for the
+# SAME query). Warming it here makes every streaming number a
+# steady-state, order-independent measurement.
+WARMUP_QUERIES = (
+    "q6_forecast_revenue",
+    "multimodal_features",
+    "streaming_transition_matrix",
+)
 
 
 def run_noop(queries, name: str, spark, sf_dir: str) -> None:
@@ -16,7 +31,8 @@ def run_noop(queries, name: str, spark, sf_dir: str) -> None:
 
 def warm(queries, spark, sf_dir: str) -> None:
     """Warm the JVM, parquet footers, and python workers (pandas import
-    per worker) so timings measure plans, not cold-start."""
+    per worker; the stateful-streaming runner's separate pool) so
+    timings measure plans, not cold-start."""
     for name in WARMUP_QUERIES:
         run_noop(queries, name, spark, sf_dir)
 
