@@ -234,9 +234,8 @@ def registered_domain_psl(
     (text/embeddings) resolve on a projected slice and join back on
     the id instead."""
     h = F.col(host_col)
-    keyed = keyed.withColumn("__n", F.size(F.split(h, r"\.")))
     payload = [c for c in keyed.columns if c not in id_cols and c != host_col]
-    n = F.col("__n")
+    n = F.size(F.split(h, r"\."))
     cand_i = F.explode(F.sequence(F.lit(1), F.least(n, F.lit(_PSL_MAX_LABELS)))).alias("i")
     # substring_index via expr: the python wrapper pins count to a
     # literal int, but the catalyst function takes any expression

@@ -595,79 +595,76 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 10 executes the round-9 verdict's rotation order
-# (item 1): the ENTIRE 41-query r6-stale block (the only queries
-# whose last driver row is older than r7 after r9), led by the five
-# r6 fillers that ceded their r9 slots, then the remaining r6 pool in
-# registration order; then the four round-10 additions and the five
-# queries whose implementation (or construction path) changed this
-# round. Exactly the 50-row budget; after r10 no registered query's
-# last driver row is older than r7. Every entry is still re-verified
-# each round by pytest + tools/check_oracle.py regardless of position.
-_R10_PRIORITY = [
-    # (a) the five r6 fillers that ceded r9 slots (verdict-named)
-    "winnow_fingerprints",        # r6
-    "canonical_docs",             # r6
-    "image_dhash_index",          # r6
-    "audio_spectral",             # r6
-    "leakage_safe_split",         # r6
-    # (b) the rest of the r6-stale pool, registration order
-    "event_transition_matrix",    # r6
-    "bpe_pair_counts",            # r6
-    "sparse_doc_similarity",      # r6
-    "scd2_user_state",            # r6
-    "merge_upsert_customers",     # r6
-    "html_boilerplate_strip",     # r6
-    "duplicate_spans",            # r6
-    "pagerank_dedup_graph",       # r6
-    "variant_props_stats",        # r6
-    "triangle_stats",             # r6
-    "minhash_lsh_pairs",          # r6
-    "dedup_clusters",             # r6
-    "embedding_near_dup",         # r6
-    "q4_late_shipments",          # r6
-    "asof_join_orders",           # r6
-    "range_join_shipments",       # r6
-    "percentile_stats",           # r6
-    "topk_per_group",             # r6
-    "rollup_revenue",             # r6
-    "anti_join_customers",        # r6
-    "semi_join_big_spenders",     # r6
-    "order_status_pivot",         # r6
-    "tumbling_window_counts",     # r6
-    "running_totals",             # r6
-    "cube_by_type_hour",          # r6
-    "funnel_set_ops",             # r6
-    "json_props_stats",           # r6
-    "latest_event_per_user",      # r6
-    "value_deciles",              # r6
-    "value_prop_correlation",     # r6
-    "trimmed_mean_by_type",       # r6
-    "distinct_words",             # r6
-    "string_funcs_showcase",      # r6
-    "date_funcs_showcase",        # r6
-    "salted_user_counts",         # r6
-    "streaming_transition_matrix",  # r6
-    # (c) NEW in round 10 — no driver row exists yet
-    "bpe_learn_merges_distributed",  # huge-dict escape hatch, registered (r9 verdict item 4)
-    "url_canonicalize",           # URL hygiene, row-level (r9 verdict item 5)
-    "domain_rollup",              # registered-domain governance rollup
-    "blocklist_filter",           # LEFT ANTI broadcast admission filter
-    # (d) implementation/construction changed in round 10 (re-row):
-    # ppjoin_pairs gained the threshold-domain guard;
-    # corpus_snapshot_diff's synthetic feed derives fresh ids from
-    # h64(source); streaming_weighted_sample re-enters calibration
-    # totals as decimal literals (weighted_total_lit, shared with
-    # weighted_sample's module); dedup_recall_audit gained the
-    # bounded size probe ahead of its warning
-    "ppjoin_pairs",               # r9
-    "corpus_snapshot_diff",       # r9
-    "streaming_weighted_sample",  # r9
-    "weighted_sample",            # r9
-    "dedup_recall_audit",         # r8
+# round. Round 11 executes the round-10 verdict's rotation order
+# (item 2), stalest-first: the ENTIRE 38-query r7-stale block (the
+# only queries whose last driver row is older than r8 after r10) in
+# registration order; then the three round-11 additions; then the
+# four queries whose implementation changed this round; then five
+# r8-stale backfills to fill the 50-row budget. After r11 no
+# registered query's last driver row is older than r8. Every entry is
+# still re-verified each round by pytest + tools/check_oracle.py
+# regardless of position.
+_R11_PRIORITY = [
+    # (a) the complete r7-stale pool, registration order
+    "calibrated_quality",         # r7
+    "containment_pairs",          # r7
+    "distinctive_terms",          # r7
+    "embedding_drift",            # r7
+    "fixed_k_sample",             # r7
+    "fuzzy_customer_links",       # r7
+    "hashed_features",            # r7
+    "hybrid_search",              # r7
+    "incremental_user_rollup",    # r7
+    "interarrival_stats",         # r7
+    "kmeans_embeddings",          # r7
+    "kmeans_incremental",         # r7
+    "knn_ivf",                    # r7
+    "knn_pq",                     # r7
+    "lang_id_confusion",          # r7
+    "lpa_communities",            # r7
+    "pmi_collocations",           # r7
+    "q10_returned_items",         # r7
+    "q14_promo_revenue",          # r7
+    "q16_supplier_parts",         # r7
+    "q17_small_quantity",         # r7
+    "q18_large_orders",           # r7
+    "q19_disjunctive_revenue",    # r7
+    "q21_suppliers_kept_waiting", # r7
+    "q2_min_cost_supplier",       # r7
+    "q3_top_orders",              # r7
+    "q5_local_supplier",          # r7
+    "q7_nation_volume",           # r7
+    "q8_market_share",            # r7
+    "q9_product_profit",          # r7
+    "semdedup_prune",             # r7
+    "session_paths",              # r7
+    "session_window_stats",       # r7
+    "source_overlap_matrix",      # r7
+    "streaming_full_outer_join",  # r7
+    "streaming_static_enrichment",  # r7
+    "translated_near_dups",       # r7
+    "volume_anomalies",           # r7
+    # (b) NEW in round 11 — no driver row exists yet
+    "doc_provenance",             # per-doc lineage manifest (r10 verdict item 3)
+    "corpus_dedup_e2e",           # composed-pipeline certification (item 4)
+    "domain_rollup_psl",          # public-suffix-list registered domain (item 5)
+    # (c) implementation changed in round 11 (re-row): the web CTE
+    # chain now strips tracking params from the QUERY only (advisor
+    # path-segment fix — all three share the canonicalizer), and
+    # quality_classifier's rounding step moved to decimal(38,0)
+    "url_canonicalize",           # r10
+    "domain_rollup",              # r10
+    "blocklist_filter",           # r10
+    "quality_classifier",         # r9
+    # (d) r8-stale backfill to the 50-row budget, registration order
+    "q1_pricing_summary",         # r8
+    "q6_forecast_revenue",        # r8
+    "sessionize",                 # r8
+    "sliding_window_counts",      # r8
+    "approx_distinct_users",      # r8
 ]
-_order = [n for n in QUERIES if n not in _R10_PRIORITY]
-_order[0:0] = _R10_PRIORITY
+_order = [n for n in QUERIES if n not in _R11_PRIORITY]
+_order[0:0] = _R11_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 

@@ -120,6 +120,10 @@ PROBE_QUERIES = [
     "domain_rollup",
     "blocklist_filter",
     "bpe_learn_merges_distributed",
+    # round-11 additions (provenance manifest, e2e certification, PSL)
+    "doc_provenance",
+    "corpus_dedup_e2e",
+    "domain_rollup_psl",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
