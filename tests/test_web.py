@@ -205,6 +205,65 @@ def test_psl_vs_lite_parity_and_divergence(spark, sf_small):
     assert psl_rd == ["example.com.br", "foo.bar.ck"]   # PSL-correct
 
 
+def test_psl_matches_independent_reference(spark):
+    """Property: the DataFrame PSL resolution equals an INDEPENDENT
+    pure-python restatement of the publicsuffix.org algorithm (rules
+    match right-aligned with '*' wildcarding one label; an exception
+    rule prevails and registers at its own label count; else the
+    longest match; else the implicit '*'; registered domain = public
+    suffix + one label, '' when the host IS a suffix) over a
+    hypothesis sweep of hosts built from random labels and every rule
+    shape in the committed slice."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomapreduce_spark.operators.web import PSL_SLICE, psl_rules_df, registered_domain_psl
+
+    def ref(host: str) -> str:
+        labels = host.split(".")
+        exc_ps, lit_ps = None, None
+        for raw in PSL_SLICE:
+            exc = raw.startswith("!")
+            rl = (raw[1:] if exc else raw).split(".")
+            if len(rl) > len(labels):
+                continue
+            tail = labels[-len(rl):]
+            if all(a == "*" or a == b for a, b in zip(rl, tail)):
+                if exc:
+                    exc_ps = max(exc_ps or 0, len(rl) - 1)
+                else:
+                    lit_ps = max(lit_ps or 0, len(rl))
+        ps = exc_ps if exc_ps is not None else (lit_ps if lit_ps is not None else 1)
+        return ".".join(labels[-(ps + 1):]) if len(labels) > ps else ""
+
+    rules = psl_rules_df(spark)
+    label = st.from_regex(r"[a-z]{1,8}", fullmatch=True)
+    suffix = st.sampled_from(
+        [r.lstrip("!").replace("*", "x") for r in PSL_SLICE]  # every rule shape, wildcard instantiated
+        + ["ck", "www.ck", "sub.www.ck", "foo.bar.ck", "xyz", "a.b.xyz"]
+    )
+    host_st = st.builds(
+        lambda pre, suf: ".".join(pre + [suf]) if pre else suf,
+        st.lists(label, min_size=0, max_size=3),
+        suffix,
+    )
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(host_st, min_size=1, max_size=25, unique=True))
+    def sweep(hosts):
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+        )
+        got = {
+            r.doc_id: r.registered_domain
+            for r in registered_domain_psl(df, rules).collect()
+        }
+        for i, h in enumerate(hosts):
+            assert got[i] == ref(h), (h, got[i], ref(h))
+
+    sweep()
+
+
 def test_canonicalization_idempotent(spark):
     """canon(canon(u)) == canon(u): re-canonicalizing an already-clean
     catalog must be a no-op (the repetition-safe '(www\\.)+' / '/+$'
