@@ -27,7 +27,7 @@ shortest double repr — the same semantics as Spark's ``round``
 A self-check compares every generated table against the live Spark
 pipeline and refuses to write on any mismatch.
 
-Run: python tools/gen_ann_oracle.py [sf_dir]
+Run: python tools/gen_ann_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/ann_expected.py (committed; imported by
 queries.py into ORACLES).
 """

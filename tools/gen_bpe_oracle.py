@@ -13,7 +13,7 @@ queries are deterministic end-to-end (exact integer counts, ties by
 output at one scale factor is a VALUES table. A self-check compares
 against the live Spark pipelines and refuses to write on mismatch.
 
-Run: python tools/gen_bpe_oracle.py [sf_dir]
+Run: python tools/gen_bpe_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/bpe_expected.py
 """
 

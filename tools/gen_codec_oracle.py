@@ -15,7 +15,7 @@ against format fixtures is pinned by tests/test_multimodal_codecs.py.
 A self-check compares the generated table against the live Spark
 pipeline and refuses to write on any mismatch.
 
-Run: python tools/gen_codec_oracle.py [sf_dir]
+Run: python tools/gen_codec_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/codec_expected.py (committed; imported by
 queries.py into ORACLES).
 """

@@ -26,7 +26,7 @@ PRECOMPUTED_ORACLE_SF).
 A self-check compares the generated table against the live Spark
 pipeline and refuses to write on any mismatch.
 
-Run: python tools/gen_hll_oracle.py [sf_dir]
+Run: python tools/gen_hll_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/hll_expected.py
 """
 

@@ -16,7 +16,7 @@ fold-order contracts are needed at all (unlike the ANN generator).
 A self-check compares the generated table against the live Spark
 pipeline and refuses to write on any mismatch.
 
-Run: python tools/gen_kmeans_oracle.py [sf_dir]
+Run: python tools/gen_kmeans_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/kmeans_expected.py
 """
 

@@ -29,7 +29,7 @@ order-dependent multi-flush/merge path at a bigger SF
 A self-check compares the generated table against the live Spark
 pipeline and refuses to write on any mismatch.
 
-Run: python tools/gen_vda_oracle.py [sf_dir]
+Run: python tools/gen_vda_oracle.py   (regenerates EXPECTED_BY_SF for every committed SF)
 Writes: gomapreduce_spark/vda_expected.py
 """
 
