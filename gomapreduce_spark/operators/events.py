@@ -1225,9 +1225,15 @@ def attribution_last_touch(
         .alias("channel"),
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("qv"),
     )
+    # DECIMAL sum (the clustering-inertia doctrine): per-event qv is a
+    # micro-grid long (≤ ~5e8 on the fixture's value range), so an
+    # int64 channel total wraps silently past ~1.8e10 purchases per
+    # channel under non-ANSI Spark — decimal(38,0) is exact to 1e38
+    # and converts identically to double below 2^53 (hash-neutral at
+    # fixture scale, proof against the 100 TB wrap)
     per_channel = attributed.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        F.sum("qv").alias("rev_q"),
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("rev_q"),
     )
     # the revenue total for the share comes from a window over the
     # ALREADY-AGGREGATED channel table (|channels| rows — a bounded
