@@ -70,6 +70,33 @@ def test_provenance_transforms_audit(spark, sf_small):
     assert n_untouched > 0  # and some docs pass through clean
 
 
+def test_provenance_snapshot_status_matches_diff_rollup(spark, sf_small):
+    """The manifest's per-doc snapshot_status is the pre-aggregation
+    view of corpus_snapshot_diff: grouping it by (source, status) must
+    reproduce the diff's counts exactly for the old-doc statuses
+    (added rows live only on the new side, so the manifest never
+    carries them)."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators.dedup import corpus_snapshot_diff, synth_corpus_snapshot
+    from gomapreduce_spark.operators.governance import doc_provenance
+
+    docs = _docs(spark, sf_small)
+    diff = {
+        (r.source, r.status): r.n_docs
+        for r in corpus_snapshot_diff(docs, synth_corpus_snapshot(docs)).collect()
+        if r.status != "added"
+    }
+    prov = {
+        (r.source, r.snapshot_status): r.n
+        for r in doc_provenance(docs)
+        .groupBy("source", "snapshot_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert prov == diff
+
+
 def test_e2e_count_chain(spark, sf_small):
     """The certification row's arithmetic invariants: monotone chain,
     split partition of the kept set, near-dup cluster consistency,
