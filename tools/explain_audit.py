@@ -926,7 +926,12 @@ AUDITS: dict[str, dict] = {
     # (audited there); the manifest itself must add only doc_id-keyed
     # equi-joins of already-reduced sides — never a nested loop, a
     # cartesian expansion, or a Python exchange
+    # scan budget = the 5 honest passes over documents (synth URLs,
+    # old-side hash, synth next-crawl hash, quality, shingles); the
+    # single Window is canonical selection's per-cluster row_number
     "doc_provenance": {
+        "max_scans": 5,
+        "require": ["Window"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "InPandas", "EvalPython"],
     },
     # e2e certification: composed dedup pipeline reduced to two 1-row
@@ -934,7 +939,10 @@ AUDITS: dict[str, dict] = {
     # broadcast stack source (verified by the static-bound check the
     # scaling-hint audit applies), so forbid cartesian + Python paths
     # and require the final stack Generate
+    # scan budget = 3 honest passes (exact-dedup hash groupBy, the
+    # survivor-side re-read, the input-total count)
     "corpus_dedup_e2e": {
+        "max_scans": 3,
         "require": ["Generate"],
         "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
         "forbid_scaling_hints": True,
