@@ -30,19 +30,18 @@ from .dedup import canonical_docs, exact_dedup, synth_corpus_snapshot
 from .web import DEFAULT_BLOCKLIST, registered_domain_expr, synth_doc_urls, canonical_url_expr
 
 
-def _split_cols(cluster_col: str, test_pct: int = 10, val_pct: int = 10):
-    """(bucket, split) columns from a cluster-id column — the SAME
-    deterministic assignment as dedup.leakage_safe_split (60-bit md5
-    of the cluster id, mod 100), restated here so the manifest and
-    e2e row reuse the cluster labels they already have instead of
-    re-running connected components."""
+def _split_col(cluster_col: str, test_pct: int = 10, val_pct: int = 10):
+    """Split column from a cluster-id column — the SAME deterministic
+    assignment as dedup.leakage_safe_split (60-bit md5 of the cluster
+    id, mod 100), restated here so the manifest and e2e row reuse the
+    cluster labels they already have instead of re-running connected
+    components (test_governance pins the derivation equal)."""
     bucket = F.pmod(h64(F.col(cluster_col), seed="split:"), F.lit(100))
-    split = (
+    return (
         F.when(bucket < test_pct, "test")
         .when(bucket < test_pct + val_pct, "validation")
         .otherwise("train")
     )
-    return bucket.cast("long"), split
 
 
 def doc_provenance(
@@ -105,7 +104,7 @@ def doc_provenance(
     clusters = canonical_docs(docs, threshold).select(
         "doc_id", "cluster_id", "cluster_size", F.col("keep").alias("is_canonical")
     )
-    bucket, split = _split_cols("cluster_id")
+    split = _split_col("cluster_id")
     out = (
         snap.join(urls, "doc_id")
         .join(clusters, "doc_id")
@@ -162,7 +161,7 @@ def corpus_dedup_e2e(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     survivors = docs.join(keep_ids, "doc_id")
     canon = canonical_docs(survivors, threshold)
-    _, split = _split_cols("cluster_id")
+    split = _split_col("cluster_id")
     enriched = canon.withColumn("split", split)
     stages = enriched.agg(
         F.count(F.lit(1)).alias("n_exact_survivors"),

@@ -751,6 +751,60 @@ _SIMHASH_SQL = f"""toks AS (
           FROM votes GROUP BY doc_id
         )"""
 
+# the canonical_docs cluster/quality CTE chain against a
+# parameterizable source table — the SINGLE statement of the LSH →
+# components → quality → keep pipeline's oracle SQL, used by the
+# canonical_docs / leakage_safe_split entries below and reused by the
+# round-11 provenance manifest and e2e certification row (so a future
+# change to the pipeline's reference semantics edits ONE place)
+def _cluster_ctes(tbl: str) -> str:
+    lsh = ORACLE_MINHASH_LSH.replace("FROM documents", f"FROM {tbl}")
+    return rf"""
+    pairs AS ({lsh}),
+    edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
+    qual AS (
+      SELECT doc_id,
+             round(0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * least(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
+                                 / greatest(len(t), 1) * 5, 1.0)
+                   + 0.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+                   + 0.2 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                            / greatest(length(text), 1)), 6) AS quality
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM {tbl})
+    ),
+    j AS (
+      SELECT q.doc_id,
+             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+             coalesce(s.n, 1)::BIGINT AS cluster_size,
+             q.quality
+      FROM qual q
+      LEFT JOIN labels l ON q.doc_id = l.doc_id
+      LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+    ),
+    keepd AS (
+      SELECT doc_id, cluster_id, cluster_size, quality,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
+      FROM j
+    )"""
+
+
+# the leakage-safe split assignment (60-bit seeded hash of the cluster
+# id, mod 100) — single-sourced for the leakage_safe_split oracle and
+# the governance manifests
+_SPLIT_BUCKET = f"{_H.format(s=chr(39) + 'split:' + chr(39) + ' || cluster_id::VARCHAR')} % 100"
+_SPLIT_CASE = f"""CASE WHEN {_SPLIT_BUCKET} < 10 THEN 'test'
+                       WHEN {_SPLIT_BUCKET} < 20 THEN 'validation'
+                       ELSE 'train' END"""
+
 ORACLES: dict[str, str] = {
     "wordcount": r"""
         SELECT word, count(*) AS cnt
@@ -1713,66 +1767,14 @@ ORACLES: dict[str, str] = {
         FROM c GROUP BY 1, 2
     """,
     "canonical_docs": f"""
-        WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
-        edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-                UNION SELECT doc_b, doc_a FROM edges),
-        reach(a, b) AS (
-          SELECT a, b FROM und
-          UNION
-          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-        ),
-        labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
-        sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
-        qual AS (
-          SELECT doc_id,
-                 round(0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
-                       + 0.3 * least(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
-                                     / greatest(len(t), 1) * 5, 1.0)
-                       + 0.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
-                       + 0.2 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                                / greatest(length(text), 1)), 6) AS quality
-          FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
-        ),
-        j AS (
-          SELECT q.doc_id,
-                 coalesce(l.cluster_id, q.doc_id) AS cluster_id,
-                 coalesce(s.n, 1)::BIGINT AS cluster_size,
-                 q.quality
-          FROM qual q
-          LEFT JOIN labels l ON q.doc_id = l.doc_id
-          LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
-        )
-        SELECT doc_id, cluster_id, cluster_size, quality,
-               row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
-        FROM j
+        WITH RECURSIVE {_cluster_ctes("documents")}
+        SELECT doc_id, cluster_id, cluster_size, quality, keep FROM keepd
     """,
     "leakage_safe_split": f"""
-        WITH RECURSIVE pairs AS ({ORACLE_MINHASH_LSH}),
-        edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-        und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-                UNION SELECT doc_b, doc_a FROM edges),
-        reach(a, b) AS (
-          SELECT a, b FROM und
-          UNION
-          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-        ),
-        labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
-        base AS (
-          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-          FROM (SELECT doc_id FROM documents) d
-          LEFT JOIN labels l ON d.doc_id = l.doc_id
-        ),
-        b AS (
-          SELECT doc_id, cluster_id,
-                 {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 AS bucket
-          FROM base
-        )
-        SELECT doc_id, cluster_id, bucket::BIGINT AS bucket,
-               CASE WHEN bucket < 10 THEN 'test'
-                    WHEN bucket < 20 THEN 'validation'
-                    ELSE 'train' END AS split
-        FROM b
+        WITH RECURSIVE {_cluster_ctes("documents")},
+        b AS (SELECT doc_id, cluster_id, {_SPLIT_BUCKET} AS bucket, {_SPLIT_CASE} AS split
+              FROM keepd)
+        SELECT doc_id, cluster_id, bucket::BIGINT AS bucket, split FROM b
     """,
     "simhash": f"""
         WITH {_SIMHASH_SQL}
@@ -2882,53 +2884,10 @@ ORACLES["blocklist_filter"] = f"""
 """
 
 # -- round-11: provenance manifest + e2e certification + PSL ---------
-
-# the canonical_docs cluster/quality CTE chain (verbatim from its
-# oracle) against a parameterizable source table, reused by the
-# provenance manifest and the e2e certification row
-def _cluster_ctes(tbl: str) -> str:
-    lsh = ORACLE_MINHASH_LSH.replace("FROM documents", f"FROM {tbl}")
-    return rf"""
-    pairs AS ({lsh}),
-    edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-            UNION SELECT doc_b, doc_a FROM edges),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    ),
-    labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
-    sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
-    qual AS (
-      SELECT doc_id,
-             round(0.3 * least(len(t)::DOUBLE / 100.0, 1.0)
-                   + 0.3 * least(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::DOUBLE
-                                 / greatest(len(t), 1) * 5, 1.0)
-                   + 0.2 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
-                   + 0.2 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                            / greatest(length(text), 1)), 6) AS quality
-      FROM (SELECT doc_id, text, {_TOKS} AS t FROM {tbl})
-    ),
-    j AS (
-      SELECT q.doc_id,
-             coalesce(l.cluster_id, q.doc_id) AS cluster_id,
-             coalesce(s.n, 1)::BIGINT AS cluster_size,
-             q.quality
-      FROM qual q
-      LEFT JOIN labels l ON q.doc_id = l.doc_id
-      LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
-    ),
-    keepd AS (
-      SELECT doc_id, cluster_id, cluster_size,
-             row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep
-      FROM j
-    )"""
-
-
-_SPLIT_CASE = f"""CASE WHEN {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 < 10 THEN 'test'
-                       WHEN {_H.format(s="'split:' || cluster_id::VARCHAR")} % 100 < 20 THEN 'validation'
-                       ELSE 'train' END"""
+# (built on the shared _cluster_ctes / _SPLIT_CASE helpers defined
+# above the ORACLES dict — the same SQL the canonical_docs and
+# leakage_safe_split entries use, so the manifest oracles can never
+# drift from the standalone operators' oracles)
 
 ORACLES["doc_provenance"] = f"""
     WITH RECURSIVE {_URL_CANON_CTES},

@@ -279,6 +279,13 @@ def build(sf_dir: str, spark) -> dict[str, str]:
 
 
 def main() -> int:
+    import sys as _sys
+
+    if len(_sys.argv) > 1:
+        _sys.exit(
+            "this generator no longer takes an [sf_dir] argument - it "
+            "regenerates EXPECTED_BY_SF for every committed SF in one run"
+        )
     import inspect
 
     from gomapreduce_spark.operators import similarity as pipe
