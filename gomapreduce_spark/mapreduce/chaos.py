@@ -1,0 +1,109 @@
+"""Unreliable-mode fault injection — the Spark restatement of the
+reference's ``mr.unreliable`` RPC chaos (reference mapreduce.go:24 and
+mapreduce.go:465-523): with unreliable on, ~10% of incoming RPCs are
+dropped outright ("discard the request") and a further ~10% are
+executed but their reply is discarded ("process the request but force
+discard of reply") — the caller sees a failure even though the work
+ran, so recovery must re-execute WITHOUT the orphaned first execution
+corrupting the result.
+
+Spark's unit of at-least-once execution is the task attempt, so the
+faithful restatement injects per-(stage, partition) FIRST-ATTEMPT
+failures at the same two points:
+
+- ``drop``: the attempt dies BEFORE doing any work — the scheduler
+  resubmits and nothing of the attempt exists (the reference's dropped
+  request: the worker never saw it).
+- ``reply_lost``: the attempt does ALL its work, emits every row, and
+  THEN dies — the work ran, but its output must be invisible to
+  consumers. This is the case that distinguishes exactly-once OUTPUT
+  from at-least-once EXECUTION, and Spark's guarantees cover it twice
+  over: a failed attempt's shuffle output is never registered with the
+  MapOutputTracker (downstream stages read exactly one attempt per
+  partition), and a failed write attempt's files are never committed
+  by the FileCommitProtocol (only the committed attempt's files are
+  visible after job commit). ``tests/test_unreliable.py`` proves both
+  on executed jobs.
+
+Determinism: the reference draws ``rand.Int63() % 1000 < 100 / < 200``
+per RPC; here selection is ``adler32(stage:partition) % 100`` against
+the same 10%/10% default bands — the reference's own hash
+(emittedStore.go:40) instead of its nondeterminism, so a given
+(stage, partition) either always or never injects and tests can state
+expected injection sets exactly. "First attempt" comes from
+``TaskContext.attemptNumber()``, so the retry of an injected task runs
+clean and the job completes with the correct result.
+
+Needs a master with task retries (``local[N, 2]`` or any real cluster
+where ``spark.task.maxFailures`` >= 2, the production default of 4);
+with maxFailures=1 the injected failure is fatal by design — exactly
+like running the reference's unreliable tests without its retry loop
+(taskManager.go:165-182).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Iterator
+from zlib import adler32
+
+
+class InjectedFailure(RuntimeError):
+    """An unreliable-mode injected task failure (never a real error)."""
+
+
+def chaos_mode(
+    stage: str, partition_id: int, drop_pct: int = 10, reply_lost_pct: int = 10
+) -> str | None:
+    """'drop' / 'reply_lost' / None for a (stage, partition) under the
+    given percentage bands — deterministic (adler32, the reference's
+    partitioner hash), so the injection set is a pure function of the
+    job shape."""
+    band = adler32(f"{stage}:{partition_id}".encode("utf-8")) % 100
+    if band < drop_pct:
+        return "drop"
+    if band < drop_pct + reply_lost_pct:
+        return "reply_lost"
+    return None
+
+
+def unreliable_partition(
+    stage: str,
+    run_partition: Callable[[Iterable], Iterator],
+    drop_pct: int = 10,
+    reply_lost_pct: int = 10,
+    marker_dir: str | None = None,
+) -> Callable[[Iterable], Iterator]:
+    """Wrap a ``mapPartitions`` function with unreliable-mode injection:
+    selected partitions' first attempts fail before any work (drop) or
+    after ALL work (reply_lost); retries run clean. ``marker_dir``
+    (optional) gets one ``{stage}-p{pid}:{mode}`` file per injection so
+    tests can assert the chaos actually fired on a shared filesystem."""
+
+    def run(it: Iterable) -> Iterator:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        first = tc is not None and tc.attemptNumber() == 0
+        mode = chaos_mode(stage, pid, drop_pct, reply_lost_pct) if first else None
+        if mode == "drop":
+            _mark(marker_dir, stage, pid, mode)
+            raise InjectedFailure(
+                f"unreliable: request dropped (stage={stage}, partition={pid}, attempt=0)"
+            )
+        yield from run_partition(it)
+        if mode == "reply_lost":
+            _mark(marker_dir, stage, pid, mode)
+            raise InjectedFailure(
+                f"unreliable: reply discarded after full execution "
+                f"(stage={stage}, partition={pid}, attempt=0)"
+            )
+
+    return run
+
+
+def _mark(marker_dir: str | None, stage: str, pid: int, mode: str) -> None:
+    if marker_dir:
+        with open(os.path.join(marker_dir, f"{stage}-p{pid}"), "w", encoding="utf-8") as fh:
+            fh.write(mode)

@@ -46,6 +46,7 @@ from pyspark.sql import SparkSession
 from zlib import adler32
 
 from .api import Inputer, ListEmitter, ListOutputer, Mapper, Outputer, Reducer
+from .chaos import unreliable_partition
 
 
 class TaskStat(NamedTuple):
@@ -162,8 +163,26 @@ class MapReduceEngine:
     Pass ``sync=True`` to block (the common analytics case).
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(
+        self,
+        spark: SparkSession,
+        unreliable: bool = False,
+        unreliable_pcts: tuple[int, int] = (10, 10),
+        chaos_marker_dir: str | None = None,
+    ):
+        """``unreliable=True`` is the reference's unreliable mode
+        (mapreduce.go:24, 465-523) restated on Spark: both stages'
+        tasks get deterministic first-attempt failures injected —
+        ``unreliable_pcts[0]``% dropped before any work and a further
+        ``unreliable_pcts[1]``% failed AFTER completing all work (the
+        reply-discarded case) — and the job must still finish with the
+        correct result via Spark's task retry + attempt isolation. See
+        mapreduce/chaos.py; needs spark.task.maxFailures >= 2
+        (``local[N, 2]``), else the injected failure is fatal."""
         self.spark = spark
+        self.unreliable = unreliable
+        self._unreliable_pcts = unreliable_pcts
+        self._chaos_marker_dir = chaos_marker_dir
         self._jobs: dict[str, Job] = {}
         self._status: dict[str, str] = {}
         self._stats: dict[str, JobStats] = {}
@@ -287,6 +306,13 @@ class MapReduceEngine:
                     n,
                 )])
 
+            if self.unreliable:
+                # reference unreliable mode (mapreduce.go:465-523):
+                # inject drop / reply-lost first-attempt failures
+                drop_pct, reply_lost_pct = self._unreliable_pcts
+                return unreliable_partition(
+                    stage, run, drop_pct, reply_lost_pct, self._chaos_marker_dir
+                )
             return run
 
         def do_map_pair(kv_pair):
