@@ -324,3 +324,33 @@ def test_per_task_stats_dedupe_re_execution(spark):
     twice = sorted((s.stage, s.partition) for s in eng._stats[job.job_id].task_stats)
     assert once == twice, "re-execution inflated per-task stats"
     assert len(eng._stats[job.job_id]._accum.value) > len(twice)  # raw attempts did accumulate
+
+
+def test_clerk_client_stub(spark):
+    """O26: the reference's Clerk (client.go:17-47) — dead code there,
+    a working client façade here. Unique request ids start at 1 (the
+    reference's DOCUMENTED contract; its actual dead code returns 0
+    first — see clerk.make_id_generator), and the submit/status/done
+    verbs round-trip through the engine."""
+    from gomapreduce_spark.mapreduce.clerk import Clerk, make_id_generator
+
+    gen = make_id_generator()
+    assert [gen(), gen(), gen()] == [1, 2, 3]
+
+    ck = Clerk(MapReduceEngine(spark))
+    out = MemoryOutputer()
+    req = ck.submit(JobConfig(m=3, r=2), DemoMapper(), DemoReducer(),
+                    MemoryInputer(TEXT), out, sync=True)
+    assert req == 1
+    ck.wait(req)
+    assert ck.status(req)
+    assert out.results == dict(EXPECTED)
+    # ids are unique per clerk; a second clerk restarts at 1 with its
+    # own client identity (reference: clerk_id distinguishes them)
+    req2 = ck.submit(JobConfig(m=2, r=2), DemoMapper(), DemoReducer(),
+                     MemoryInputer(TEXT), MemoryOutputer(), sync=True)
+    assert req2 == 2
+    ck2 = Clerk(MapReduceEngine(spark))
+    assert ck2.clerk_id != ck.clerk_id
+    ck.done(req)
+    assert req not in ck.requests
