@@ -1,7 +1,7 @@
 """Unreliable-mode fault injection — the Spark restatement of the
 reference's ``mr.unreliable`` RPC chaos (reference mapreduce.go:24 and
 mapreduce.go:465-523): with unreliable on, ~10% of incoming RPCs are
-dropped outright ("discard the request") and a further ~10% are
+dropped outright ("discard the request") and ~20% of the rest are
 executed but their reply is discarded ("process the request but force
 discard of reply") — the caller sees a failure even though the work
 ran, so recovery must re-execute WITHOUT the orphaned first execution
@@ -25,14 +25,27 @@ failures at the same two points:
   visible after job commit). ``tests/test_unreliable.py`` proves both
   on executed jobs.
 
-Determinism: the reference draws ``rand.Int63() % 1000 < 100 / < 200``
-per RPC; here selection is ``adler32(stage:partition) % 100`` against
-the same 10%/10% default bands — the reference's own hash
-(emittedStore.go:40) instead of its nondeterminism, so a given
-(stage, partition) either always or never injects and tests can state
-expected injection sets exactly. "First attempt" comes from
-``TaskContext.attemptNumber()``, so the retry of an injected task runs
-clean and the job completes with the correct result.
+Determinism: the reference draws twice per RPC — ``rand.Int63() % 1000
+< 100`` drops it, else a FRESH draw ``< 200`` discards the reply
+(mapreduce.go:465-468) — i.e. 10% dropped and ~20% of the survivors
+reply-lost. Here selection is ONE ``adler32(stage:partition) % 100``
+draw banded [0, drop_pct) / [drop_pct, drop_pct+reply_lost_pct), with
+defaults (10, 20) matching the reference's per-mode rates — the
+reference's own hash (emittedStore.go:40) instead of its
+nondeterminism, so a given (stage, partition) either always or never
+injects and tests can state expected injection sets exactly. "First
+attempt" comes from ``TaskContext.attemptNumber()``, so the retry of
+an injected task runs clean and the job completes with the correct
+result.
+
+One honest gap vs the reference: a ``reply_lost`` injection fires
+after the wrapped function EXHAUSTS, so if the consumer stops early
+(an engine ``take()`` hitting its cap mid-partition, a pushed-down
+limit) the generator is closed with GeneratorExit and the post-yield
+raise never runs — correctly so: Spark has already marked that task
+successful, and there is no attempt left to fail. Reply-loss chaos is
+therefore only exercised on fully-consumed partitions (every test
+below consumes fully).
 
 Needs a master with task retries (``local[N, 2]`` or any real cluster
 where ``spark.task.maxFailures`` >= 2, the production default of 4);
@@ -53,7 +66,7 @@ class InjectedFailure(RuntimeError):
 
 
 def chaos_mode(
-    stage: str, partition_id: int, drop_pct: int = 10, reply_lost_pct: int = 10
+    stage: str, partition_id: int, drop_pct: int = 10, reply_lost_pct: int = 20
 ) -> str | None:
     """'drop' / 'reply_lost' / None for a (stage, partition) under the
     given percentage bands — deterministic (adler32, the reference's
@@ -71,14 +84,15 @@ def unreliable_partition(
     stage: str,
     run_partition: Callable[[Iterable], Iterator],
     drop_pct: int = 10,
-    reply_lost_pct: int = 10,
+    reply_lost_pct: int = 20,
     marker_dir: str | None = None,
 ) -> Callable[[Iterable], Iterator]:
     """Wrap a ``mapPartitions`` function with unreliable-mode injection:
     selected partitions' first attempts fail before any work (drop) or
     after ALL work (reply_lost); retries run clean. ``marker_dir``
-    (optional) gets one ``{stage}-p{pid}:{mode}`` file per injection so
-    tests can assert the chaos actually fired on a shared filesystem."""
+    (optional) gets one ``{stage}-p{pid}`` file per injection, with the
+    mode as its CONTENT, so tests can assert the chaos actually fired
+    on a shared filesystem."""
 
     def run(it: Iterable) -> Iterator:
         from pyspark import TaskContext

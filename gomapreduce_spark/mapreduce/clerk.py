@@ -75,12 +75,22 @@ class Clerk:
         return request_id
 
     def status(self, request_id: int) -> bool:
-        """True iff the request's job completed."""
-        return self.engine.status(self.requests[request_id])
+        """True iff the request's job completed. Unknown or released
+        request ids report False — same tolerance as the engine's
+        status on unknown job ids (a poll after done() is a natural
+        client pattern and must not crash)."""
+        job_id = self.requests.get(request_id)
+        return job_id is not None and self.engine.status(job_id)
 
     def wait(self, request_id: int, timeout: float = 300.0) -> None:
-        self.engine.wait(self.requests[request_id], timeout=timeout)
+        """No-op for unknown/released ids (nothing left to wait on)."""
+        job_id = self.requests.get(request_id)
+        if job_id is not None:
+            self.engine.wait(job_id, timeout=timeout)
 
     def done(self, request_id: int) -> None:
-        """Release the request's job state on the engine."""
-        self.engine.done(self.requests.pop(request_id))
+        """Release the request's job state on the engine; idempotent
+        (a second done() on the same id is a no-op, not a KeyError)."""
+        job_id = self.requests.pop(request_id, None)
+        if job_id is not None:
+            self.engine.done(job_id)

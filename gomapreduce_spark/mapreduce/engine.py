@@ -167,7 +167,7 @@ class MapReduceEngine:
         self,
         spark: SparkSession,
         unreliable: bool = False,
-        unreliable_pcts: tuple[int, int] = (10, 10),
+        unreliable_pcts: tuple[int, int] = (10, 20),
         chaos_marker_dir: str | None = None,
     ):
         """``unreliable=True`` is the reference's unreliable mode

@@ -756,10 +756,16 @@ _SIMHASH_SQL = f"""toks AS (
 # components → quality → keep pipeline's oracle SQL, used by the
 # canonical_docs / leakage_safe_split entries below and reused by the
 # round-11 provenance manifest and e2e certification row (so a future
-# change to the pipeline's reference semantics edits ONE place)
-def _cluster_ctes(tbl: str) -> str:
+# change to the pipeline's reference semantics edits ONE place).
+# through="labels" stops after the components — pairs..labels plus a
+# `base` CTE covering EVERY doc with self-coalesced labels — for
+# consumers that need only cluster ids (the leakage_safe_split oracle,
+# which would otherwise pay the full-text quality scan and per-cluster
+# keep window it never reads); through="keepd" (default) is the full
+# chain ending in (doc_id, cluster_id, cluster_size, quality, keep).
+def _cluster_ctes(tbl: str, through: str = "keepd") -> str:
     lsh = ORACLE_MINHASH_LSH.replace("FROM documents", f"FROM {tbl}")
-    return rf"""
+    head = rf"""
     pairs AS ({lsh}),
     edges AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
     und AS (SELECT doc_a AS a, doc_b AS b FROM edges
@@ -769,7 +775,19 @@ def _cluster_ctes(tbl: str) -> str:
       UNION
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     ),
-    labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a),
+    labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a)"""
+    if through == "labels":
+        return (
+            head
+            + rf""",
+    base AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id FROM {tbl}) d
+      LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )"""
+        )
+    assert through == "keepd", through
+    return head + rf""",
     sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1),
     qual AS (
       SELECT doc_id,
@@ -1771,9 +1789,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, cluster_id, cluster_size, quality, keep FROM keepd
     """,
     "leakage_safe_split": f"""
-        WITH RECURSIVE {_cluster_ctes("documents")},
+        WITH RECURSIVE {_cluster_ctes("documents", through="labels")},
         b AS (SELECT doc_id, cluster_id, {_SPLIT_BUCKET} AS bucket, {_SPLIT_CASE} AS split
-              FROM keepd)
+              FROM base)
         SELECT doc_id, cluster_id, bucket::BIGINT AS bucket, split FROM b
     """,
     "simhash": f"""

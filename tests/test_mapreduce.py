@@ -354,3 +354,9 @@ def test_clerk_client_stub(spark):
     assert ck2.clerk_id != ck.clerk_id
     ck.done(req)
     assert req not in ck.requests
+    # post-release / unknown-id polls are tolerant (engine parity):
+    # status reports False, wait and a second done are no-ops
+    assert ck.status(req) is False
+    ck.wait(req)
+    ck.done(req)
+    assert ck.status(999) is False

@@ -1,11 +1,12 @@
 """Unreliable mode (O25 parity): the reference's RPC chaos — drop 10%
-of requests, execute-but-discard-reply on another 10% (reference
+of requests, execute-but-discard-reply on ~20% of the rest (reference
 mapreduce.go:24, 465-523) — restated as deterministic first-attempt
 task failures (mapreduce/chaos.py), with the recovery contract proven
 on executed jobs:
 
 1. the MapReduce facade run with ``unreliable=True`` at the reference's
-   default 10%/10% bands produces EXACTLY the reliable run's output;
+   default rates (drop 10%, reply-lost 20%) produces EXACTLY the
+   reliable run's output;
 2. a shuffle map task that emits ALL its rows and then dies
    (reply-lost) never double-counts — attempt isolation: downstream
    reads exactly one attempt's shuffle output per partition;
@@ -48,7 +49,7 @@ from gomapreduce_spark.mapreduce.io import MemoryInputer
 # ---- proof 1: engine facade, unreliable=True == reliable run --------
 docs = {{str(i): f"alpha beta beta gamma doc{{i}}" for i in range(6)}}
 m = r = 4
-# the default 10/10 bands inject on (map,p3)=drop and (reduce,p2)=
+# the default 10/20 bands inject on (map,p3)=drop and (reduce,p2)=
 # reply_lost for this shape — assert the premise so the proof can't
 # silently run chaos-free if the shape changes
 expect = {{

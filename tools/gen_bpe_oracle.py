@@ -153,13 +153,9 @@ def build(sf_dir: str, spark) -> dict[str, str]:
 
 
 def main() -> int:
-    import sys as _sys
+    from tools.gen_common import reject_retired_sf_dir_arg
 
-    if len(_sys.argv) > 1:
-        _sys.exit(
-            "this generator no longer takes an [sf_dir] argument - it "
-            "regenerates EXPECTED_BY_SF for every committed SF in one run"
-        )
+    reject_retired_sf_dir_arg()
     from gomapreduce_spark.operators import text as pipe
     from gomapreduce_spark.session import get_spark
 
