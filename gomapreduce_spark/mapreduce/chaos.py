@@ -27,10 +27,14 @@ failures at the same two points:
 
 Determinism: the reference draws twice per RPC — ``rand.Int63() % 1000
 < 100`` drops it, else a FRESH draw ``< 200`` discards the reply
-(mapreduce.go:465-468) — i.e. 10% dropped and ~20% of the survivors
-reply-lost. Here selection is ONE ``adler32(stage:partition) % 100``
-draw banded [0, drop_pct) / [drop_pct, drop_pct+reply_lost_pct), with
-defaults (10, 20) matching the reference's per-mode rates — the
+(mapreduce.go:465-468) — i.e. 10% dropped and 20% of the drop
+SURVIVORS (= 18% of all RPCs) reply-lost. Here selection is ONE
+``adler32(stage:partition) % 100`` draw banded [0, drop_pct) /
+[drop_pct, drop_pct+reply_lost_pct), so the default (10, 20) bands
+APPROXIMATE the reference's rates: drop matches exactly (10% of all),
+reply-lost fires on 20% of ALL pairs where the reference's second
+draw hits ~18% of all — pass (10, 18) to match the overall reply-lost
+share instead of the per-mode conditional rate. The banding uses the
 reference's own hash (emittedStore.go:40) instead of its
 nondeterminism, so a given (stage, partition) either always or never
 injects and tests can state expected injection sets exactly. "First
@@ -117,7 +121,70 @@ def unreliable_partition(
     return run
 
 
-def _mark(marker_dir: str | None, stage: str, pid: int, mode: str) -> None:
+def _mark(marker_dir: str | None, stage: str, pid: int, mode: str, kind: str = "p") -> None:
     if marker_dir:
-        with open(os.path.join(marker_dir, f"{stage}-p{pid}"), "w", encoding="utf-8") as fh:
+        with open(os.path.join(marker_dir, f"{stage}-{kind}{pid}"), "w", encoding="utf-8") as fh:
             fh.write(mode)
+
+
+def unreliable_foreach_batch(
+    stage: str,
+    write_batch: Callable,
+    attempt_dir: str,
+    drop_pct: int = 10,
+    reply_lost_pct: int = 20,
+    marker_dir: str | None = None,
+) -> Callable:
+    """Unreliable-mode injection at the MICRO-BATCH granularity — the
+    streaming complement of :func:`unreliable_partition`, aimed at the
+    reference's lost-reply re-execution class (mapreduce.go:465-523)
+    where it actually bites a streaming pipeline: a ``foreachBatch``
+    sink whose batch function completes its writes and THEN the commit
+    is lost, so Structured Streaming replays the whole micro-batch on
+    restart and the sink must be replay-idempotent to stay
+    exactly-once.
+
+    Wraps a foreachBatch function; injection is selected per
+    (stage, batch_id) by the same deterministic :func:`chaos_mode`
+    banding and fires only on the FIRST delivery of that batch:
+
+    - ``drop``: the batch function dies before doing any work — the
+      query fails, a restart from the checkpoint redelivers the batch
+      (the reference's dropped request).
+    - ``reply_lost``: the batch function runs to completion — every
+      write committed — and THEN dies, so the streaming engine never
+      records the batch as committed and redelivers it on restart.
+      The sink sees the same batch TWICE with all its first-delivery
+      writes already on disk: exactly the case the repo's
+      dynamic-partition-overwrite sinks (streaming_upsert_counts,
+      streaming_incremental_dedup) are built to absorb.
+
+    Structured Streaming exposes no attempt number for a batch
+    delivery (foreachBatch runs on the driver), so "first delivery" is
+    tracked by an ``attempt_dir`` marker file per (stage, batch_id) —
+    written BEFORE the injected failure, so the restarted query's
+    redelivery runs clean. ``marker_dir`` gets the same fired-injection
+    audit files as :func:`unreliable_partition` (``{stage}-b{batch}``,
+    mode as content)."""
+
+    def run(batch_df, batch_id: int) -> None:
+        attempt_marker = os.path.join(attempt_dir, f"{stage}-b{batch_id}.attempted")
+        first = not os.path.exists(attempt_marker)
+        if first:
+            with open(attempt_marker, "w", encoding="utf-8") as fh:
+                fh.write("attempted")
+        mode = chaos_mode(stage, batch_id, drop_pct, reply_lost_pct) if first else None
+        if mode == "drop":
+            _mark(marker_dir, stage, batch_id, mode, kind="b")
+            raise InjectedFailure(
+                f"unreliable: batch dropped (stage={stage}, batch={batch_id}, delivery=0)"
+            )
+        write_batch(batch_df, batch_id)
+        if mode == "reply_lost":
+            _mark(marker_dir, stage, batch_id, mode, kind="b")
+            raise InjectedFailure(
+                f"unreliable: batch commit lost after full execution "
+                f"(stage={stage}, batch={batch_id}, delivery=0)"
+            )
+
+    return run

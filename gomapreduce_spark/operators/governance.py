@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from ..functions import h64
 from .dedup import canonical_docs, exact_dedup, synth_corpus_snapshot
-from .web import DEFAULT_BLOCKLIST, registered_domain_expr, synth_doc_urls, canonical_url_expr
+from .text import gopher_rules, quality_classifier
+from .web import (
+    DEFAULT_BLOCKLIST,
+    blocklist_filter,
+    registered_domain_expr,
+    synth_doc_urls,
+    canonical_url_expr,
+)
 
 
 def _split_col(cluster_col: str, test_pct: int = 10, val_pct: int = 10):
@@ -194,4 +201,113 @@ def corpus_dedup_e2e(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
              'e2e_05_train', n_train,
              'e2e_06_validation', n_validation,
              'e2e_07_test', n_test) AS (stage, n_docs)"""
+    )
+
+
+def corpus_ingest_e2e(
+    docs: DataFrame, threshold: float = 0.5, blocklist: list[str] | None = None
+) -> DataFrame:
+    """Full-pipeline ingest certification: the nightly admission run a
+    deployment composes — domain blocklist → Gopher rule filter →
+    model-based quality classifier → exact dedup → near-dup
+    clustering → canonical selection → leakage-safe split — reduced to
+    the per-stage document counts, (stage, n_docs) rows:
+
+      ing_00_input              documents in
+      ing_01_blocklist_pass     registered domain not blocklisted
+      ing_02_gopher_pass        ... AND passes gopher_rules
+      ing_03_quality_pass       ... AND quality_classifier keep
+      ing_04_exact_survivors    admitted docs after exact dedup
+      ing_05_near_dup_docs      survivors inside a near-dup cluster
+      ing_06_near_dup_clusters  distinct multi-doc clusters
+      ing_07_canonical_kept     one representative kept per cluster
+      ing_08_train/09_validation/10_test   kept docs per split
+
+    Extends :func:`corpus_dedup_e2e` (the dedup-only certification) to
+    the ADMISSION stages: every stage is individually hash-oracled;
+    this row certifies the composition order a production ingest runs
+    (C4's pipeline: domain filter, then rules, then classifier, then
+    dedup on what survived). Any inter-stage contract drift breaks the
+    count chain even when every stage is green in isolation.
+
+    Stage semantics: the three admission stages are ROW-LEVEL pure
+    functions of a document, so their verdicts are computed as flags
+    over one frame and counted with a conjunctive aggregate — which is
+    arithmetically identical to running them as sequential filters (a
+    row-level stage's verdict cannot depend on which OTHER docs
+    survived an earlier stage), and avoids materializing each
+    intermediate corpus (test-pinned equal to the sequential run). The
+    flags come from the REAL operators (blocklist_filter /
+    gopher_rules / quality_classifier), never restatements, joined on
+    doc_id so a semantics change in any stage changes this row.
+
+    Scale shape: three corpus scans for the admission flags (each
+    row-level, no shuffle of text — the joined sides are (doc_id,
+    flag) pairs), then the exact-dedup hash-groupBy and the
+    canonical_docs LSH subtree on the ADMITTED set only (the whole
+    point of admission-first ordering: the expensive near-dup pass
+    never sees rejected docs). The certification layer is two 1-row
+    aggregates, a broadcast-of-1-row crossJoin, and stack() — 11 rows
+    out at any corpus size."""
+    bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    passed_bl = blocklist_filter(docs, bl).select("doc_id", F.lit(True).alias("__bl"))
+    gop = gopher_rules(docs).select("doc_id", (F.col("keep") == 1).alias("__gop"))
+    qual = quality_classifier(docs).select("doc_id", F.col("keep").alias("__q"))
+    # the flags table is consumed by BOTH the admission aggregate and
+    # the admitted-set join; localCheckpoint (the minhash_wide
+    # doctrine) pays the three row-level admission scans ONCE instead
+    # of re-inlining the whole subtree per consumer — the materialized
+    # relation is (doc_id, 3 booleans), ~10 bytes/doc at any scale
+    flags = (
+        docs.select("doc_id")
+        .join(passed_bl, "doc_id", "left")
+        .join(gop, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("__bl", F.lit(False)).alias("bl"),
+            F.col("__gop").alias("gop"),
+            F.col("__q").alias("q"),
+        )
+        .localCheckpoint()
+    )
+    admission = flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("bl").cast("long")).alias("n_blocklist_pass"),
+        F.sum((F.col("bl") & F.col("gop")).cast("long")).alias("n_gopher_pass"),
+        F.sum((F.col("bl") & F.col("gop") & F.col("q")).cast("long")).alias("n_quality_pass"),
+    )
+    admitted = docs.join(
+        flags.where(F.col("bl") & F.col("gop") & F.col("q")).select("doc_id"), "doc_id"
+    )
+    keep_ids = exact_dedup(admitted).select(F.col("keep_id").alias("doc_id"))
+    survivors = admitted.join(keep_ids, "doc_id")
+    canon = canonical_docs(survivors, threshold)
+    enriched = canon.withColumn("split", _split_col("cluster_id"))
+    tail = enriched.agg(
+        F.count(F.lit(1)).alias("n_exact_survivors"),
+        F.sum((F.col("cluster_size") >= 2).cast("long")).alias("n_near_dup_docs"),
+        F.count_distinct(
+            F.when(F.col("cluster_size") >= 2, F.col("cluster_id"))
+        ).alias("n_near_dup_clusters"),
+        F.sum(F.col("keep").cast("long")).alias("n_canonical_kept"),
+        F.sum((F.col("keep") & (F.col("split") == "train")).cast("long")).alias("n_train"),
+        F.sum((F.col("keep") & (F.col("split") == "validation")).cast("long")).alias(
+            "n_validation"
+        ),
+        F.sum((F.col("keep") & (F.col("split") == "test")).cast("long")).alias("n_test"),
+    )
+    return admission.crossJoin(F.broadcast(tail)).selectExpr(
+        """stack(11,
+             'ing_00_input', n_input,
+             'ing_01_blocklist_pass', n_blocklist_pass,
+             'ing_02_gopher_pass', n_gopher_pass,
+             'ing_03_quality_pass', n_quality_pass,
+             'ing_04_exact_survivors', n_exact_survivors,
+             'ing_05_near_dup_docs', n_near_dup_docs,
+             'ing_06_near_dup_clusters', n_near_dup_clusters,
+             'ing_07_canonical_kept', n_canonical_kept,
+             'ing_08_train', n_train,
+             'ing_09_validation', n_validation,
+             'ing_10_test', n_test) AS (stage, n_docs)"""
     )

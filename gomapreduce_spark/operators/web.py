@@ -188,6 +188,18 @@ PSL_SLICE = [
     "kw", "*.kw", "com.kw", "edu.kw", "gov.kw",
     "er", "*.er",
     "jm", "*.jm",
+    # IDN ccTLDs in ACE (punycode) form — REAL rows of the public
+    # list, covering the xn-- rule shapes: a bare punycode TLD
+    # (xn--p1ai = .рф, xn--fiqs8s = .中国) and multi-label rules whose
+    # EVERY label is punycode (公司.香港 / 網絡.香港 under .香港). The
+    # list publishes IDN rules in both forms; the matcher operates on
+    # the ACE form — hosts arrive ACE-encoded from URL parsing (RFC
+    # 3986 hosts are ASCII), and a custom PSL's Unicode rows must be
+    # idna-encoded once at load (a catalog-side transform, not a
+    # per-row cluster op).
+    "xn--p1ai",
+    "xn--fiqs8s",
+    "xn--j6w193g", "xn--55qx5d.xn--j6w193g", "xn--od0alg.xn--j6w193g",
 ]
 
 _PSL_MAX_LABELS = 6  # longest rule in the full Mozilla list is 5 labels
@@ -223,17 +235,36 @@ def registered_domain_psl(
     NULL — same governance contract as the lite rule); IPv4 literals
     are their own registered domain.
 
+    Host normalization (publicsuffix.org algorithm step 1): the host
+    is lowercased and trailing root dots stripped BEFORE candidate
+    generation ('Example.COM.' registers example.com), and the
+    returned ``host_col`` is the NORMALIZED form — the form every
+    downstream rollup/blocklist key must use. IDN hosts must arrive
+    ACE-encoded (``xn--…``), which URL-parsed crawl hosts already are
+    (RFC 3986 authorities are ASCII); matching runs on the ACE form
+    against ACE rules (see the xn-- rows of PSL_SLICE).
+
+    Precondition: ``id_cols`` MUST uniquely identify input rows — the
+    resolve aggregate reduces each id group to one row, so duplicate
+    ids would silently merge distinct hosts' candidate sets and
+    resolve against their union. Payload columns are carried through
+    as min(struct(payload)) so even then the payload values stay
+    row-consistent (never mixed across rows column-by-column), but
+    the registered domain for a duplicated id is not meaningful.
+
     Scale shape: the fan-out is a bounded ≤12-row explode per host,
     the PSL join broadcasts the ~10k-row rules dim with a LEFT join
     (so rule-less hosts like 'localhost' survive to the implicit '*'
     default), and the resolve is ONE partial+final max-aggregate
     keyed on the id that carries the host and any extra payload
-    columns through as min() — there is NO join back to the corpus,
-    so the only corpus-keyed shuffle is that single agg. Keep the
-    payload narrow (ids + rollup scalars); for wide payloads
+    columns through — there is NO join back to the corpus, so the
+    only corpus-keyed shuffle is that single agg. Keep the payload
+    narrow (ids + rollup scalars); for wide payloads
     (text/embeddings) resolve on a projected slice and join back on
     the id instead."""
-    h = F.col(host_col)
+    # '\.+$' (not '\.$') keeps normalization IDEMPOTENT on malformed
+    # multi-dot tails, the canonical_url_expr doctrine
+    h = F.lower(F.regexp_replace(F.col(host_col), r"\.+$", ""))
     payload = [c for c in keyed.columns if c not in id_cols and c != host_col]
     n = F.size(F.split(h, r"\."))
     cand_i = F.explode(F.sequence(F.lit(1), F.least(n, F.lit(_PSL_MAX_LABELS)))).alias("i")
@@ -257,12 +288,24 @@ def registered_domain_psl(
     # resolve to the default below (NULL star-candidates at i=1 and
     # never-matching literal candidates just contribute NULL rows)
     matched = exploded.join(F.broadcast(rules), F.col("cand") == F.col("rule"), "left")
+    # payload rides as ONE min(struct(...)): under the documented
+    # uniqueness precondition this equals per-column min, and if the
+    # precondition is ever violated the payload values still come from
+    # a single row instead of being min'd independently per column
+    pay_agg = (
+        [F.min(F.struct(*payload)).alias("__pay")] if payload else []
+    )
     resolved = matched.groupBy(*id_cols).agg(
         F.max(F.when(F.col("is_exception"), F.col("n_labels") - 1)).alias("__exc_ps"),
         F.max(F.when(~F.col("is_exception"), F.col("n_labels"))).alias("__lit_ps"),
         F.min("__host").alias("__host"),
-        *[F.min(c).alias(c) for c in payload],
+        *pay_agg,
     ).withColumn("__ps", F.coalesce("__exc_ps", "__lit_ps", F.lit(1)))
+    if payload:
+        resolved = resolved.select(
+            *id_cols, "__exc_ps", "__lit_ps", "__host", "__ps",
+            *[F.col(f"__pay.{c}").alias(c) for c in payload],
+        )
     hh = F.col("__host")
     ipv4 = F.regexp_extract(hh, r"^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})$", 1)
     nn = F.size(F.split(hh, r"\."))

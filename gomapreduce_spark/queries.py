@@ -391,6 +391,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_provenance": lambda s, d: governance.doc_provenance(load_table(s, d, "documents")),
     "corpus_dedup_e2e": lambda s, d: governance.corpus_dedup_e2e(load_table(s, d, "documents")),
     "domain_rollup_psl": lambda s, d: web.domain_rollup_psl(load_table(s, d, "documents")),
+    # -- round-12: full-pipeline ingest certification --
+    "corpus_ingest_e2e": lambda s, d: governance.corpus_ingest_e2e(load_table(s, d, "documents")),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -3012,6 +3014,82 @@ ORACLES["domain_rollup_psl"] = f"""
            sum(n_chars)::BIGINT AS total_chars,
            registered_domain IN {_BLOCKLIST_SQL} AS blocked
     FROM rdp GROUP BY registered_domain
+"""
+
+# -- round-12: full-pipeline ingest certification --------------------
+# the admission chain (blocklist → gopher → quality) restated from the
+# SAME per-stage oracle SQL the standalone entries use (the rd CTE of
+# _URL_CANON_CTES, the gopher m CTE, the quality num CTE), then the
+# shared _cluster_ctes dedup tail on the ADMITTED set — so this oracle
+# can only drift from the standalone stages if queries.py itself does
+ORACLES["corpus_ingest_e2e"] = f"""
+    WITH RECURSIVE {_URL_CANON_CTES},
+    gm AS (
+      SELECT doc_id, len(t) AS n_words,
+             list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE
+               / greatest(len(t), 1) AS mean_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / greatest(len(t), 1) AS alpha_ratio,
+             (length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / greatest(len(t), 1) AS symbol_ratio,
+             ((CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(t, 'in') THEN 1 ELSE 0 END)) AS n_stop
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    ),
+    qm AS (
+      SELECT doc_id,
+             (-2000 * n * chars + 18 * least(nt, 100) * n * chars
+              + 3000 * s * chars + 1200 * u * chars + 1500 * alpha * n) >= 0 AS q_keep
+      FROM (
+        SELECT doc_id, len(t)::BIGINT AS nt, greatest(len(t), 1)::BIGINT AS n,
+               greatest(length(text), 1)::BIGINT AS chars,
+               len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in')))::BIGINT AS s,
+               len(list_distinct(t))::BIGINT AS u,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+      )
+    ),
+    flags AS MATERIALIZED (
+      SELECT d.doc_id,
+             rd.registered_domain NOT IN {_BLOCKLIST_SQL} AS bl,
+             (gm.n_words BETWEEN 50 AND 100000
+               AND gm.mean_len >= 3 AND gm.mean_len <= 10
+               AND gm.symbol_ratio < 0.1 AND gm.alpha_ratio > 0.8
+               AND gm.n_stop >= 2) AS gop,
+             qm.q_keep AS q
+      FROM documents d
+      JOIN rd ON rd.doc_id = d.doc_id
+      JOIN gm ON gm.doc_id = d.doc_id
+      JOIN qm ON qm.doc_id = d.doc_id
+    ),
+    admitted AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN flags f ON f.doc_id = d.doc_id
+      WHERE f.bl AND f.gop AND f.q
+    ),
+    sv AS MATERIALIZED (
+      SELECT * FROM admitted
+      WHERE doc_id IN (SELECT min(doc_id) FROM admitted GROUP BY {_H.format(s='text')})
+    ),
+    {_cluster_ctes("sv")},
+    spl AS (SELECT *, {_SPLIT_CASE} AS split FROM keepd)
+    SELECT 'ing_00_input' AS stage, count(*)::BIGINT AS n_docs FROM documents
+    UNION ALL SELECT 'ing_01_blocklist_pass', sum(bl::INT)::BIGINT FROM flags
+    UNION ALL SELECT 'ing_02_gopher_pass', sum((bl AND gop)::INT)::BIGINT FROM flags
+    UNION ALL SELECT 'ing_03_quality_pass', sum((bl AND gop AND q)::INT)::BIGINT FROM flags
+    UNION ALL SELECT 'ing_04_exact_survivors', count(*)::BIGINT FROM keepd
+    UNION ALL SELECT 'ing_05_near_dup_docs', count(*)::BIGINT FROM keepd WHERE cluster_size >= 2
+    UNION ALL SELECT 'ing_06_near_dup_clusters', count(DISTINCT cluster_id)::BIGINT
+              FROM keepd WHERE cluster_size >= 2
+    UNION ALL SELECT 'ing_07_canonical_kept', count(*)::BIGINT FROM keepd WHERE keep
+    UNION ALL SELECT 'ing_08_train', count(*)::BIGINT FROM spl WHERE keep AND split = 'train'
+    UNION ALL SELECT 'ing_09_validation', count(*)::BIGINT FROM spl WHERE keep AND split = 'validation'
+    UNION ALL SELECT 'ing_10_test', count(*)::BIGINT FROM spl WHERE keep AND split = 'test'
 """
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the

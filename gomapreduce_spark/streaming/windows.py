@@ -452,7 +452,11 @@ def streaming_session_windows(spark: SparkSession, events_path: str, gap_minutes
 
 
 def streaming_upsert_counts(
-    spark: SparkSession, events_path: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    wrap_batch=None,
 ) -> None:
     """Streaming sink via ``foreachBatch``: hourly per-type counts
     upserted into a date-partitioned parquet table — the keyed-sink
@@ -469,7 +473,12 @@ def streaming_upsert_counts(
     that touches only one event type wipe its siblings' rows for that
     hour. At 100 TB this is the standard streaming→lakehouse
     compaction pattern (swap parquet-overwrite for a MERGE sink where
-    ACID tables are available)."""
+    ACID tables are available).
+
+    ``wrap_batch`` (optional) wraps the foreachBatch function before
+    it is registered — the unreliable-mode injection hook
+    (chaos.unreliable_foreach_batch); tests/test_unreliable.py proves
+    the overwrite sink delivers exactly-once under batch replay."""
     stream = _read_events_stream(spark, events_path).withWatermark("ts", "1 hour")
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n_events")
@@ -498,7 +507,7 @@ def streaming_upsert_counts(
     spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
     try:
         q = (
-            agg.writeStream.foreachBatch(upsert)
+            agg.writeStream.foreachBatch(upsert if wrap_batch is None else wrap_batch(upsert))
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -780,6 +789,7 @@ def streaming_incremental_dedup(
     work_dir: str,
     max_files_per_trigger: int | None = None,
     threshold: float = 0.5,
+    wrap_batch=None,
 ) -> DataFrame:
     """Streaming ingest dedup — the two families composed into the
     actual production pipeline: documents arrive as a file stream; each
@@ -797,7 +807,12 @@ def streaming_incremental_dedup(
     Replay-idempotent by construction: both sinks partition on
     batch_id with dynamic partition overwrite, so a retried batch
     replaces its own output instead of double-appending (the
-    streaming_upsert_counts contract, applied to index building).
+    streaming_upsert_counts contract, applied to index building) —
+    and a retried batch filters the index to ``batch_id <`` its own,
+    so its first delivery's appended signatures never feed back into
+    the replay. ``wrap_batch`` (optional) wraps the foreachBatch
+    function — the unreliable-mode injection hook proven in
+    tests/test_unreliable.py.
 
     Scale shape: per batch, one Arrow signature pass over the batch +
     one band equi-join whose shuffle is O(|batch| + touched index
@@ -857,7 +872,7 @@ def streaming_incremental_dedup(
 
     stream = _read_parquet_stream(spark, docs_path, max_files_per_trigger)
     q = (
-        stream.writeStream.foreachBatch(ingest)
+        stream.writeStream.foreachBatch(ingest if wrap_batch is None else wrap_batch(ingest))
         .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()

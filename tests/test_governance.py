@@ -127,3 +127,60 @@ def test_e2e_count_chain(spark, sf_small):
         got["e2e_05_train"] + got["e2e_06_validation"] + got["e2e_07_test"]
         == got["e2e_04_canonical_kept"]
     )
+
+
+def test_ingest_e2e_count_chain_and_sequential_equivalence(spark, sf_small):
+    """corpus_ingest_e2e's arithmetic invariants, PLUS the claim its
+    docstring makes: the flags-and-conjunctive-count formulation equals
+    running the admission stages as SEQUENTIAL FILTERS of the actual
+    operators (blocklist_filter → gopher_rules → quality_classifier →
+    exact_dedup), which is what a deployment literally executes."""
+    from gomapreduce_spark.operators.dedup import exact_dedup
+    from gomapreduce_spark.operators.governance import corpus_ingest_e2e
+    from gomapreduce_spark.operators.text import gopher_rules, quality_classifier
+    from gomapreduce_spark.operators.web import blocklist_filter
+
+    docs = _docs(spark, sf_small)
+    got = {r.stage: r.n_docs for r in corpus_ingest_e2e(docs).collect()}
+    assert set(got) == {
+        "ing_00_input", "ing_01_blocklist_pass", "ing_02_gopher_pass",
+        "ing_03_quality_pass", "ing_04_exact_survivors", "ing_05_near_dup_docs",
+        "ing_06_near_dup_clusters", "ing_07_canonical_kept",
+        "ing_08_train", "ing_09_validation", "ing_10_test",
+    }
+    # monotone admission chain ending in a non-empty kept set
+    chain = ["ing_00_input", "ing_01_blocklist_pass", "ing_02_gopher_pass",
+             "ing_03_quality_pass", "ing_04_exact_survivors", "ing_07_canonical_kept"]
+    for a, b in zip(chain, chain[1:]):
+        assert got[a] >= got[b], (a, b, got)
+    assert got["ing_07_canonical_kept"] > 0
+
+    # sequential-filter equivalence, stage by stage, real operators
+    assert got["ing_00_input"] == docs.count()
+    bl_pass = docs.join(blocklist_filter(docs).select("doc_id"), "doc_id")
+    assert got["ing_01_blocklist_pass"] == bl_pass.count()
+    gop_pass = bl_pass.join(
+        gopher_rules(bl_pass).where(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    assert got["ing_02_gopher_pass"] == gop_pass.count()
+    qual_pass = gop_pass.join(
+        quality_classifier(gop_pass).where(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    assert got["ing_03_quality_pass"] == qual_pass.count()
+    assert got["ing_04_exact_survivors"] == exact_dedup(qual_pass).count()
+
+    # near-dup cluster consistency + split partition of the kept set
+    assert got["ing_05_near_dup_docs"] >= 2 * got["ing_06_near_dup_clusters"]
+    assert (
+        got["ing_07_canonical_kept"]
+        == got["ing_04_exact_survivors"]
+        - (got["ing_05_near_dup_docs"] - got["ing_06_near_dup_clusters"])
+    )
+    assert (
+        got["ing_08_train"] + got["ing_09_validation"] + got["ing_10_test"]
+        == got["ing_07_canonical_kept"]
+    )
+    # the admission stages actually bite on the fixture (certification
+    # would be vacuous if any stage passed everything through)
+    assert got["ing_01_blocklist_pass"] < got["ing_00_input"]
+    assert got["ing_02_gopher_pass"] < got["ing_01_blocklist_pass"]

@@ -122,3 +122,137 @@ def test_unreliable_mode_recovers_exactly_once(tmp_path):
         timeout=600,
     )
     assert "UNRELIABLE_PROOF_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]
+
+
+# ---------------------------------------------------------------------------
+# round-12: unreliable mode at the STREAMING sinks (r11 verdict item 4)
+# ---------------------------------------------------------------------------
+# The reference's unreliable mode targets exactly the lost-reply
+# re-execution class: work completed, acknowledgment lost, caller
+# re-executes. For a foreachBatch sink that is a micro-batch whose
+# writes all landed but whose streaming commit didn't — the engine
+# redelivers the batch on restart and the sink must absorb the replay.
+# Batch-level injection needs no task retries (the failure is in the
+# driver-side batch function, recovery is a query RESTART from the
+# checkpoint), so these proofs run in the shared session.
+
+
+def _run_with_restarts(run_once, max_restarts: int = 8) -> int:
+    """Drive a chaos-wrapped streaming query to completion the way an
+    operator would: restart from the same checkpoint until it finishes.
+    Returns the number of injected failures absorbed; re-raises
+    anything that is not an injected failure."""
+    failures = 0
+    for _ in range(max_restarts):
+        try:
+            run_once()
+            return failures
+        except Exception as e:  # StreamingQueryException wraps the injection
+            if "unreliable:" not in str(e):
+                raise
+            failures += 1
+    raise AssertionError(f"query did not complete within {max_restarts} restarts")
+
+
+def test_streaming_upsert_sink_exactly_once_under_chaos(spark, sf_small, tmp_path):
+    """streaming_upsert_counts under both injection modes: the query
+    fails mid-run (batch dropped / batch commit lost after all writes
+    landed), a restart from the same checkpoint redelivers, and the
+    final table EQUALS the chaos-free run — the dynamic
+    partition-overwrite sink rewrites its partitions instead of
+    double-counting the replayed batch."""
+    from gomapreduce_spark.mapreduce.chaos import unreliable_foreach_batch
+    from gomapreduce_spark.streaming import streaming_upsert_counts
+
+    src = f"{sf_small}/events.parquet"
+    clean_out = str(tmp_path / "clean")
+    streaming_upsert_counts(spark, src, clean_out, str(tmp_path / "ckpt_clean"))
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(clean_out)
+        .select("hour", "event_type", "n_events")
+        .collect()
+    }
+    assert want
+
+    for mode, rates in (("drop", (100, 0)), ("reply_lost", (0, 100))):
+        out, ckpt = str(tmp_path / f"out_{mode}"), str(tmp_path / f"ckpt_{mode}")
+        att = tmp_path / f"att_{mode}"
+        mrk = tmp_path / f"mrk_{mode}"
+        att.mkdir(), mrk.mkdir()
+
+        def wrap(fn, _rates=rates, _att=str(att), _mrk=str(mrk)):
+            return unreliable_foreach_batch(
+                "upsert", fn, _att, *_rates, marker_dir=_mrk
+            )
+
+        n_failures = _run_with_restarts(
+            lambda: streaming_upsert_counts(spark, src, out, ckpt, wrap_batch=wrap)
+        )
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("hour", "event_type", "n_events")
+            .collect()
+        }
+        assert got == want, mode
+        fired = {p.name: p.read_text() for p in mrk.iterdir()}
+        assert fired and set(fired.values()) == {mode}, fired
+        assert n_failures == len(fired), (n_failures, fired)
+
+
+def test_streaming_incremental_dedup_exactly_once_under_chaos(spark, sf_small, tmp_path):
+    """streaming_incremental_dedup with every micro-batch's first
+    delivery reply-lost (writes landed — verdicts AND index appended —
+    then the commit dies): restarts redeliver each batch once, and the
+    verdict manifest equals the chaos-free multi-batch run. This is
+    the sharpest replay case: the redelivered batch must overwrite its
+    own first-delivery output AND must not band-join against its own
+    first-delivery index rows (the batch_id < own filter)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from test_streaming import _as_set, _write_time_ordered_files
+
+    from gomapreduce_spark.mapreduce.chaos import unreliable_foreach_batch
+    from gomapreduce_spark.sources.registry import load_table
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs")
+    _write_time_ordered_files(
+        spark,
+        docs.withColumn("_chunk", F.ntile(3).over(W.orderBy("doc_id"))),
+        mb_dir,
+        n_files=3,
+        chunk_col="_chunk",
+    )
+    want = _as_set(
+        streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w_clean"), max_files_per_trigger=1
+        )
+    )
+    assert len(want) == docs.count()
+
+    att = tmp_path / "att"
+    mrk = tmp_path / "mrk"
+    att.mkdir(), mrk.mkdir()
+
+    def wrap(fn):
+        return unreliable_foreach_batch(
+            "ingest", fn, str(att), 0, 100, marker_dir=str(mrk)
+        )
+
+    work = str(tmp_path / "w_chaos")
+    n_failures = _run_with_restarts(
+        lambda: streaming_incremental_dedup(
+            spark, mb_dir, work, max_files_per_trigger=1, wrap_batch=wrap
+        )
+    )
+    got = _as_set(spark.read.parquet(f"{work}/verdicts").select(
+        "doc_id", "n_matches", "best_jaccard", "is_dup"
+    ))
+    assert got == want
+    # all 3 batches injected exactly once, each absorbed by one restart
+    fired = {p.name: p.read_text() for p in mrk.iterdir()}
+    assert fired == {f"ingest-b{b}": "reply_lost" for b in range(3)}, fired
+    assert n_failures == 3

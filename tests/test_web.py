@@ -158,6 +158,14 @@ def test_psl_registered_domain_edges(spark):
         ("example.fr", "example.fr"),           # 1-label ccTLD rule
         ("a.example.xyz", "example.xyz"),       # NO rule at all: implicit '*'
         ("192.168.3.4", "192.168.3.4"),         # IPv4 literal
+        # -- round-12: normalization + IDN/punycode rule shapes --
+        ("Example.COM.", "example.com"),        # uppercase + trailing root dot
+        ("WWW.SRC3.CO.UK..", "src3.co.uk"),     # multi-dot tail, normalized idempotently
+        ("a.xn--p1ai", "a.xn--p1ai"),           # punycode ccTLD rule (.рф)
+        ("b.a.xn--p1ai", "a.xn--p1ai"),
+        ("foo.xn--55qx5d.xn--j6w193g", "foo.xn--55qx5d.xn--j6w193g"),  # 2-label punycode rule (公司.香港)
+        ("xn--55qx5d.xn--j6w193g", ""),         # host IS the punycode suffix
+        ("a.xn--j6w193g", "a.xn--j6w193g"),     # bare .香港 under the TLD rule
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "doc_id long, host string"
@@ -220,6 +228,10 @@ def test_psl_matches_independent_reference(spark):
     from gomapreduce_spark.operators.web import PSL_SLICE, psl_rules_df, registered_domain_psl
 
     def ref(host: str) -> str:
+        # normalization step of the publicsuffix.org algorithm:
+        # lowercase, strip trailing root dot(s) — restated here so the
+        # sweep's cased/dotted hosts check the operator's version
+        host = host.lower().rstrip(".")
         labels = host.split(".")
         exc_ps, lit_ps = None, None
         for raw in PSL_SLICE:
@@ -242,10 +254,19 @@ def test_psl_matches_independent_reference(spark):
         [r.lstrip("!").replace("*", "x") for r in PSL_SLICE]  # every rule shape, wildcard instantiated
         + ["ck", "www.ck", "sub.www.ck", "foo.bar.ck", "xyz", "a.b.xyz"]
     )
+    # decorate ~half the hosts with the normalization hazards the
+    # operator must erase: random casing and a trailing root dot
+    # (PSL_SLICE's xn-- rows flow into `suffix` automatically, so
+    # punycode shapes are swept without special-casing)
     host_st = st.builds(
-        lambda pre, suf: ".".join(pre + [suf]) if pre else suf,
+        lambda pre, suf, up, dot: (
+            (".".join(pre + [suf]) if pre else suf).upper() if up else
+            (".".join(pre + [suf]) if pre else suf)
+        ) + ("." if dot else ""),
         st.lists(label, min_size=0, max_size=3),
         suffix,
+        st.booleans(),
+        st.booleans(),
     )
 
     @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])

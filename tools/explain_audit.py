@@ -947,6 +947,19 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
         "forbid_scaling_hints": True,
     },
+    # -- round-12: full-pipeline ingest certification --
+    # admission flags (blocklist + gopher + quality, all row-level)
+    # are localCheckpointed — paid once, ~10 bytes/doc — so the
+    # visible plan's parquet scans are the 4 honest dedup-tail passes
+    # (admitted join, exact-dedup hash groupBy, survivor re-read, the
+    # canonical_docs quality/LSH subtree); certification layer is two
+    # 1-row aggregates + the blessed 1-row broadcast stack source
+    "corpus_ingest_e2e": {
+        "max_scans": 4,
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
+        "forbid_scaling_hints": True,
+    },
 }
 
 

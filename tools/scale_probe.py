@@ -124,6 +124,8 @@ PROBE_QUERIES = [
     "doc_provenance",
     "corpus_dedup_e2e",
     "domain_rollup_psl",
+    # round-12 addition (full-pipeline ingest certification)
+    "corpus_ingest_e2e",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
