@@ -597,76 +597,77 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 11 executes the round-10 verdict's rotation order
-# (item 2), stalest-first: the ENTIRE 38-query r7-stale block (the
-# only queries whose last driver row is older than r8 after r10) in
-# registration order; then the three round-11 additions; then the
-# four queries whose implementation changed this round; then five
-# r8-stale backfills to fill the 50-row budget. After r11 no
-# registered query's last driver row is older than r8. Every entry is
-# still re-verified each round by pytest + tools/check_oracle.py
-# regardless of position.
-_R11_PRIORITY = [
-    # (a) the complete r7-stale pool, registration order
-    "calibrated_quality",         # r7
-    "containment_pairs",          # r7
-    "distinctive_terms",          # r7
-    "embedding_drift",            # r7
-    "fixed_k_sample",             # r7
-    "fuzzy_customer_links",       # r7
-    "hashed_features",            # r7
-    "hybrid_search",              # r7
-    "incremental_user_rollup",    # r7
-    "interarrival_stats",         # r7
-    "kmeans_embeddings",          # r7
-    "kmeans_incremental",         # r7
-    "knn_ivf",                    # r7
-    "knn_pq",                     # r7
-    "lang_id_confusion",          # r7
-    "lpa_communities",            # r7
-    "pmi_collocations",           # r7
-    "q10_returned_items",         # r7
-    "q14_promo_revenue",          # r7
-    "q16_supplier_parts",         # r7
-    "q17_small_quantity",         # r7
-    "q18_large_orders",           # r7
-    "q19_disjunctive_revenue",    # r7
-    "q21_suppliers_kept_waiting", # r7
-    "q2_min_cost_supplier",       # r7
-    "q3_top_orders",              # r7
-    "q5_local_supplier",          # r7
-    "q7_nation_volume",           # r7
-    "q8_market_share",            # r7
-    "q9_product_profit",          # r7
-    "semdedup_prune",             # r7
-    "session_paths",              # r7
-    "session_window_stats",       # r7
-    "source_overlap_matrix",      # r7
-    "streaming_full_outer_join",  # r7
-    "streaming_static_enrichment",  # r7
-    "translated_near_dups",       # r7
-    "volume_anomalies",           # r7
-    # (b) NEW in round 11 — no driver row exists yet
-    "doc_provenance",             # per-doc lineage manifest (r10 verdict item 3)
-    "corpus_dedup_e2e",           # composed-pipeline certification (item 4)
-    "domain_rollup_psl",          # public-suffix-list registered domain (item 5)
-    # (c) implementation changed in round 11 (re-row): the web CTE
-    # chain now strips tracking params from the QUERY only (advisor
-    # path-segment fix — all three share the canonicalizer), and
-    # quality_classifier's rounding step moved to decimal(38,0)
-    "url_canonicalize",           # r10
-    "domain_rollup",              # r10
-    "blocklist_filter",           # r10
-    "quality_classifier",         # r9
-    # (d) r8-stale backfill to the 50-row budget, registration order
-    "q1_pricing_summary",         # r8
-    "q6_forecast_revenue",        # r8
-    "sessionize",                 # r8
-    "sliding_window_counts",      # r8
-    "approx_distinct_users",      # r8
+# round. Round 12 executes the round-11 verdict's rotation order
+# (item 1), stalest-first: the ENTIRE 41-query r8-stale block (the
+# only queries whose last driver row is older than r9 after r11) in
+# registration order; then the round-12 addition; then the one query
+# whose implementation changed this round; then seven r9-stale
+# backfills to fill the 50-row budget. After r12 no registered
+# query's last driver row is older than r9. Every entry is still
+# re-verified each round by pytest + tools/check_oracle.py regardless
+# of position.
+_R12_PRIORITY = [
+    # (a) the complete r8-stale pool, registration order
+    "frame_stats",                  # r8
+    "audio_chunk_stats",            # r8
+    "array_funcs_showcase",         # r8
+    "embedding_doc_join",           # r8
+    "knn_lsh",                      # r8
+    "knn_ivf_pq",                   # r8
+    "simhash_pairs",                # r8
+    "heavy_hitters",                # r8
+    "bigram_stats",                 # r8
+    "stratified_sample",            # r8
+    "corpus_mixture",               # r8
+    "benchmark_overlap",            # r8
+    "gopher_rules",                 # r8
+    "repetition_stats",             # r8
+    "pii_scrub",                    # r8
+    "inverted_index",               # r8
+    "chunk_documents",              # r8
+    "pack_training_sequences",      # r8
+    "mad_outliers",                 # r8
+    "attribution_last_touch",       # r8
+    "hard_negative_mining",         # r8
+    "value_deciles_approx",         # r8
+    "heavy_hitters_approx",         # r8
+    "quality_score",                # r8
+    "lang_id",                      # r8
+    "doc_fingerprint",              # r8
+    "exact_dedup",                  # r8
+    "ngram_jaccard_pairs",          # r8
+    "minhash_signatures",           # r8
+    "simhash",                      # r8
+    "knn_bruteforce",               # r8
+    "training_corpus",              # r8
+    "profile_events",               # r8
+    "window_rank_showcase",         # r8
+    "streaming_tumbling_counts",    # r8
+    "streaming_sliding_counts",     # r8
+    "streaming_stateful_sessions",  # r8
+    "streaming_interval_join",      # r8
+    "streaming_session_windows",    # r8
+    "streaming_dedup_events",       # r8
+    "streaming_gopher_filter",      # r8
+    # (b) NEW in round 12 — no driver row exists yet
+    "corpus_ingest_e2e",          # full-pipeline ingest certification (r11 verdict item 5)
+    # (c) implementation changed in round 12 (re-row):
+    # registered_domain_psl gained host normalization (lowercase +
+    # trailing-dot strip), xn-- PSL rule shapes, and the
+    # min(struct(payload)) resolve — fixture hash expected unchanged,
+    # but the implementation moved so the row must be re-cut
+    "domain_rollup_psl",          # r11
+    # (d) r9-stale backfill to the 50-row budget, registration order
+    "wordcount",                  # r9
+    "mr_wordcount",               # r9
+    "keyedtext_wordcount",        # r9
+    "group_collect",              # r9
+    "sum_reduce",                 # r9
+    "multimodal_features",        # r9
+    "tf_idf",                     # r9
 ]
-_order = [n for n in QUERIES if n not in _R11_PRIORITY]
-_order[0:0] = _R11_PRIORITY
+_order = [n for n in QUERIES if n not in _R12_PRIORITY]
+_order[0:0] = _R12_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
