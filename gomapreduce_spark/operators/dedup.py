@@ -422,63 +422,85 @@ def minhash_lsh_pairs(
     """LSH candidate pairs + signature-agreement similarity estimate.
 
     Bands of r=k/bands signature rows are hashed to buckets; docs
-    colliding in any band become candidates (equi-join on (band,
-    band_hash) — never a cross join). The full k-element signature
-    rides along each banded row (k×8 bytes), so est_jaccard = matching
-    positions / k is computed directly on the join output with one
-    zip_with — the signature table is consumed exactly ONCE (no cache,
-    no scoring re-joins), and the dedup happens on the already-scored
-    pairs (identical across bands) instead of a pre-scoring distinct.
+    colliding in any band become candidates. Pair generation is
+    BUCKET-LOCAL: ONE exchange on (band, band_hash) feeds a window
+    bucket-size count, the hot-bucket filter, and a collect_list
+    aggregate that REUSES the window's partitioning (no second
+    exchange — Catalyst proves the distribution is already satisfied),
+    then in-bucket i<j pairs are generated by a narrow higher-order
+    transform over the sorted member array. The full k-element
+    signature rides along each member (k×8 bytes), so est_jaccard =
+    matching positions / k is one zip_with per pair — no scoring
+    re-join. Cross-band duplicates (identical rows by construction)
+    collapse in the final pair-keyed dropDuplicates, the only other
+    exchange. Versus the former banded self-join form, the banded
+    relation is computed and shuffled ONCE instead of three times
+    (bucket-size aggregate + both self-join sides), which at corpus
+    scale is the dominant shuffle-volume term.
 
     Hot-bucket cap (the standard production mitigation for
     boilerplate-driven skew): a giant template cluster puts N
-    near-identical docs in ONE band bucket, whose self-join cell is
-    N² — AQE can split the shuffle but not the quadratic pair volume.
-    Buckets with more than ``max_bucket`` docs are dropped BEFORE the
-    self-join via an anti-join on the same (band, band_hash) key (no
-    new shuffle key; the bucket-size aggregate partial-aggs). Pairs
-    inside a dropped mega-cluster are near-identical by construction
-    and already caught by exact/paragraph dedup. NOT silent: the plan
-    carries a named CollectMetrics observation
-    ``minhash_lsh_hot_buckets`` (n_hot_buckets, n_rows_dropped)
-    emitted to every QueryExecutionListener when the query runs.
+    near-identical docs in ONE band bucket, whose pair cell is N² —
+    AQE can split a shuffle but not the quadratic pair volume.
+    Buckets with more than ``max_bucket`` docs are dropped by the
+    window-count filter BEFORE the collect_list aggregate ever
+    materializes a member array, so per-task memory stays bounded by
+    ``max_bucket`` even under a pathological mega-cluster (the
+    pre-filter window itself is spill-safe — WindowExec buffers to an
+    external row buffer). Pairs inside a dropped mega-cluster are
+    near-identical by construction and already caught by
+    exact/paragraph dedup. NOT silent: the plan carries a named
+    CollectMetrics observation ``minhash_lsh_hot_buckets``
+    (n_hot_buckets, n_rows_dropped) emitted to every
+    QueryExecutionListener when the query runs.
     """
-    # one row of k longs per doc — materialized once so the band
-    # self-join doesn't run the signature Arrow pass per side (see
+    # one row of k longs per doc — materialized once so downstream
+    # consumers don't run the signature Arrow pass per reference (see
     # ngram_jaccard_pairs for the localCheckpoint-vs-cache rationale)
     wide = minhash_wide(docs, k).localCheckpoint()
     banded = banded_signatures(wide, k, bands)
-    hot = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") > max_bucket)
-        .observe(
-            "minhash_lsh_hot_buckets",
-            F.count("*").alias("n_hot_buckets"),
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_rows_dropped"),
-        )
+    # bucket size + a first-row marker over the SAME (band, band_hash)
+    # partitioning the collect_list aggregate needs — one exchange
+    # serves the count, the hot filter, the observation, and the
+    # grouping; row_number's doc_id order is only a deterministic way
+    # to mark one row per bucket for the n_hot_buckets metric
+    bucket = W.partitionBy("band", "band_hash")
+    sized = banded.select(
+        "doc_id",
+        "sig",
+        "band",
+        "band_hash",
+        F.count(F.lit(1)).over(bucket).alias("__n"),
+        F.row_number().over(bucket.orderBy("doc_id")).alias("__rn"),
+    ).observe(
+        "minhash_lsh_hot_buckets",
+        F.coalesce(
+            F.sum(((F.col("__n") > max_bucket) & (F.col("__rn") == 1)).cast("long")),
+            F.lit(0),
+        ).alias("n_hot_buckets"),
+        F.coalesce(F.sum((F.col("__n") > max_bucket).cast("long")), F.lit(0)).alias(
+            "n_rows_dropped"
+        ),
     )
-    # unhinted anti-join: the hot list is tiny in sane corpora (AQE
-    # broadcasts it) but worst-case grows with corpus/max_bucket, so a
-    # mandatory broadcast would re-create the bug this cap fixes; the
-    # key matches the self-join's shuffle key either way
-    banded = banded.join(hot.select("band", "band_hash"), ["band", "band_hash"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
-    matches = F.size(
-        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq)
+    grouped = (
+        sized.where(F.col("__n") <= max_bucket)
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .where(F.size("members") >= 2)
     )
+    # in-bucket i<j pairs + signature-agreement score, all narrow:
+    # members is sorted by doc_id (struct ordering), so positional
+    # i<j gives doc_a < doc_b; array sizes are bounded by max_bucket
+    pair_expr = f"""
+      flatten(transform(members, (x, i) ->
+        transform(slice(members, i + 2, size(members) - i - 1), y ->
+          struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 round(size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), e -> e))
+                       / CAST({int(k)} AS DOUBLE), 6) AS est_jaccard))))
+    """
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(matches.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"),
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
