@@ -71,6 +71,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # lets sources.keyedtext prune its file listing from pushed key
     # predicates — required for any reader implementing pushFilters
     "spark.sql.python.filterPushdown.enabled": "true",
+    # parquet COUNT/MIN/MAX answered from row-group footer statistics
+    # (no data pages read). Inert for the default v1 FileScan path —
+    # it applies only to DSv2 BatchScan relations, which this repo
+    # creates solely via sources.pushdown.read_parquet_v2; keeping it
+    # a session default (instead of a per-call flip) is what lets a
+    # footer-stats DataFrame survive downstream re-planning (every new
+    # QueryExecution re-applies the pushdown from this conf).
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

@@ -1,0 +1,162 @@
+"""Parquet aggregate pushdown (sources/pushdown.py): COUNT/MIN/MAX
+answered from row-group footer statistics.
+
+The reference engine's only way to count records is to map over every
+chunk (inputer.go:33-43); the footer-stats path must return exactly
+what a full scan would — pinned here against an ordinary v1 read —
+while the plan proves the data pages were never touched
+(PushedAggregation on a DSv2 BatchScan), and the conf plumbing must
+not leak: the v1-source list is restored even on failure, and the
+pushdown must survive downstream re-planning (new QueryExecutions off
+the same DataFrame), since the driver and bench both wrap the
+returned frame.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gomapreduce_spark.sources.pushdown import (
+    _V1_LIST_CONF,
+    footer_stats,
+    partition_stats,
+    read_parquet_v2,
+)
+
+from conftest import SF_MED
+
+_PATH = f"{SF_MED}/lineitem.parquet"
+_COLS = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_footer_stats_matches_full_scan(spark):
+    got = footer_stats(spark, _PATH, _COLS).collect()
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _COLS:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    ref = spark.read.parquet(_PATH).agg(*aggs).collect()
+    assert got == ref
+
+
+def test_pushdown_reaches_the_scan_and_survives_replanning(spark):
+    df = footer_stats(spark, _PATH, _COLS)
+    assert "PushedAggregation" in _plan(df)
+    assert "BatchScan" in _plan(df)
+    # a wrapper builds a NEW QueryExecution — the session-default
+    # aggregatePushdown conf must re-apply it (the driver's compare
+    # harness and bench's noop write both replan exactly like this)
+    wrapped = df.select("n_rows", "max_l_extendedprice")
+    assert "PushedAggregation" in _plan(wrapped)
+
+
+def test_v1_list_restored_even_on_failure(spark):
+    before = spark.conf.get(_V1_LIST_CONF)
+    assert "parquet" in before
+    read_parquet_v2(spark, _PATH)
+    assert spark.conf.get(_V1_LIST_CONF) == before
+    with pytest.raises(Exception):
+        read_parquet_v2(spark, f"{SF_MED}/no_such_table.parquet")
+    assert spark.conf.get(_V1_LIST_CONF) == before
+
+
+def test_ordinary_reads_stay_v1(spark):
+    """The session-default aggregatePushdown conf must be inert for the
+    registry's v1 path: same aggregate over a plain read plans as a
+    FileScan with no pushed aggregation."""
+    df = spark.read.parquet(_PATH).agg(F.count(F.lit(1)).alias("n"))
+    p = _plan(df)
+    assert "PushedAggregation" not in p
+    assert "FileScan" in p
+
+
+def test_pushdown_declines_filtered_aggregates(spark):
+    """Footer stats cannot answer a filtered count — Spark must fall
+    back to a real scan (correct, just not metadata-only). Pins the
+    envelope so a future 'optimization' filtering inside footer_stats
+    fails loudly. The decline prints as an EMPTY PushedAggregation
+    list on the scan."""
+    df = (
+        read_parquet_v2(spark, _PATH)
+        .where(F.col("l_quantity") > 10)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "PushedAggregation: [COUNT" not in _plan(df)
+    ref = (
+        spark.read.parquet(_PATH)
+        .where(F.col("l_quantity") > 10)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert df.collect() == ref
+
+
+def test_partition_grouped_pushdown(spark, tmp_path):
+    """GROUP BY a Hive PARTITION column pushes down too
+    (PushedGroupBy next to PushedAggregation — each leaf directory's
+    footers hold its group's stats); grouping by a DATA column
+    declines, falling back to a correct full scan."""
+    from gomapreduce_spark.sources.registry import (
+        load_table,
+        write_partitioned_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    docs = load_table(spark, SF_MED, "documents").select("doc_id", "lang", "source")
+    write_partitioned_corpus(docs, path, "lang")
+
+    by_part = partition_stats(spark, path, ["lang"], ["doc_id"])
+    p = _plan(by_part)
+    assert "PushedAggregation: [COUNT" in p and "PushedGroupBy" in p
+    ref = (
+        spark.read.parquet(path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    key = lambda r: r["lang"]  # noqa: E731
+    assert sorted(by_part.collect(), key=key) == sorted(ref.collect(), key=key)
+
+    by_data_col = partition_stats(spark, path, ["source"], ["doc_id"])
+    assert "PushedAggregation: [COUNT" not in _plan(by_data_col)
+    ref2 = (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    key2 = lambda r: r["source"]  # noqa: E731
+    assert sorted(by_data_col.collect(), key=key2) == sorted(ref2.collect(), key=key2)
+
+
+def test_pushdown_declines_non_numeric_minmax(spark):
+    """DSv2 parquet aggregate pushdown is all-or-nothing and supports
+    only numeric min/max: one timestamp (or string) column in the
+    aggregate list declines the WHOLE pushdown, silently falling back
+    to a full scan. Pinned so the registered footer-stats query's
+    numeric-only column set is a checked constraint, not folklore —
+    anyone extending it to l_shipdate would flip this test before
+    shipping a silent full scan as a 'metadata' query."""
+    declined = footer_stats(spark, _PATH, ["l_orderkey", "l_shipdate"])
+    assert "PushedAggregation: [COUNT" not in _plan(declined)
+    pushed = footer_stats(spark, _PATH, ["l_orderkey"])
+    assert "PushedAggregation: [COUNT" in _plan(pushed)
+    # the fallback is still CORRECT, just not footer-only
+    ref = spark.read.parquet(_PATH).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_l_orderkey"),
+        F.max("l_orderkey").alias("max_l_orderkey"),
+        F.min("l_shipdate").alias("min_l_shipdate"),
+        F.max("l_shipdate").alias("max_l_shipdate"),
+    )
+    assert declined.collect() == ref.collect()

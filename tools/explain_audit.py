@@ -960,6 +960,19 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
         "forbid_scaling_hints": True,
     },
+    # -- round-12: parquet aggregate pushdown --
+    # COUNT/MIN/MAX answered from row-group footers: the scan must be
+    # a DSv2 BatchScan carrying PushedAggregation (all-or-nothing — if
+    # ANY aggregate failed to push, the marker disappears), and the
+    # only post-scan work is merging one pre-aggregated row per split
+    # (the single legitimate SinglePartition stage). No join, no
+    # window, no Python, no shuffle beyond that 1-row merge.
+    "lineitem_footer_stats": {
+        "require": ["PushedAggregation", "BatchScan"],
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join", "Window", "InPandas", "EvalPython"],
+        "max_single_partition": 1,
+    },
 }
 
 
