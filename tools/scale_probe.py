@@ -124,8 +124,10 @@ PROBE_QUERIES = [
     "doc_provenance",
     "corpus_dedup_e2e",
     "domain_rollup_psl",
-    # round-12 addition (full-pipeline ingest certification)
+    # round-12 additions (full-pipeline ingest certification; parquet
+    # footer-stats pushdown — expected ~flat: footers, not data pages)
     "corpus_ingest_e2e",
+    "lineitem_footer_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
