@@ -55,6 +55,28 @@ def test_minhash_cap_is_not_silent(spark):
     assert "CollectMetrics" in plan
 
 
+def test_minhash_cap_boundary_is_exclusive(spark):
+    """The cap predicate is n > max_bucket: a bucket holding EXACTLY
+    max_bucket docs is kept whole, one more drops it. Pins the
+    boundary through the bucket-local rewrite (the window-count
+    filter must behave exactly like the old anti-join's n_docs >
+    max_bucket)."""
+    from gomapreduce_spark.operators.dedup import minhash_lsh_pairs
+
+    # n identical docs collide in every band -> every bucket holds
+    # exactly n of them
+    text = "all rights reserved cookie policy accept terms privacy contact us"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    at_cap = minhash_lsh_pairs(docs, max_bucket=6).collect()
+    assert {(r.doc_a, r.doc_b) for r in at_cap} == {
+        (a, b) for a in range(6) for b in range(6) if a < b
+    }
+    over_cap = minhash_lsh_pairs(docs, max_bucket=5).collect()
+    assert over_cap == []
+
+
 def test_embedding_cap_drops_template_cell_keeps_real_pairs(spark):
     from gomapreduce_spark.operators.dedup import embedding_near_dup
 
