@@ -73,18 +73,17 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_ppm(payload: bytes):
-    """REAL image decode for binary PPM (P6) — pure numpy, no codec
-    library: parse the ASCII header (magic, optional ``#`` comments,
-    width, height, maxval), then view the raw RGB bytes as an
-    (h, w, 3) uint8 array. Raises ValueError on anything that is not a
-    well-formed 8-bit P6 payload."""
+def _decode_ppm_at(payload: bytes, start: int):
+    """Parse ONE binary PPM (P6) image at byte ``start`` of a buffer →
+    (w, h, px, end) where ``end`` is the offset one past the raster —
+    the sequential-parse primitive :func:`decode_ppm` (single image)
+    and :func:`iter_ppm_frames` (concatenated video frames) share."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
+    if payload[start : start + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     tokens: list[int] = []
-    i = 2
+    i = start + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -106,7 +105,29 @@ def decode_ppm(payload: bytes):
     if len(payload) - i < w * h * 3:
         raise ValueError("truncated PPM raster")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    return w, h, px, i + w * h * 3
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode for binary PPM (P6) — pure numpy, no codec
+    library: parse the ASCII header (magic, optional ``#`` comments,
+    width, height, maxval), then view the raw RGB bytes as an
+    (h, w, 3) uint8 array. Raises ValueError on anything that is not a
+    well-formed 8-bit P6 payload."""
+    w, h, px, _ = _decode_ppm_at(payload, 0)
     return w, h, px
+
+
+def iter_ppm_frames(payload: bytes):
+    """Sequentially decode a concatenated-P6 'video' payload (the
+    MJPEG-style raw frame stream :func:`synth_video_payloads` builds)
+    into (h, w, 3) pixel arrays. Raises ValueError on a malformed or
+    trailing-garbage payload — the whole video is then treated as one
+    corrupt sample by callers."""
+    off = 0
+    while off < len(payload):
+        _, _, px, off = _decode_ppm_at(payload, off)
+        yield px
 
 
 def encode_ppm(px) -> bytes:
@@ -775,3 +796,99 @@ def frame_stats(docs: DataFrame) -> DataFrame:
         F.min("frame_idx").cast("long").alias("first_frame"),
         F.max("frame_idx").cast("long").alias("last_frame"),
     )
+
+
+# video scene detection: frame geometry + the deterministic scene
+# plan (shared by synth_video_payloads and tools/gen_video_oracle.py's
+# independent restatement — the generator re-derives both from these
+# three constants plus its own tiling/dhash code)
+VIDEO_W, VIDEO_H = 16, 12
+VIDEO_SCENE_ROT = 17  # scene s tiles text rotated by s*17 utf-8 bytes
+
+
+def video_scene_plan(doc_id: int) -> tuple[int, int]:
+    """(n_scenes, frames_per_scene) for a doc — deterministic,
+    non-constant across the corpus (2-3 scenes x 2-3 frames)."""
+    return 2 + doc_id % 2, 2 + (doc_id >> 1) % 2
+
+
+def synth_video_payloads(docs: DataFrame, width: int = VIDEO_W, height: int = VIDEO_H) -> DataFrame:
+    """Deterministic REAL-video corpus from the documents table: each
+    doc becomes a concatenated-P6 raw frame stream (the decoded-
+    frame-buffer analog of an MJPEG segment — container demuxing needs
+    ffmpeg, which this container lacks; the FRAMES are real images
+    through the real codec path). Scene s tiles the doc's utf-8 bytes
+    rotated by ``s * VIDEO_SCENE_ROT``; frames within a scene are
+    identical, so scene boundaries are the only gradient changes —
+    the planted structure :func:`video_scene_cuts` must recover."""
+    import numpy as np
+
+    n = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n_scenes, per_scene = video_scene_plan(int(doc_id))
+                frames = []
+                for s in range(n_scenes):
+                    r = (s * VIDEO_SCENE_ROT) % max(len(raw), 1)
+                    rot = raw[r:] + raw[:r]
+                    buf = (rot * (n // max(len(rot), 1) + 1))[:n]
+                    px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+                    frames.extend([encode_ppm(px)] * per_scene)
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+
+
+SCENE_CUT_SCHEMA = "doc_id long, n_frames int, n_cuts int, cut_frames string, max_step int"
+
+
+def video_scene_cuts(mm: DataFrame, threshold: int = 10) -> DataFrame:
+    """Video scene-cut detection — the shot-segmentation step a video
+    training-data pipeline runs before per-shot sampling/captioning:
+    decode each video's frame stream, dHash every frame
+    (:func:`image_dhash` — the same REAL perceptual signature the
+    image dedup leg uses), and call frame i a cut when its Hamming
+    distance to frame i-1 EXCEEDS ``threshold`` (strict >; re-encodes
+    and noise land within a few bits, a content change flips ~half).
+    Output per video: (doc_id, n_frames, n_cuts, cut_frames =
+    comma-joined first-frame-of-new-scene indices, max_step = the
+    largest inter-frame distance). Undecodable payloads are dropped —
+    the standard corrupt-sample filter (:func:`image_dhashes`).
+
+    Scale shape: a video's frames are ADJACENT BYTES in one payload,
+    so decode, hashing, and the consecutive-distance scan are all
+    local to the row — ONE narrow Arrow pass, zero shuffle, one output
+    row per video at any corpus size (the reference engine has no
+    binary/video surface at all; this is part of the repo's mandated
+    multimodal leg)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_frames", "n_cuts", "cut_frames", "max_step")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    hashes = [image_dhash(px) for px in iter_ppm_frames(bytes(payload))]
+                except ValueError:
+                    continue
+                if not hashes:
+                    continue
+                steps = [
+                    ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count()
+                    for a, b in zip(hashes, hashes[1:])
+                ]
+                cuts = [i + 1 for i, d in enumerate(steps) if d > threshold]
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(len(hashes))
+                rows["n_cuts"].append(len(cuts))
+                rows["cut_frames"].append(",".join(map(str, cuts)))
+                rows["max_step"].append(max(steps, default=0))
+            yield pd.DataFrame(rows).astype(
+                {"n_frames": "int32", "n_cuts": "int32", "max_step": "int32"}
+            )
+
+    return mm.mapInPandas(batches, SCENE_CUT_SCHEMA)

@@ -228,6 +228,13 @@ QUERIES: dict[str, QueryFn] = {
     "audio_spectral": lambda s, d: multimodal.audio_spectral_features(
         multimodal.synth_wav_payloads(load_table(s, d, "documents"))
     ),
+    # -- round-12: the video leg — shot segmentation over a
+    # -- synthesized-but-really-decoded concatenated-P6 frame stream;
+    # -- hash-oracled via tools/gen_video_oracle.py (VALUES tables,
+    # -- tri-SF, independent tiling/dhash/cut restatement) --
+    "video_scene_cuts": lambda s, d: multimodal.video_scene_cuts(
+        multimodal.synth_video_payloads(load_table(s, d, "documents"))
+    ),
     # -- round-6: record linkage, Markov transitions, BPE training --
     # -- step, sparse lexical similarity                            --
     "fuzzy_customer_links": lambda s, d: linkage.fuzzy_customer_links(
@@ -664,6 +671,7 @@ _R12_PRIORITY = [
     # (b) NEW in round 12 — no driver row exists yet
     "corpus_ingest_e2e",          # full-pipeline ingest certification (r11 verdict item 5)
     "lineitem_footer_stats",      # parquet aggregate pushdown (footer-only stats)
+    "video_scene_cuts",           # video shot segmentation (multimodal video leg)
     # (c) implementation changed in round 12 (re-row):
     # registered_domain_psl gained host normalization (lowercase +
     # trailing-dot strip), xn-- PSL rule shapes, and the
@@ -674,14 +682,13 @@ _R12_PRIORITY = [
     "domain_rollup_psl",          # r11
     "minhash_lsh_pairs",          # r11
     # (d) r9-stale backfill to the 50-row budget, registration order
-    # (multimodal_features / tf_idf yielded their slots to the two
-    # late-round additions above; they stay r9 — the post-r12
-    # "nothing staler than r9" invariant is unaffected)
+    # (multimodal_features / tf_idf / sum_reduce yielded their slots
+    # to the three late-round additions above; they stay r9 — the
+    # post-r12 "nothing staler than r9" invariant is unaffected)
     "wordcount",                  # r9
     "mr_wordcount",               # r9
     "keyedtext_wordcount",        # r9
     "group_collect",              # r9
-    "sum_reduce",                 # r9
 ]
 _order = [n for n in QUERIES if n not in _R12_PRIORITY]
 _order[0:0] = _R12_PRIORITY
@@ -2715,9 +2722,11 @@ ORACLES["bloom_decontamination"] = """
 # at generation time and filtered through the documents view so subset
 # SFs still compare correctly).
 from .codec_expected import AUDIO_SPECTRAL_EXPECTED_SQL, DHASH_EXPECTED_SQL
+from .video_expected import VIDEO_SCENE_CUTS_EXPECTED_SQL
 
 ORACLES["image_dhash_index"] = DHASH_EXPECTED_SQL
 ORACLES["audio_spectral"] = AUDIO_SPECTRAL_EXPECTED_SQL
+ORACLES["video_scene_cuts"] = VIDEO_SCENE_CUTS_EXPECTED_SQL
 
 # ANN oracles (round 7): same mechanism as the codec oracles — the
 # knn_ivf/knn_pq/knn_ivf_pq pipelines are deterministic end-to-end, so
@@ -3141,6 +3150,7 @@ ORACLES["heavy_hitters_approx"] = ORACLES["heavy_hitters"]
 # tooling consults this map and SKIPS the value compare (rows-only)
 # when the SF under check differs from the generation SF.
 from .codec_expected import GENERATED_SF_DIR as _CODEC_SF
+from .video_expected import GENERATED_SF_DIR as _VIDEO_SF
 
 # BPE oracles: the iterative merge loop is not SQL-expressible; the
 # expected tables come from tools/gen_bpe_oracle.py (independent
@@ -3525,6 +3535,7 @@ PRECOMPUTED_ORACLE_SF = {
     "kmeans_incremental": _KMEANS_SF,
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
+    "video_scene_cuts": _VIDEO_SF,
     "knn_lsh": _ANN_SF,
     "knn_ivf": _ANN_SF,
     "knn_pq": _ANN_SF,
@@ -3553,10 +3564,11 @@ def _load_by_sf() -> None:
         hll_expected,
         kmeans_expected,
         vda_expected,
+        video_expected,
     )
 
     for mod in (ann_expected, bpe_expected, codec_expected, hll_expected,
-                kmeans_expected, vda_expected):
+                kmeans_expected, vda_expected, video_expected):
         for sfd, tabs in getattr(mod, "EXPECTED_BY_SF", {}).items():
             for qname, sql in tabs.items():
                 PRECOMPUTED_ORACLE_SQL_BY_SF.setdefault(qname, {})[sfd] = sql

@@ -960,6 +960,18 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "InPandas", "EvalPython"],
         "forbid_scaling_hints": True,
     },
+    # -- round-12: video scene-cut detection --
+    # a video's frames are adjacent bytes in one payload, so synth,
+    # decode, dHash, and the consecutive-distance scan are all
+    # row-local: ONE scan, rebalance only, two chained Arrow passes,
+    # no join/window/aggregate, no single-partition stage
+    "video_scene_cuts": {
+        "max_scans": 1,
+        "max_exchanges": 1,  # rebalance only
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct", "Join", "Window", "HashAggregate"],
+        "max_single_partition": 0,
+    },
     # -- round-12: parquet aggregate pushdown --
     # COUNT/MIN/MAX answered from row-group footers: the scan must be
     # a DSv2 BatchScan carrying PushedAggregation (all-or-nothing — if
