@@ -128,6 +128,7 @@ PROBE_QUERIES = [
     # footer-stats pushdown — expected ~flat: footers, not data pages)
     "corpus_ingest_e2e",
     "lineitem_footer_stats",
+    "video_scene_cuts",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
