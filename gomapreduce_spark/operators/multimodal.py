@@ -123,7 +123,11 @@ def iter_ppm_frames(payload: bytes):
     MJPEG-style raw frame stream :func:`synth_video_payloads` builds)
     into (h, w, 3) pixel arrays. Raises ValueError on a malformed or
     trailing-garbage payload — the whole video is then treated as one
-    corrupt sample by callers."""
+    corrupt sample by callers. An EMPTY payload is malformed too
+    (zero-frame 'videos' don't exist; silently yielding nothing would
+    misclassify a corrupt sample as a decoded one)."""
+    if not payload:
+        raise ValueError("empty video payload")
     off = 0
     while off < len(payload):
         _, _, px, off = _decode_ppm_at(payload, off)
@@ -827,19 +831,24 @@ def synth_video_payloads(docs: DataFrame, width: int = VIDEO_W, height: int = VI
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = []
+            ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = text.encode("utf-8")
+                raw = (text or "").encode("utf-8")
+                if not raw:  # no pixels to tile (empty/null) — drop, don't crash
+                    continue
                 n_scenes, per_scene = video_scene_plan(int(doc_id))
                 frames = []
                 for s in range(n_scenes):
-                    r = (s * VIDEO_SCENE_ROT) % max(len(raw), 1)
+                    r = (s * VIDEO_SCENE_ROT) % len(raw)
                     rot = raw[r:] + raw[:r]
-                    buf = (rot * (n // max(len(rot), 1) + 1))[:n]
+                    buf = (rot * (n // len(rot) + 1))[:n]
                     px = np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
                     frames.extend([encode_ppm(px)] * per_scene)
+                ids.append(doc_id)
                 payloads.append(b"".join(frames))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads}).astype(
+                {"doc_id": "int64"}
+            )
 
     return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import apply_runtime_confs
+
 _V1_LIST_CONF = "spark.sql.sources.useV1SourceList"
 
 
@@ -49,8 +51,13 @@ def read_parquet_v2(spark: SparkSession, path: str) -> DataFrame:
 
     The v1-source list is flipped only around the (eager) relation
     resolution and restored in a ``finally``, so concurrent/subsequent
-    reads keep the default v1 path.
+    reads keep the default v1 path. Runtime confs are re-asserted
+    first (the load_table convention): on a DRIVER-OWNED session that
+    never touched the registry, ``aggregatePushdown`` would otherwise
+    be unset and the footer-stats query would silently degrade to the
+    full scan this module exists to avoid.
     """
+    apply_runtime_confs(spark)
     old = spark.conf.get(_V1_LIST_CONF)
     spark.conf.set(
         _V1_LIST_CONF, ",".join(s for s in old.split(",") if s.strip() != "parquet")
@@ -72,11 +79,7 @@ def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     file split — the single-partition final aggregate is over
     #splits rows, not data rows, at any corpus size.
     """
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    return read_parquet_v2(spark, path).agg(*aggs)
+    return partition_stats(spark, path, [], cols)
 
 
 def partition_stats(

@@ -44,7 +44,18 @@ def test_iter_ppm_frames_rejects_trailing_garbage_and_truncation():
     with pytest.raises(ValueError):
         list(iter_ppm_frames(payload + b"garbage"))
     with pytest.raises(ValueError):
-        list(iter_ppm_frames(payload[:-5] ))
+        list(iter_ppm_frames(payload[:-5]))
+    with pytest.raises(ValueError):  # empty = malformed, not a 0-frame video
+        list(iter_ppm_frames(b""))
+
+
+def test_synth_drops_empty_text_instead_of_crashing(spark):
+    docs = spark.createDataFrame(
+        [(1, "some genuine document text here"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = video_scene_cuts(synth_video_payloads(docs)).collect()
+    assert [r.doc_id for r in rows] == [1]
 
 
 def test_planted_cut_recovered_and_threshold_is_strict(spark):

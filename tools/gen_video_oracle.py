@@ -50,7 +50,7 @@ def ref_scene_hashes(text: str, doc_id: int) -> tuple[list[int], int]:
     n_scenes, per_scene = video_scene_plan(doc_id)
     hashes = []
     for s in range(n_scenes):
-        r = (s * VIDEO_SCENE_ROT) % max(len(raw), 1)
+        r = (s * VIDEO_SCENE_ROT) % len(raw)
         rot = raw[r:] + raw[:r]
         reps = -(-n // max(len(rot), 1))  # ceil
         buf = (rot * (reps + 1))[:n]
@@ -92,7 +92,9 @@ def build(sf_dir: str, spark) -> str:
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
-    rows = [ref_cuts(text, doc_id) for doc_id, text in docs]
+    # empty-text docs are DROPPED by synth_video_payloads (no pixels
+    # to tile — the corrupt-sample philosophy); mirror that here
+    rows = [ref_cuts(text, doc_id) for doc_id, text in docs if text]
 
     sql = (
         "SELECT v.doc_id::BIGINT AS doc_id, v.n_frames::INT AS n_frames,\n"
