@@ -514,3 +514,76 @@ def test_ppjoin_lossless_property(spark, docs, threshold):
         map(tuple, dedup.ngram_jaccard_pairs(df, threshold, max_df=None).collect())
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.sampled_from(
+            [
+                "a b c d e f g",      # base doc
+                "a b c d e f h",      # near-dup of base (shares most shingles)
+                "x y z w v u t",      # unrelated
+                "a b c d e f g",      # exact dup -> guaranteed full-band buckets
+                "p q r",              # minimum shingle width
+                "a b",                # too short: no shingle, no signature
+                "",                   # empty
+            ]
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    max_bucket=st.sampled_from([2, 3, 1024]),
+)
+@settings(**SETTINGS)
+def test_minhash_lsh_pairs_vs_python(spark, docs, max_bucket):
+    """The bucket-local pair generator must equal a direct python
+    restatement of the WHOLE contract — KM minhash from one md5 per
+    shingle, order-canonicalized band hashes, the strict n > max_bucket
+    bucket drop, in-bucket i<j pairs, signature-agreement scoring,
+    cross-band dedup — on randomized corpora including exact dups
+    (mega-buckets), sub-shingle docs, and caps tight enough to drop
+    real buckets."""
+    import hashlib
+
+    k, bands, n = dedup.MINHASH_K, dedup.MINHASH_BANDS, dedup.SHINGLE_N
+    r = k // bands
+
+    def signature(text: str):
+        toks = [t for t in text.split() if t]
+        shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - (n - 1))}
+        if not shingles:
+            return None
+        mins = [dedup.MH_MASK] * k
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            a = int(h[:15], 16)
+            b = int(h[16:31], 16) & dedup.MH_BMASK
+            for i in range(k):
+                mins[i] = min(mins[i], (a + i * b) & dedup.MH_MASK)
+        return mins
+
+    def py_h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sigs = {i: sig for i, t in enumerate(docs) if (sig := signature(t)) is not None}
+    expected = {}
+    for band in range(bands):
+        buckets: dict = {}
+        for doc_id, sig in sigs.items():
+            entries = sorted(f"{band * r + j}:{sig[band * r + j]}" for j in range(r))
+            buckets.setdefault(py_h64(",".join(entries)), []).append(doc_id)
+        for members in buckets.values():
+            if len(members) > max_bucket:
+                continue
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    a, b = sorted((members[ai], members[bi]))
+                    est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / k
+                    expected[(a, b)] = round(est, 6)
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (row["doc_a"], row["doc_b"]): row["est_jaccard"]
+        for row in dedup.minhash_lsh_pairs(df, max_bucket=max_bucket).collect()
+    }
+    assert got == expected
