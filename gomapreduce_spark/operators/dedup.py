@@ -490,7 +490,13 @@ def minhash_lsh_pairs(
     )
     # in-bucket i<j pairs + signature-agreement score, all narrow:
     # members is sorted by doc_id (struct ordering), so positional
-    # i<j gives doc_a < doc_b; array sizes are bounded by max_bucket
+    # i<j gives doc_a < doc_b; the member array is bounded by
+    # max_bucket and the TRANSIENT pair array by max_bucket²/2
+    # (~15 MB/bucket at the 1024 default — the capped worst case;
+    # disabling the cap shifts mega-bucket pair explosion from the
+    # old streaming self-join into these arrays, which is exactly the
+    # configuration the cap forbids; tools/hotcap_probe.py measures
+    # both sides)
     pair_expr = f"""
       flatten(transform(members, (x, i) ->
         transform(slice(members, i + 2, size(members) - i - 1), y ->
