@@ -412,6 +412,11 @@ QUERIES: dict[str, QueryFn] = {
         f"{d}/lineitem.parquet",
         ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
     ),
+    # -- round-13: the grouped pushdown leg (PushedGroupBy) --
+    # per-event-type stats from a Hive-partitioned layout's footers;
+    # layout materialized once into a source-identity-keyed cache, so
+    # the measured query is listing + footers only (plan-gated)
+    "events_partition_stats": lambda s, d: pushdown.events_partition_stats(s, d),
     "minhash_signatures": lambda s, d: dedup.minhash_signatures(load_table(s, d, "documents")),
     "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(load_table(s, d, "documents")),
     "simhash": lambda s, d: dedup.simhash(load_table(s, d, "documents")),
@@ -3134,6 +3139,23 @@ ORACLES["lineitem_footer_stats"] = """
            min(l_discount) AS min_l_discount,
            max(l_discount) AS max_l_discount
     FROM lineitem
+"""
+
+# grouped footer stats: a repartition-by-column round trip preserves
+# group contents losslessly, so the partitioned layout's footer answer
+# must equal a plain GROUP BY over the source table — the oracle needs
+# no hive_partitioning and no path literal
+ORACLES["events_partition_stats"] = """
+    SELECT event_type,
+           count(*) AS n_rows,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           min(user_id) AS min_user_id,
+           max(user_id) AS max_user_id,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
 """
 
 # heavy_hitters_approx: the SpaceSaving-flavored scale path reports the

@@ -23,8 +23,13 @@ Two Spark knobs gate it, split deliberately across layers:
 - ``spark.sql.sources.useV1SourceList`` decides v1-vs-v2 at
   RELATION-CREATION time (``spark.read.parquet`` resolves the
   relation eagerly), so :func:`read_parquet_v2` flips it only around
-  that call and restores it before returning — no other read in the
-  process can land on the v2 path by accident.
+  that call and restores it before returning — on the single-threaded
+  driver this repo uses, no other read lands on the v2 path by
+  accident. The flip is NOT safe against concurrent reads on the same
+  SparkSession from other driver threads (a read during the flip
+  window would resolve as DSv2, and a concurrent ``read_parquet_v2``
+  could clobber the finally-restore); guard with a lock if that usage
+  ever appears.
 
 Pushdown applies only when the plan is exactly scan→aggregate: no
 filters (footer stats can't answer a filtered count), no grouping
@@ -40,18 +45,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 from ..session import apply_runtime_confs
 
 _V1_LIST_CONF = "spark.sql.sources.useV1SourceList"
 
 
+def _normalize_signed_zero(df: DataFrame) -> DataFrame:
+    """Collapse ``-0.0`` to ``+0.0`` in float/double columns, above the
+    aggregate so ``PushedAggregation`` is untouched.
+
+    Parquet writers spec-conformantly normalize a zero MIN statistic to
+    ``-0.0`` in the row-group footer (and a zero MAX to ``+0.0``) even
+    when every data page holds ``+0.0`` — pyarrow demonstrably does
+    (tests/test_pushdown.py plants one) — so the metadata path and the
+    scan path disagree on zero SIGN while agreeing on value. A scan
+    (and any SQL oracle) answers ``+0.0``; the round-12 driver hash
+    distinguished them. ``WHEN col = 0.0 THEN typed +0.0`` fires for
+    both zero signs (IEEE ``-0.0 == 0.0``) and, unlike ``+ lit(0.0)``,
+    preserves integer/decimal column types instead of widening them to
+    double. Applied only to float/double outputs — the only types with
+    a signed zero."""
+    exprs = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (FloatType, DoubleType)):
+            c = F.col(field.name)
+            zero = F.lit(0.0).cast(field.dataType)
+            exprs.append(F.when(c == zero, zero).otherwise(c).alias(field.name))
+        else:
+            exprs.append(F.col(field.name))
+    return df.select(*exprs)
+
+
 def read_parquet_v2(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` resolved as a DSv2 ``BatchScan`` relation.
 
     The v1-source list is flipped only around the (eager) relation
-    resolution and restored in a ``finally``, so concurrent/subsequent
-    reads keep the default v1 path. Runtime confs are re-asserted
+    resolution and restored in a ``finally``, so subsequent reads keep
+    the default v1 path (single-threaded driver assumption — see the
+    module docstring for the concurrent-caller caveat). Runtime confs are re-asserted
     first (the load_table convention): on a DRIVER-OWNED session that
     never touched the registry, ``aggregatePushdown`` would otherwise
     be unset and the footer-stats query would silently degrade to the
@@ -97,4 +130,46 @@ def partition_stats(
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return read_parquet_v2(spark, path).groupBy(*group_cols).agg(*aggs)
+    agg = read_parquet_v2(spark, path).groupBy(*group_cols).agg(*aggs)
+    return _normalize_signed_zero(agg)
+
+
+def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type footer stats over a Hive-partitioned events
+    layout — the registered :func:`partition_stats` (``PushedGroupBy``)
+    leg. The 100 TB shape: a corpus laid out ``event_type=click/…``
+    answers its per-slice profile (count + numeric min/max) from
+    directory listing + footers alone, zero data pages.
+
+    The partitioned layout is MATERIALIZED ONCE into a local cache dir
+    keyed by the source file's identity (path + size + mtime, so a
+    regenerated testdata set can never serve a stale layout) via
+    ``write_partitioned_corpus`` (one shuffle on the partition column,
+    one file per partition value). Every subsequent invocation — the
+    driver's compare run, bench's repeats — is footers-only. Equals
+    ``SELECT event_type, count(*), min/max(...) FROM events GROUP BY
+    event_type`` by construction, which is exactly the DuckDB oracle:
+    the oracle needs no hive_partitioning, because a lossless
+    repartition-by-column round trip preserves group contents."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .registry import write_partitioned_corpus
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(
+        tempfile.gettempdir(), "gomapreduce_spark_cache", f"events_by_type_{key}"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        # plain v1 read of the SOURCE columns: ts/props dropped — the
+        # stats query never touches them, so neither should the layout
+        df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
+        write_partitioned_corpus(df, cache, "event_type")
+    return partition_stats(
+        spark, cache, ["event_type"], ["event_id", "user_id", "value"]
+    )

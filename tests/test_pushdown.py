@@ -160,3 +160,67 @@ def test_pushdown_declines_non_numeric_minmax(spark):
         F.max("l_shipdate").alias("max_l_shipdate"),
     )
     assert declined.collect() == ref.collect()
+
+
+def test_planted_negative_zero_footer_stat_normalized(spark, tmp_path):
+    """The round-12 driver failure, reproduced and pinned: parquet
+    writers spec-conformantly normalize a zero MIN statistic to -0.0
+    in the row-group footer even when every data page holds +0.0
+    (pyarrow does exactly this — asserted below by reading the footer
+    bytes back), so the metadata path answered min = -0.0 while a data
+    scan (and the DuckDB oracle) answered +0.0, and the driver's value
+    hash distinguishes zero signs. footer_stats must return the
+    metadata answer bit-for-bit equal to the scan answer — including
+    copysign — via the post-aggregate signed-zero projection, which
+    sits ABOVE the aggregate so PushedAggregation survives."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "zero_stat.parquet")
+    # +0.0 is the true minimum; no -0.0 anywhere in the DATA
+    pq.write_table(
+        pa.table({"v": pa.array([0.0, 1.5, 2.5], type=pa.float64())}), path
+    )
+    stat_min = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics.min
+    assert stat_min == 0.0 and math.copysign(1.0, stat_min) == -1.0, (
+        "precondition: the writer no longer plants a -0.0 footer min; "
+        "this test needs a file whose footer stat disagrees with its pages"
+    )
+
+    df = footer_stats(spark, path, ["v"])
+    assert "PushedAggregation: [COUNT" in _plan(df)  # fix didn't break pushdown
+    [row] = df.collect()
+    [scan] = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    )
+    assert row == scan
+    # Row equality treats -0.0 == 0.0 — the driver's hash does NOT, so
+    # assert the sign bit explicitly on both paths
+    assert math.copysign(1.0, row["min_v"]) == 1.0
+    assert math.copysign(1.0, scan["min_v"]) == 1.0
+    # and planted -0.0 DATA normalizes on both paths too (scan min of
+    # [-0.0, 1.0] is -0.0 at the aggregate; the projection collapses it)
+    path2 = str(tmp_path / "zero_data.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([-0.0, 1.0], type=pa.float64())}), path2
+    )
+    [row2] = footer_stats(spark, path2, ["v"]).collect()
+    assert math.copysign(1.0, row2["min_v"]) == 1.0
+
+
+def test_signed_zero_projection_preserves_integer_types(spark):
+    """`+ lit(0.0)` would have widened min/max of integer columns to
+    double and broken the registered query's schema against its
+    oracle; the WHEN-based projection must keep l_orderkey's long."""
+    df = footer_stats(spark, _PATH, _COLS)
+    dt = dict(df.dtypes)
+    assert dt["min_l_orderkey"] == "bigint" and dt["max_l_orderkey"] == "bigint"
+    assert dt["min_l_discount"] == "double"

@@ -31,8 +31,13 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:NaN"
-        if v == 0.0:
-            v = 0.0  # collapse -0.0 and 0.0 — engines may differ on zero sign
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # DRIVER-STRICT on zero sign (round 12 lesson): the driver's
+            # value hash distinguishes -0.0 from +0.0, and the old
+            # collapse here masked the lineitem_footer_stats parquet
+            # footer-stat mismatch locally while the driver caught it.
+            # Tag -0.0 distinctly so any operator leaking it fails HERE.
+            return "f:-0"
         return f"f:{v:.9g}"
     if isinstance(v, bool):
         return f"b:{v}"

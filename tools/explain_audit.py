@@ -985,6 +985,18 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join", "Window", "InPandas", "EvalPython"],
         "max_single_partition": 1,
     },
+    # -- round-13: the grouped pushdown leg --
+    # per-partition-value stats from a Hive layout's footers: the scan
+    # must carry BOTH PushedAggregation and PushedGroupBy (grouping by
+    # a DATA column would drop both and full-scan); post-scan work is
+    # one hash exchange merging per-split pre-aggregated rows by group
+    # key — #groups × #splits rows, never data rows
+    "events_partition_stats": {
+        "require": ["PushedAggregation", "PushedGroupBy", "BatchScan"],
+        "max_exchanges": 1,
+        "forbid": ["CartesianProduct", "Join", "Window", "InPandas", "EvalPython"],
+        "max_single_partition": 0,
+    },
 }
 
 
