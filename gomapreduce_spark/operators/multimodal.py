@@ -901,3 +901,81 @@ def video_scene_cuts(mm: DataFrame, threshold: int = 10) -> DataFrame:
             )
 
     return mm.mapInPandas(batches, SCENE_CUT_SCHEMA)
+
+
+SHOT_FRAME_SCHEMA = (
+    "doc_id long, shot_id int, start_frame int, n_frames int, "
+    "rep_frame int, rep_dhash long"
+)
+
+
+def video_shot_frames(mm: DataFrame, threshold: int = 10) -> DataFrame:
+    """Per-shot representative-frame sampling — the step a video
+    training pipeline actually trains on: after
+    :func:`video_scene_cuts` finds shot boundaries, each SHOT (the
+    frame run between consecutive cuts) contributes its MIDDLE frame
+    (index ``start + (len-1)//2`` — the canonical keyframe heuristic:
+    maximally far from both transitions) and that frame's dHash
+    (:func:`image_dhash`, the same real perceptual signature the image
+    dedup leg dedups on — per-shot keyframes feed straight into
+    ``image_dhash_pairs``-style cross-video dedup). Output one row per
+    shot: (doc_id, shot_id, start_frame, n_frames, rep_frame,
+    rep_dhash) — all integers, hash-stable across engines. Cut
+    semantics are IDENTICAL to video_scene_cuts (strict
+    ``hamming > threshold``), so a shot can legitimately span two
+    planted scenes whose hashes land within the threshold; the rep
+    frame then comes from whichever scene holds the middle index.
+    Undecodable payloads are dropped (corrupt-sample filter).
+
+    Scale shape: identical to video_scene_cuts — a video's frames are
+    adjacent bytes in one payload, so decode, hashing, the cut scan,
+    and shot segmentation are all row-local: ONE narrow Arrow pass,
+    zero shuffle, #shots rows out (bounded by #frames). Oracle: an
+    independent restatement in tools/gen_video_oracle.py (VALUES
+    table, tri-SF). The reference engine has no binary/video surface;
+    this extends the repo's mandated multimodal leg."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "shot_id",
+                    "start_frame",
+                    "n_frames",
+                    "rep_frame",
+                    "rep_dhash",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    hashes = [image_dhash(px) for px in iter_ppm_frames(bytes(payload))]
+                except ValueError:
+                    continue
+                if not hashes:
+                    continue
+                cuts = [
+                    i + 1
+                    for i, (a, b) in enumerate(zip(hashes, hashes[1:]))
+                    if ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count() > threshold
+                ]
+                bounds = [0, *cuts, len(hashes)]
+                for shot_id, (start, end) in enumerate(zip(bounds, bounds[1:])):
+                    rep = start + (end - start - 1) // 2
+                    rows["doc_id"].append(doc_id)
+                    rows["shot_id"].append(shot_id)
+                    rows["start_frame"].append(start)
+                    rows["n_frames"].append(end - start)
+                    rows["rep_frame"].append(rep)
+                    rows["rep_dhash"].append(hashes[rep])
+            yield pd.DataFrame(rows).astype(
+                {
+                    "shot_id": "int32",
+                    "start_frame": "int32",
+                    "n_frames": "int32",
+                    "rep_frame": "int32",
+                }
+            )
+
+    return mm.mapInPandas(batches, SHOT_FRAME_SCHEMA)

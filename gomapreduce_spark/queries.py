@@ -235,6 +235,12 @@ QUERIES: dict[str, QueryFn] = {
     "video_scene_cuts": lambda s, d: multimodal.video_scene_cuts(
         multimodal.synth_video_payloads(load_table(s, d, "documents"))
     ),
+    # -- round-13: per-shot representative-frame sampling (the video
+    # -- step a pipeline trains on: one keyframe + dHash per shot);
+    # -- same tri-SF independent-restatement oracle discipline --
+    "video_shot_frames": lambda s, d: multimodal.video_shot_frames(
+        multimodal.synth_video_payloads(load_table(s, d, "documents"))
+    ),
     # -- round-6: record linkage, Markov transitions, BPE training --
     # -- step, sparse lexical similarity                            --
     "fuzzy_customer_links": lambda s, d: linkage.fuzzy_customer_links(
@@ -2727,11 +2733,15 @@ ORACLES["bloom_decontamination"] = """
 # at generation time and filtered through the documents view so subset
 # SFs still compare correctly).
 from .codec_expected import AUDIO_SPECTRAL_EXPECTED_SQL, DHASH_EXPECTED_SQL
-from .video_expected import VIDEO_SCENE_CUTS_EXPECTED_SQL
+from .video_expected import (
+    VIDEO_SCENE_CUTS_EXPECTED_SQL,
+    VIDEO_SHOT_FRAMES_EXPECTED_SQL,
+)
 
 ORACLES["image_dhash_index"] = DHASH_EXPECTED_SQL
 ORACLES["audio_spectral"] = AUDIO_SPECTRAL_EXPECTED_SQL
 ORACLES["video_scene_cuts"] = VIDEO_SCENE_CUTS_EXPECTED_SQL
+ORACLES["video_shot_frames"] = VIDEO_SHOT_FRAMES_EXPECTED_SQL
 
 # ANN oracles (round 7): same mechanism as the codec oracles — the
 # knn_ivf/knn_pq/knn_ivf_pq pipelines are deterministic end-to-end, so
@@ -3558,6 +3568,7 @@ PRECOMPUTED_ORACLE_SF = {
     "image_dhash_index": _CODEC_SF,
     "audio_spectral": _CODEC_SF,
     "video_scene_cuts": _VIDEO_SF,
+    "video_shot_frames": _VIDEO_SF,
     "knn_lsh": _ANN_SF,
     "knn_ivf": _ANN_SF,
     "knn_pq": _ANN_SF,

@@ -108,3 +108,60 @@ def test_synth_structure_matches_scene_plan(spark):
         assert r.n_frames == n_scenes * per_scene
         expected_cuts = [s * per_scene for s in range(1, n_scenes)]
         assert r.cut_frames == ",".join(map(str, expected_cuts)), doc_id
+
+
+def test_shot_frames_planted_structure(spark):
+    """Per-shot keyframe sampling (video_shot_frames): a two-scene
+    video yields two shots whose representative frames carry each
+    scene's dHash; a flat video yields ONE whole-video shot. The rep
+    index is the canonical middle (start + (len-1)//2), and when the
+    threshold suppresses the cut, the merged shot's rep hash comes
+    from whichever scene holds the middle index."""
+    from gomapreduce_spark.operators.multimodal import video_shot_frames
+
+    a, b = _frame(1), _frame(9)
+    ha, hb = image_dhash(a), image_dhash(b)
+    dist = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert dist > 10
+    two_scene = b"".join([encode_ppm(a)] * 2 + [encode_ppm(b)] * 3)
+    flat = b"".join([encode_ppm(a)] * 4)
+    mm = spark.createDataFrame(
+        [(1, bytearray(two_scene)), (2, bytearray(flat))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(video_shot_frames(mm).collect(), key=lambda r: (r.doc_id, r.shot_id))
+    by_doc = {1: [r for r in rows if r.doc_id == 1], 2: [r for r in rows if r.doc_id == 2]}
+    s0, s1 = by_doc[1]
+    assert (s0.start_frame, s0.n_frames, s0.rep_frame, s0.rep_dhash) == (0, 2, 0, ha)
+    assert (s1.start_frame, s1.n_frames, s1.rep_frame, s1.rep_dhash) == (2, 3, 3, hb)
+    [whole] = by_doc[2]
+    assert (whole.start_frame, whole.n_frames, whole.rep_frame, whole.rep_dhash) == (0, 4, 1, ha)
+    # threshold == boundary distance merges the shots: middle of the
+    # 5-frame video is frame 2, which belongs to scene B
+    [merged] = [r for r in video_shot_frames(mm, threshold=dist).collect() if r.doc_id == 1]
+    assert (merged.n_frames, merged.rep_frame, merged.rep_dhash) == (5, 2, hb)
+
+
+def test_shot_frames_consistent_with_scene_cuts(spark):
+    """On the synthesized corpus, shots partition each video's frame
+    range exactly: per doc, shot n_frames sum to the video's n_frames,
+    starts chain contiguously, and #shots == n_cuts + 1."""
+    from gomapreduce_spark.operators.multimodal import video_shot_frames
+    from gomapreduce_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    mm = synth_video_payloads(docs).localCheckpoint()
+    cuts = {r.doc_id: r for r in video_scene_cuts(mm).collect()}
+    shots: dict[int, list] = {}
+    for r in video_shot_frames(mm).collect():
+        shots.setdefault(r.doc_id, []).append(r)
+    assert set(shots) == set(cuts)
+    for doc_id, ss in shots.items():
+        ss.sort(key=lambda r: r.shot_id)
+        assert len(ss) == cuts[doc_id].n_cuts + 1
+        assert sum(r.n_frames for r in ss) == cuts[doc_id].n_frames
+        pos = 0
+        for r in ss:
+            assert r.start_frame == pos
+            assert r.start_frame <= r.rep_frame < r.start_frame + r.n_frames
+            pos += r.n_frames

@@ -972,6 +972,16 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "Join", "Window", "HashAggregate"],
         "max_single_partition": 0,
     },
+    # -- round-13: per-shot keyframe sampling — same row-local shape as
+    # video_scene_cuts (decode/hash/cut/segment all inside one payload
+    # row): ONE scan, rebalance only, no join/window/aggregate
+    "video_shot_frames": {
+        "max_scans": 1,
+        "max_exchanges": 1,  # rebalance only
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct", "Join", "Window", "HashAggregate"],
+        "max_single_partition": 0,
+    },
     # -- round-12: parquet aggregate pushdown --
     # COUNT/MIN/MAX answered from row-group footers: the scan must be
     # a DSv2 BatchScan carrying PushedAggregation (all-or-nothing — if

@@ -59,16 +59,25 @@ def ref_scene_hashes(text: str, doc_id: int) -> tuple[list[int], int]:
     return hashes, per_scene
 
 
-def ref_cuts(text: str, doc_id: int):
+def ref_frame_hashes(text: str, doc_id: int) -> list[int]:
+    """Expand per-scene hashes structurally: frames within a scene are
+    identical by construction."""
     scene_hashes, per_scene = ref_scene_hashes(text, doc_id)
-    # expand structurally: within a scene every step is 0; the step
-    # into scene s+1 is the inter-scene hash distance
-    frame_hashes = [h for h in scene_hashes for _ in range(per_scene)]
+    return [h for h in scene_hashes for _ in range(per_scene)]
+
+
+def ref_steps_cuts(frame_hashes: list[int]):
     steps = [
         bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
         for a, b in zip(frame_hashes, frame_hashes[1:])
     ]
     cuts = [i + 1 for i, d in enumerate(steps) if d > THRESHOLD]
+    return steps, cuts
+
+
+def ref_cuts(text: str, doc_id: int):
+    frame_hashes = ref_frame_hashes(text, doc_id)
+    steps, cuts = ref_steps_cuts(frame_hashes)
     return (
         doc_id,
         len(frame_hashes),
@@ -76,6 +85,23 @@ def ref_cuts(text: str, doc_id: int):
         ",".join(map(str, cuts)),
         max(steps, default=0),
     )
+
+
+def ref_shots(text: str, doc_id: int):
+    """Independent restatement of video_shot_frames: shots are the
+    frame runs between consecutive cuts; each contributes its MIDDLE
+    frame (start + (len-1)//2) and that frame's dHash. A shot may span
+    two planted scenes whose hashes land within the threshold — the
+    rep hash is then whichever scene holds the middle index, which the
+    expanded frame_hashes list answers directly."""
+    frame_hashes = ref_frame_hashes(text, doc_id)
+    _, cuts = ref_steps_cuts(frame_hashes)
+    bounds = [0, *cuts, len(frame_hashes)]
+    rows = []
+    for shot_id, (start, end) in enumerate(zip(bounds, bounds[1:])):
+        rep = start + (end - start - 1) // 2
+        rows.append((doc_id, shot_id, start, end - start, rep, frame_hashes[rep]))
+    return rows
 
 
 SF_DIRS = (
@@ -86,7 +112,7 @@ SF_DIRS = (
 PRIMARY_SF = "/root/testdata/sf0.01"
 
 
-def build(sf_dir: str, spark) -> str:
+def build(sf_dir: str, spark) -> dict[str, str]:
     import duckdb
 
     docs = duckdb.sql(
@@ -95,14 +121,27 @@ def build(sf_dir: str, spark) -> str:
     # empty-text docs are DROPPED by synth_video_payloads (no pixels
     # to tile — the corrupt-sample philosophy); mirror that here
     rows = [ref_cuts(text, doc_id) for doc_id, text in docs if text]
+    shot_rows = [r for doc_id, text in docs if text for r in ref_shots(text, doc_id)]
 
-    sql = (
+    cuts_sql = (
         "SELECT v.doc_id::BIGINT AS doc_id, v.n_frames::INT AS n_frames,\n"
         "       v.n_cuts::INT AS n_cuts, v.cut_frames::VARCHAR AS cut_frames,\n"
         "       v.max_step::INT AS max_step\n"
         "FROM (VALUES\n"
         + ",\n".join(f"  ({d}, {nf}, {nc}, {cf!r}, {ms})" for d, nf, nc, cf, ms in rows)
         + "\n) AS v(doc_id, n_frames, n_cuts, cut_frames, max_step)\n"
+        "WHERE v.doc_id IN (SELECT doc_id FROM documents)"
+    )
+    shots_sql = (
+        "SELECT v.doc_id::BIGINT AS doc_id, v.shot_id::INT AS shot_id,\n"
+        "       v.start_frame::INT AS start_frame, v.n_frames::INT AS n_frames,\n"
+        "       v.rep_frame::INT AS rep_frame, v.rep_dhash::BIGINT AS rep_dhash\n"
+        "FROM (VALUES\n"
+        + ",\n".join(
+            f"  ({d}, {sid}, {st}, {nf}, {rf}, {rh})"
+            for d, sid, st, nf, rf, rh in shot_rows
+        )
+        + "\n) AS v(doc_id, shot_id, start_frame, n_frames, rep_frame, rep_dhash)\n"
         "WHERE v.doc_id IN (SELECT doc_id FROM documents)"
     )
 
@@ -117,8 +156,15 @@ def build(sf_dir: str, spark) -> str:
     exp = {d: (nf, nc, cf, ms) for d, nf, nc, cf, ms in rows}
     assert got == exp, "video reference disagrees with the Spark pipeline"
 
-    print(f"built {sf_dir}: {len(rows)} video rows")
-    return sql
+    got_shots = {
+        (r.doc_id, r.shot_id): (r.start_frame, r.n_frames, r.rep_frame, r.rep_dhash)
+        for r in QUERIES["video_shot_frames"](spark, sf_dir).collect()
+    }
+    exp_shots = {(d, sid): (st, nf, rf, rh) for d, sid, st, nf, rf, rh in shot_rows}
+    assert got_shots == exp_shots, "shot reference disagrees with the Spark pipeline"
+
+    print(f"built {sf_dir}: {len(rows)} video rows, {len(shot_rows)} shot rows")
+    return {"video_scene_cuts": cuts_sql, "video_shot_frames": shots_sql}
 
 
 def main() -> int:
@@ -138,18 +184,24 @@ def main() -> int:
     )
     with open(out_path, "w") as fh:
         fh.write(
-            '"""Precomputed video-scene-cut oracle (GENERATED — do not edit).\n\n'
-            "Source: tools/gen_video_oracle.py (independent tiling/dhash/cut\n"
-            "reference, self-checked against the live pipeline at generation\n"
-            "time). Valid for the deterministic testdata generation seeded per\n"
-            "sf; regenerate if testdata or the video synth parameters change.\n"
-            'Every committed SF has its table in EXPECTED_BY_SF.\n"""\n\n'
+            '"""Precomputed video oracle tables (GENERATED — do not edit).\n\n'
+            "Source: tools/gen_video_oracle.py (independent tiling/dhash/cut/\n"
+            "shot reference, self-checked against the live pipeline at\n"
+            "generation time). Valid for the deterministic testdata generation\n"
+            "seeded per sf; regenerate if testdata or the video synth\n"
+            "parameters change. Every committed SF has its tables in\n"
+            'EXPECTED_BY_SF.\n"""\n\n'
             f"GENERATED_SF_DIR = {PRIMARY_SF!r}\n\n"
-            f"VIDEO_SCENE_CUTS_EXPECTED_SQL = '''\n{by_sf[PRIMARY_SF]}\n'''\n\n"
+            f"VIDEO_SCENE_CUTS_EXPECTED_SQL = '''\n{by_sf[PRIMARY_SF]['video_scene_cuts']}\n'''\n\n"
+            f"VIDEO_SHOT_FRAMES_EXPECTED_SQL = '''\n{by_sf[PRIMARY_SF]['video_shot_frames']}\n'''\n\n"
             "EXPECTED_BY_SF = {\n"
             + "".join(
-                f"    {sf!r}: {{\n        'video_scene_cuts': '''\n{sql}\n''',\n    }},\n"
-                for sf, sql in by_sf.items()
+                f"    {sf!r}: {{\n"
+                + "".join(
+                    f"        {q!r}: '''\n{sql}\n''',\n" for q, sql in tabs.items()
+                )
+                + "    },\n"
+                for sf, tabs in by_sf.items()
             )
             + "}\n"
         )
