@@ -627,82 +627,81 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 12 executes the round-11 verdict's rotation order
-# (item 1), stalest-first: the ENTIRE 41-query r8-stale block (the
-# only queries whose last driver row is older than r9 after r11) in
-# registration order; then the round-12 addition; then the one query
-# whose implementation changed this round; then seven r9-stale
-# backfills to fill the 50-row budget. After r12 no registered
-# query's last driver row is older than r9. Every entry is still
-# re-verified each round by pytest + tools/check_oracle.py regardless
-# of position.
-_R12_PRIORITY = [
-    # (a) the complete r8-stale pool, registration order
-    "frame_stats",                  # r8
-    "audio_chunk_stats",            # r8
-    "array_funcs_showcase",         # r8
-    "embedding_doc_join",           # r8
-    "knn_lsh",                      # r8
-    "knn_ivf_pq",                   # r8
-    "simhash_pairs",                # r8
-    "heavy_hitters",                # r8
-    "bigram_stats",                 # r8
-    "stratified_sample",            # r8
-    "corpus_mixture",               # r8
-    "benchmark_overlap",            # r8
-    "gopher_rules",                 # r8
-    "repetition_stats",             # r8
-    "pii_scrub",                    # r8
-    "inverted_index",               # r8
-    "chunk_documents",              # r8
-    "pack_training_sequences",      # r8
-    "mad_outliers",                 # r8
-    "attribution_last_touch",       # r8
-    "hard_negative_mining",         # r8
-    "value_deciles_approx",         # r8
-    "heavy_hitters_approx",         # r8
-    "quality_score",                # r8
-    "lang_id",                      # r8
-    "doc_fingerprint",              # r8
-    "exact_dedup",                  # r8
-    "ngram_jaccard_pairs",          # r8
-    "minhash_signatures",           # r8
-    "simhash",                      # r8
-    "knn_bruteforce",               # r8
-    "training_corpus",              # r8
-    "profile_events",               # r8
-    "window_rank_showcase",         # r8
-    "streaming_tumbling_counts",    # r8
-    "streaming_sliding_counts",     # r8
-    "streaming_stateful_sessions",  # r8
-    "streaming_interval_join",      # r8
-    "streaming_session_windows",    # r8
-    "streaming_dedup_events",       # r8
-    "streaming_gopher_filter",      # r8
-    # (b) NEW in round 12 — no driver row exists yet
-    "corpus_ingest_e2e",          # full-pipeline ingest certification (r11 verdict item 5)
-    "lineitem_footer_stats",      # parquet aggregate pushdown (footer-only stats)
-    "video_scene_cuts",           # video shot segmentation (multimodal video leg)
-    # (c) implementation changed in round 12 (re-row):
-    # registered_domain_psl gained host normalization (lowercase +
-    # trailing-dot strip), xn-- PSL rule shapes, and the
-    # min(struct(payload)) resolve — fixture hash expected unchanged,
-    # but the implementation moved so the row must be re-cut;
-    # minhash_lsh_pairs moved from a banded self-join to bucket-local
-    # pair generation (values expected unchanged, plan rebuilt)
-    "domain_rollup_psl",          # r11
-    "minhash_lsh_pairs",          # r11
-    # (d) r9-stale backfill to the 50-row budget, registration order
-    # (multimodal_features / tf_idf / sum_reduce yielded their slots
-    # to the three late-round additions above; they stay r9 — the
-    # post-r12 "nothing staler than r9" invariant is unaffected)
-    "wordcount",                  # r9
-    "mr_wordcount",               # r9
-    "keyedtext_wordcount",        # r9
-    "group_collect",              # r9
+# round. Round 13 executes the round-12 verdict's rotation order
+# (item 3), stalest-first: the ENTIRE 41-query r9-stale block (the
+# only queries whose last driver row is older than r10 after r12) in
+# registration order; then the two round-13 additions; then the one
+# query whose implementation changed this round (lineitem_footer_stats
+# gained the signed-zero min/max normalization that root-caused its
+# r12 driver hash FAIL — the re-cut row is the fix's done-condition);
+# then six r10-stale backfills to fill the 50-row budget. After r13 no
+# registered query's last driver row is older than r10. Every entry is
+# still re-verified each round by pytest + tools/check_oracle.py
+# regardless of position. Note the r12 verdict's standing suggestion
+# is satisfied structurally this round: value_deciles_approx (the
+# designed no_oracle hole) is NOT in this window, while its
+# hash-oracled _seq twin IS (r9-stale), so the compensation lands in
+# CORRECTNESS_r13 on its own.
+_R13_PRIORITY = [
+    # (a) the complete r9-stale pool, registration order
+    'sum_reduce',
+    'multimodal_features',
+    'tf_idf',
+    'embedding_dedup_clusters',
+    'q13_customer_distribution',
+    'q22_global_sales_opportunity',
+    'paragraph_dedup',
+    'lm_perplexity',
+    'boilerplate_spans',
+    'incremental_dedup',
+    'ordered_funnel',
+    'rolling_active_users',
+    'retention_cohorts',
+    'bpe_learn_merges',
+    'bpe_encode_stats',
+    'dsir_weights',
+    'token_budget_sample',
+    'grouping_sets_revenue',
+    'k_anonymity_audit',
+    'chunk_documents_udtf',
+    'full_outer_user_activity',
+    'map_funcs_showcase',
+    'math_funcs_showcase',
+    'regression_stats',
+    'corpus_quality_report',
+    'bm25_search',
+    'distribution_drift',
+    'ngram_novelty',
+    'vocab_coverage',
+    'monthly_revenue_trend',
+    'bloom_decontamination',
+    'q11_important_parts',
+    'q12_late_by_returnflag',
+    'q15_top_supplier',
+    'q20_excess_suppliers',
+    'trimmed_mean_distributed',
+    'value_deciles_approx_seq',
+    'token_stats',
+    'lateral_topk_orders',
+    'streaming_left_outer_join',
+    'streaming_chained_windows',
+    # (b) NEW in round 13 — no driver row exists yet
+    "video_shot_frames",          # per-shot keyframe sampling (r12 verdict item 5)
+    "events_partition_stats",     # grouped footer-stat pushdown (r12 verdict item 4)
+    # (c) implementation changed in round 13 (re-row): the signed-zero
+    # normalization projection above the pushed aggregate — the r12
+    # driver window's one hash FAIL, now fixed
+    "lineitem_footer_stats",      # r12 (FAIL -> re-cut)
+    # (d) r10-stale backfill to the 50-row budget, registration order
+    'winnow_fingerprints',                # r10
+    'canonical_docs',                # r10
+    'leakage_safe_split',                # r10
+    'image_dhash_index',                # r10
+    'audio_spectral',                # r10
+    'event_transition_matrix',                # r10
 ]
-_order = [n for n in QUERIES if n not in _R12_PRIORITY]
-_order[0:0] = _R12_PRIORITY
+_order = [n for n in QUERIES if n not in _R13_PRIORITY]
+_order[0:0] = _R13_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
