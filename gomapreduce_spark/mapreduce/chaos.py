@@ -167,6 +167,12 @@ def unreliable_foreach_batch(
     audit files as :func:`unreliable_partition` (``{stage}-b{batch}``,
     mode as content)."""
 
+    # a forgotten attempt_dir would otherwise surface as an opaque
+    # FileNotFoundError inside the streaming query at first-batch time
+    os.makedirs(attempt_dir, exist_ok=True)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
+
     def run(batch_df, batch_id: int) -> None:
         attempt_marker = os.path.join(attempt_dir, f"{stage}-b{batch_id}.attempted")
         first = not os.path.exists(attempt_marker)
@@ -188,3 +194,39 @@ def unreliable_foreach_batch(
             )
 
     return run
+
+
+def unreliable_sink_gap(
+    stage: str, attempt_dir: str, marker_dir: str | None = None
+) -> Callable[[int], None]:
+    """Injection BETWEEN a multi-sink batch's writes — the partial-
+    progress case neither :func:`unreliable_partition` nor
+    :func:`unreliable_foreach_batch` can reach: a foreachBatch function
+    that feeds TWO sinks (streaming_incremental_dedup's verdicts +
+    index) crashes after the first sink's job commit is durable but
+    before the second's ever starts. The streaming engine never
+    records the batch, so the restart redelivers it against a store
+    where the batch's FIRST sink output already exists and its second
+    doesn't — the sharpest replay shape a multi-sink query faces.
+
+    Returns a callable the query invokes between its writes; it raises
+    :class:`InjectedFailure` on the FIRST delivery of every batch
+    (tracked by ``attempt_dir`` marker files, same protocol as
+    :func:`unreliable_foreach_batch`) and is a no-op on redelivery."""
+    os.makedirs(attempt_dir, exist_ok=True)
+    if marker_dir:
+        os.makedirs(marker_dir, exist_ok=True)
+
+    def fire(batch_id: int) -> None:
+        attempt_marker = os.path.join(attempt_dir, f"{stage}-g{batch_id}.attempted")
+        if os.path.exists(attempt_marker):
+            return
+        with open(attempt_marker, "w", encoding="utf-8") as fh:
+            fh.write("attempted")
+        _mark(marker_dir, stage, batch_id, "sink_gap", kind="g")
+        raise InjectedFailure(
+            f"unreliable: crashed between sinks (stage={stage}, "
+            f"batch={batch_id}, delivery=0)"
+        )
+
+    return fire

@@ -790,6 +790,7 @@ def streaming_incremental_dedup(
     max_files_per_trigger: int | None = None,
     threshold: float = 0.5,
     wrap_batch=None,
+    between_sinks=None,
 ) -> DataFrame:
     """Streaming ingest dedup — the two families composed into the
     actual production pipeline: documents arrive as a file stream; each
@@ -863,6 +864,13 @@ def streaming_incremental_dedup(
             .partitionBy("batch_id")
             .parquet(verdicts_dir)
         )
+        # multi-sink chaos hook (tests/test_unreliable.py): a crash
+        # HERE leaves the batch's verdicts durable and its index rows
+        # absent — the redelivery must overwrite the former and write
+        # the latter, which the dynamic-overwrite + batch_id-< filter
+        # pair absorbs without any extra coordination
+        if between_sinks is not None:
+            between_sinks(batch_id)
         (
             new_b.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

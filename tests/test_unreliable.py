@@ -318,3 +318,118 @@ def test_streaming_incremental_dedup_exactly_once_under_chaos(spark, sf_small, t
     fired = {p.name: p.read_text() for p in mrk.iterdir()}
     assert fired == {f"ingest-b{b}": "reply_lost" for b in range(3)}, fired
     assert n_failures == 3
+
+
+def test_incremental_dedup_bootstrap_batch_replay(spark, sf_small, tmp_path):
+    """The index-bootstrap edge (round-13): batch 0's FIRST delivery
+    takes the no-index-yet path (the index directory does not exist);
+    its REPLAY takes the structurally different index-exists path,
+    where the directory now holds exactly the replayed batch's own
+    first-delivery signature rows — the one state where the
+    ``batch_id < own`` filter is load-bearing ALONE (no older batches
+    exist to mask a miss: without the filter every batch-0 doc would
+    band-join its own first-delivery row at jaccard 1.0 and be marked
+    a duplicate). Chaos is targeted at batch 0 ONLY via a stage name
+    whose deterministic band injects reply_lost on batch 0 and nothing
+    on batches 1-2 (asserted, not assumed), so later batches commit
+    first-try and the final manifest must equal the chaos-free run."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from test_streaming import _as_set, _write_time_ordered_files
+
+    from gomapreduce_spark.mapreduce.chaos import chaos_mode, unreliable_foreach_batch
+    from gomapreduce_spark.sources.registry import load_table
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    stage = "boot2"  # adler32 bands: batch 0 -> 5, batch 1 -> 42, batch 2 -> 79
+    assert chaos_mode(stage, 0, 0, 10) == "reply_lost"
+    assert chaos_mode(stage, 1, 0, 10) is None and chaos_mode(stage, 2, 0, 10) is None
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs")
+    _write_time_ordered_files(
+        spark,
+        docs.withColumn("_chunk", F.ntile(3).over(W.orderBy("doc_id"))),
+        mb_dir,
+        n_files=3,
+        chunk_col="_chunk",
+    )
+    want = _as_set(
+        streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w_clean"), max_files_per_trigger=1
+        )
+    )
+
+    att, mrk = tmp_path / "att", tmp_path / "mrk"
+
+    def wrap(fn):
+        return unreliable_foreach_batch(stage, fn, str(att), 0, 10, marker_dir=str(mrk))
+
+    work = str(tmp_path / "w_chaos")
+    n_failures = _run_with_restarts(
+        lambda: streaming_incremental_dedup(
+            spark, mb_dir, work, max_files_per_trigger=1, wrap_batch=wrap
+        )
+    )
+    got = _as_set(spark.read.parquet(f"{work}/verdicts").select(
+        "doc_id", "n_matches", "best_jaccard", "is_dup"
+    ))
+    assert got == want
+    fired = {p.name: p.read_text() for p in mrk.iterdir()}
+    assert fired == {f"{stage}-b0": "reply_lost"} and n_failures == 1, fired
+
+
+def test_incremental_dedup_crash_between_sinks(spark, sf_small, tmp_path):
+    """Multi-sink partial progress (round-13): streaming_incremental_
+    dedup feeds TWO sinks from one foreachBatch (verdicts, then the
+    signature index); unreliable_sink_gap crashes every batch's first
+    delivery BETWEEN them, so each redelivery arrives with its own
+    verdicts already durable and its index rows absent. The redelivery
+    must overwrite its verdicts partition (dynamic overwrite) and
+    write the missing index rows; the final manifest equals the
+    chaos-free run and the index holds every batch exactly once."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from test_streaming import _as_set, _write_time_ordered_files
+
+    from gomapreduce_spark.mapreduce.chaos import unreliable_sink_gap
+    from gomapreduce_spark.sources.registry import load_table
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs")
+    _write_time_ordered_files(
+        spark,
+        docs.withColumn("_chunk", F.ntile(3).over(W.orderBy("doc_id"))),
+        mb_dir,
+        n_files=3,
+        chunk_col="_chunk",
+    )
+    want = _as_set(
+        streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w_clean"), max_files_per_trigger=1
+        )
+    )
+
+    gap = unreliable_sink_gap(
+        "gap", str(tmp_path / "att"), marker_dir=str(tmp_path / "mrk")
+    )
+    work = str(tmp_path / "w_chaos")
+    n_failures = _run_with_restarts(
+        lambda: streaming_incremental_dedup(
+            spark, mb_dir, work, max_files_per_trigger=1, between_sinks=gap
+        )
+    )
+    got = _as_set(spark.read.parquet(f"{work}/verdicts").select(
+        "doc_id", "n_matches", "best_jaccard", "is_dup"
+    ))
+    assert got == want
+    fired = {p.name: p.read_text() for p in (tmp_path / "mrk").iterdir()}
+    assert fired == {f"gap-g{b}": "sink_gap" for b in range(3)} and n_failures == 3
+    # the index holds each batch's signatures exactly once: one row
+    # per (band, band_hash, doc) overall, no batch written twice
+    idx = spark.read.parquet(f"{work}/index")
+    assert sorted(
+        r["batch_id"] for r in idx.select("batch_id").distinct().collect()
+    ) == [0, 1, 2]
+    assert idx.count() == idx.select("band", "band_hash", "doc_id").distinct().count()
