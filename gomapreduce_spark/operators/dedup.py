@@ -828,6 +828,63 @@ NEAR_DUP_PLANES = 6   # sign-LSH planes per table (bucket space 2^6)
 NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
 
 
+def _embedding_cells(
+    emb: DataFrame, n_planes: int, n_tables: int, max_cell: int
+) -> DataFrame:
+    """The candidate CELL relation :func:`embedding_near_dup` scores —
+    extracted so tools/probe_embedding_candidates.py can measure the
+    exact candidate volume (Σ_cells m·(m−1)/2 + m·p) the operator
+    pays, from the same plan it pays it on. One row per (table,
+    bucket) occupant: the cell's exact members (is_probe = 0) plus its
+    Hamming-1 directional probe visitors (is_probe = 1), with
+    hot cells (> max_cell MEMBERS) dropped and observed."""
+    # signatures feed TWO consumers (exact members + probe visitors);
+    # materialize once instead of running the matmul pass per branch.
+    # lsh_signatures is the shared sign-bit signer (one narrow Arrow
+    # matmul pass, zero shuffle)
+    from .similarity import lsh_signatures
+
+    sigs = lsh_signatures(emb, n_planes, n_tables).localCheckpoint()
+    exact = sigs.withColumn("is_probe", F.lit(0))
+    # DIRECTIONAL probing: a pair whose signatures differ in bit i has
+    # exactly ONE side with that bit 0 — probing only 0→1 flips still
+    # discovers every Hamming-1 pair exactly once (the 0-bit side
+    # visits the 1-bit side's cell) while shipping HALF the visitor
+    # rows of symmetric probing (avg n_planes/2 instead of n_planes
+    # duplicated embedding rows per vector per table). Each (cell,
+    # visitor) combination stays unique — no within-cell double count.
+    visitors = sigs.select(
+        "vec_id",
+        "embedding",
+        "table",
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.when(
+                        F.col("bucket").bitwiseAND(F.lit(1 << i)) == 0,
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i)),
+                    )
+                    for i in range(n_planes)
+                ]),
+                lambda b: b.isNotNull(),
+            )
+        ).alias("bucket"),
+        F.lit(1).alias("is_probe"),
+    )
+    hot = (
+        sigs.groupBy("table", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_cell)
+        .observe(
+            "embedding_near_dup_hot_cells",
+            F.count("*").alias("n_hot_cells"),
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_member_rows_dropped"),
+        )
+        .select("table", "bucket")
+    )
+    return exact.unionByName(visitors).join(hot, ["table", "bucket"], "left_anti")
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -873,55 +930,22 @@ def embedding_near_dup(
     scored). NOT silent: the plan carries the named CollectMetrics
     observation ``embedding_near_dup_hot_cells`` (n_hot_cells,
     n_member_rows_dropped).
+
+    100 TB plane scaling: wall is LINEAR IN CANDIDATES (measured —
+    tools/probe_embedding_candidates.py; SCALE.md "candidate-growth
+    law"), and candidate volume is governed by expected cell occupancy
+    N / 2^n_planes per table. The fixture's 6 planes (64 cells/table)
+    are an oracle-pinned setting sized to guarantee 100% recall at the
+    fixture SFs; at production scale the standard LSH sizing applies:
+    grow ``n_planes`` with log2(N) to hold occupancy — and therefore
+    per-vector candidate work — constant, and buy recall back with
+    ``n_tables`` / probe radius rather than coarser cells. The
+    ``max_cell`` cap stays as the skew backstop either way.
     """
     import numpy as np
     import pandas as pd
 
-    # signatures feed TWO consumers (exact members + probe visitors);
-    # materialize once instead of running the matmul pass per branch.
-    # lsh_signatures is the shared sign-bit signer (one narrow Arrow
-    # matmul pass, zero shuffle)
-    from .similarity import lsh_signatures
-
-    sigs = lsh_signatures(emb, n_planes, n_tables).localCheckpoint()
-    exact = sigs.withColumn("is_probe", F.lit(0))
-    # DIRECTIONAL probing: a pair whose signatures differ in bit i has
-    # exactly ONE side with that bit 0 — probing only 0→1 flips still
-    # discovers every Hamming-1 pair exactly once (the 0-bit side
-    # visits the 1-bit side's cell) while shipping HALF the visitor
-    # rows of symmetric probing (avg n_planes/2 instead of n_planes
-    # duplicated embedding rows per vector per table). Each (cell,
-    # visitor) combination stays unique — no within-cell double count.
-    visitors = sigs.select(
-        "vec_id",
-        "embedding",
-        "table",
-        F.explode(
-            F.filter(
-                F.array(*[
-                    F.when(
-                        F.col("bucket").bitwiseAND(F.lit(1 << i)) == 0,
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i)),
-                    )
-                    for i in range(n_planes)
-                ]),
-                lambda b: b.isNotNull(),
-            )
-        ).alias("bucket"),
-        F.lit(1).alias("is_probe"),
-    )
-    hot = (
-        sigs.groupBy("table", "bucket")
-        .agg(F.count("*").alias("n_members"))
-        .where(F.col("n_members") > max_cell)
-        .observe(
-            "embedding_near_dup_hot_cells",
-            F.count("*").alias("n_hot_cells"),
-            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_member_rows_dropped"),
-        )
-        .select("table", "bucket")
-    )
-    cells = exact.unionByName(visitors).join(hot, ["table", "bucket"], "left_anti")
+    cells = _embedding_cells(emb, n_planes, n_tables, max_cell)
 
     def _lr_sims(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
         """All-pairs cosine between row sets, accumulated LEFT-TO-RIGHT

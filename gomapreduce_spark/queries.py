@@ -630,11 +630,13 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 # round. Round 13 executes the round-12 verdict's rotation order
 # (item 3), stalest-first: the ENTIRE 41-query r9-stale block (the
 # only queries whose last driver row is older than r10 after r12) in
-# registration order; then the two round-13 additions; then the one
-# query whose implementation changed this round (lineitem_footer_stats
-# gained the signed-zero min/max normalization that root-caused its
-# r12 driver hash FAIL — the re-cut row is the fix's done-condition);
-# then six r10-stale backfills to fill the 50-row budget. After r13 no
+# registration order; then the two round-13 additions; then the two
+# queries whose implementation changed this round
+# (lineitem_footer_stats gained the signed-zero min/max normalization
+# that root-caused its r12 driver hash FAIL — the re-cut row is the
+# fix's done-condition; embedding_near_dup's cell construction was
+# extracted for the candidate-law probe); then five r10-stale
+# backfills to fill the 50-row budget. After r13 no
 # registered query's last driver row is older than r10. Every entry is
 # still re-verified each round by pytest + tools/check_oracle.py
 # regardless of position. Note the r12 verdict's standing suggestion
@@ -688,17 +690,23 @@ _R13_PRIORITY = [
     # (b) NEW in round 13 — no driver row exists yet
     "video_shot_frames",          # per-shot keyframe sampling (r12 verdict item 5)
     "events_partition_stats",     # grouped footer-stat pushdown (r12 verdict item 4)
-    # (c) implementation changed in round 13 (re-row): the signed-zero
-    # normalization projection above the pushed aggregate — the r12
-    # driver window's one hash FAIL, now fixed
+    # (c) implementation changed in round 13 (re-row):
+    # lineitem_footer_stats gained the signed-zero normalization
+    # projection above the pushed aggregate (the r12 driver window's
+    # one hash FAIL, now fixed); embedding_near_dup's candidate-cell
+    # construction was extracted into _embedding_cells so the
+    # candidate-law probe measures the operator's own plan (values and
+    # plan unchanged — verified — but the implementation moved, so the
+    # row is re-cut; its consumer embedding_dedup_clusters is already
+    # in block (a))
     "lineitem_footer_stats",      # r12 (FAIL -> re-cut)
+    "embedding_near_dup",         # r10 (refactor re-row)
     # (d) r10-stale backfill to the 50-row budget, registration order
     'winnow_fingerprints',                # r10
     'canonical_docs',                # r10
     'leakage_safe_split',                # r10
     'image_dhash_index',                # r10
     'audio_spectral',                # r10
-    'event_transition_matrix',                # r10
 ]
 _order = [n for n in QUERIES if n not in _R13_PRIORITY]
 _order[0:0] = _R13_PRIORITY

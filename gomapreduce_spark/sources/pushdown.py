@@ -170,6 +170,23 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stats query never touches them, so neither should the layout
         df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
         write_partitioned_corpus(df, cache, "event_type")
+    if not any(e.startswith("event_type=") for e in os.listdir(cache)):
+        # zero-row source: partitionBy wrote no leaf dirs, so the
+        # layout has no files to infer a schema from. The grouped
+        # aggregate over the (empty) source is the same empty relation
+        # with the same column names/types — still zero data pages.
+        return _normalize_signed_zero(
+            spark.read.parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[
+                    f
+                    for c in ("event_id", "user_id", "value")
+                    for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+                ],
+            )
+        )
     return partition_stats(
         spark, cache, ["event_type"], ["event_id", "user_id", "value"]
     )

@@ -31,8 +31,13 @@ def test_string_numeric_namespace_disjoint():
     assert norm(float("nan")) == norm(float("nan"))  # NaN compares stable
 
 
-def test_zero_sign_collapsed():
-    assert norm(0.0) == norm(-0.0)
+def test_zero_sign_distinguished():
+    # round-13 (driver-strict): the driver's value hash distinguishes
+    # -0.0 from +0.0 — the r12 lineitem_footer_stats failure was
+    # invisible locally precisely because the comparator collapsed
+    # them; it must never again be laxer than the driver on this class
+    assert norm(0.0) != norm(-0.0)
+    assert norm(-0.0) == norm(-0.0)
 
 
 def test_column_order_insensitive_row_order_insensitive():
