@@ -129,6 +129,9 @@ PROBE_QUERIES = [
     "corpus_ingest_e2e",
     "lineitem_footer_stats",
     "video_scene_cuts",
+    # round-13 additions
+    "video_shot_frames",
+    "events_partition_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
