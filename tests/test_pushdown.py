@@ -224,3 +224,37 @@ def test_signed_zero_projection_preserves_integer_types(spark):
     dt = dict(df.dtypes)
     assert dt["min_l_orderkey"] == "bigint" and dt["max_l_orderkey"] == "bigint"
     assert dt["min_l_discount"] == "double"
+
+
+def test_events_partition_stats_cache_keyed_by_source_identity(spark, tmp_path):
+    """The materialized Hive layout is keyed by the source file's
+    (path, size, mtime): rewriting the source at the same path must
+    MISS the cache and rebuild, never serve the old layout's stats."""
+    import os
+    import shutil
+
+    from gomapreduce_spark.sources.pushdown import events_partition_stats
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0, "click"), (2, 11, 2.0, "view")],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    ev.coalesce(1).write.parquet(str(tmp_path / "ev1"))
+    src = [f for f in os.listdir(str(tmp_path / "ev1")) if f.endswith(".parquet")][0]
+    shutil.copyfile(str(tmp_path / "ev1" / src), f"{sf}/events.parquet")
+
+    first = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
+    assert first == {"click": 1, "view": 1}
+
+    ev2 = spark.createDataFrame(
+        [(3, 12, 3.0, "click"), (4, 13, 4.0, "click"), (5, 14, 5.0, "error")],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    ev2.coalesce(1).write.parquet(str(tmp_path / "ev2"))
+    src2 = [f for f in os.listdir(str(tmp_path / "ev2")) if f.endswith(".parquet")][0]
+    shutil.copyfile(str(tmp_path / "ev2" / src2), f"{sf}/events.parquet")
+
+    second = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
+    assert second == {"click": 2, "error": 1}, "stale cache served after source rewrite"
