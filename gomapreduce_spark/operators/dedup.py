@@ -210,6 +210,96 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     )
 
 
+def contamination_spans(
+    docs: DataFrame, w: int = 13, bench_mod: int = 43
+) -> DataFrame:
+    """SPAN-level decontamination — the GPT-3/PaLM 13-gram collision
+    report: :func:`benchmark_overlap` answers WHETHER a training doc
+    overlaps the eval set (shingle-set membership); this answers WHERE
+    and HOW MUCH, the report a pipeline needs to decide between
+    clipping the contaminated span and dropping the document (GPT-3
+    appendix C removes 13-gram collisions with dedup applied around
+    them; no analog in the reference, which has no notion of eval
+    data). A ``w``-token window slides at STRIDE 1 over every train
+    doc (stride 1 is the faithful collision definition — a 5-token
+    stride would miss up to 4-token-offset copies); a window is
+    contaminated iff its hash appears among the benchmark side's
+    window hashes. Output per contaminated train doc: hit-window
+    count, exact interval-union token coverage, fraction, and the
+    first hit position. The benchmark side is the deterministic
+    ``doc_id % bench_mod == 0`` slice standing in for an external eval
+    table (benchmark_overlap's convention); production swaps in any
+    (doc_id, text) eval DataFrame unchanged.
+
+    Scale shape: tokenize + window-hash — the expensive text pass —
+    runs ONCE over the whole input (train and bench split AFTER, off
+    one localCheckpointed relation, the duplicate_spans doctrine);
+    eval sets are tiny vs a 100 TB corpus, so the benchmark hash set
+    is DISTINCT'd and BROADCAST — the train side never shuffles for
+    the join; the only exchange is the per-doc interval-union window +
+    rollup, keyed on doc_id (the rollup reuses the window's
+    partitioning). Stride-1 fan-out ships ~n_tokens slim rows per doc
+    — linear, and entirely JVM-side (regexp tokenize, slice,
+    concat_ws, md5)."""
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    wins = (
+        toks.select("doc_id", F.size("t").alias("n_tokens"), "t")
+        .where(F.col("n_tokens") >= w)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1), F.lit(1))
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start",
+            h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))).alias("win_hash"),
+        )
+        .localCheckpoint()
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_hashes = wins.where(is_bench).select("win_hash").distinct()
+    hits = wins.where(~is_bench).join(F.broadcast(bench_hashes), "win_hash").select(
+        "doc_id", "n_tokens", "start", (F.col("start") + F.lit(w - 1)).alias("end")
+    )
+    # interval-union coverage: the duplicate_spans running-max frontier
+    prev_end = F.max("end").over(
+        W.partitionBy("doc_id").orderBy("start", "end").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn("prev_end", F.coalesce(prev_end, F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start",
+            F.greatest(
+                F.lit(0), F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1)
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_hit_windows"),
+            F.sum("add").cast("long").alias("contaminated_tokens"),
+            F.min("start").cast("long").alias("first_hit_start"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hit_windows",
+            "contaminated_tokens",
+            F.round(F.col("contaminated_tokens") / F.col("n_tokens").cast("double"), 4).alias(
+                "contam_frac"
+            ),
+            "first_hit_start",
+        )
+    )
+
+
 def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingles: array<string>) — the distinct word n-gram
     shingles of each document, one narrow Arrow pass (zero shuffle).

@@ -305,6 +305,10 @@ QUERIES: dict[str, QueryFn] = {
     # -- round-5c: repeated-substring dedup, DSIR importance weights, --
     # -- token-budget sampling, GROUPING SETS, k-anonymity audit      --
     "duplicate_spans": lambda s, d: dedup.duplicate_spans(load_table(s, d, "documents")),
+    # -- round-13: span-level decontamination (GPT-3 13-gram collisions) --
+    "contamination_spans": lambda s, d: dedup.contamination_spans(
+        load_table(s, d, "documents")
+    ),
     "dsir_weights": lambda s, d: text.dsir_weights(load_table(s, d, "documents")),
     "token_budget_sample": lambda s, d: text.token_budget_sample(load_table(s, d, "documents")),
     "grouping_sets_revenue": lambda s, d: relational.grouping_sets_revenue(
@@ -630,12 +634,12 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 # round. Round 13 executes the round-12 verdict's rotation order
 # (item 3), stalest-first: the ENTIRE 41-query r9-stale block (the
 # only queries whose last driver row is older than r10 after r12) in
-# registration order; then the two round-13 additions; then the two
+# registration order; then the three round-13 additions; then the two
 # queries whose implementation changed this round
 # (lineitem_footer_stats gained the signed-zero min/max normalization
 # that root-caused its r12 driver hash FAIL — the re-cut row is the
 # fix's done-condition; embedding_near_dup's cell construction was
-# extracted for the candidate-law probe); then five r10-stale
+# extracted for the candidate-law probe); then four r10-stale
 # backfills to fill the 50-row budget. After r13 no
 # registered query's last driver row is older than r10. Every entry is
 # still re-verified each round by pytest + tools/check_oracle.py
@@ -690,6 +694,7 @@ _R13_PRIORITY = [
     # (b) NEW in round 13 — no driver row exists yet
     "video_shot_frames",          # per-shot keyframe sampling (r12 verdict item 5)
     "events_partition_stats",     # grouped footer-stat pushdown (r12 verdict item 4)
+    "contamination_spans",        # span-level decontamination (13-gram collisions)
     # (c) implementation changed in round 13 (re-row):
     # lineitem_footer_stats gained the signed-zero normalization
     # projection above the pushed aggregate (the r12 driver window's
@@ -706,7 +711,6 @@ _R13_PRIORITY = [
     'canonical_docs',                # r10
     'leakage_safe_split',                # r10
     'image_dhash_index',                # r10
-    'audio_spectral',                # r10
 ]
 _order = [n for n in QUERIES if n not in _R13_PRIORITY]
 _order[0:0] = _R13_PRIORITY
@@ -2260,6 +2264,36 @@ ORACLES["duplicate_spans"] = f"""
            coalesce(ca.dup_tokens, 0)::BIGINT AS dup_tokens,
            round(coalesce(ca.dup_tokens, 0) / b.n_tokens::DOUBLE, 4) AS dup_frac
     FROM base b LEFT JOIN nw USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
+ORACLES["contamination_spans"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, len(t)::BIGINT AS n_tokens, i AS s,
+             ('0x' || substr(md5(array_to_string(t[i:i+12], ' ')), 1, 15))::BIGINT AS win_hash
+      FROM toks, unnest(range(1, len(t) - 11, 1)) AS u(i)
+      WHERE len(t) >= 13
+    ),
+    bench AS (SELECT DISTINCT win_hash FROM wins WHERE doc_id % 43 = 0),
+    hits AS (
+      SELECT w.doc_id, w.n_tokens, w.s, w.s + 12 AS e
+      FROM wins w JOIN bench USING (win_hash)
+      WHERE w.doc_id % 43 <> 0
+    ),
+    cov AS (
+      SELECT doc_id, n_tokens, s,
+             greatest(0, e - greatest(coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), s - 1)) AS add
+      FROM hits
+    )
+    SELECT doc_id,
+           min(n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_hit_windows,
+           sum(add)::BIGINT AS contaminated_tokens,
+           round(sum(add) / min(n_tokens)::DOUBLE, 4) AS contam_frac,
+           min(s)::BIGINT AS first_hit_start
+    FROM cov GROUP BY doc_id
 """
 
 ORACLES["dsir_weights"] = f"""

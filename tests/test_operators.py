@@ -1152,6 +1152,45 @@ def test_duplicate_spans_self_repetition_is_caught(spark):
     assert rows[2]["n_dup_windows"] == 0
 
 
+def test_contamination_spans_planted_13gram_collisions(spark):
+    """Span-level decontamination (GPT-3 13-gram collisions): a train
+    doc copying a >=13-token benchmark span is reported with the exact
+    interval-union coverage and first-hit position; a 12-token copy is
+    NOT a collision (the w boundary); bench docs never appear; two
+    disjoint copied spans union, overlapping hit windows don't
+    double-count."""
+    bench_toks = [f"b{i}" for i in range(40)]
+    bench = " ".join(bench_toks)                       # doc_id 43 -> bench slice
+    exact13 = " ".join(bench_toks[5:18])               # 13 tokens: 1 window
+    span15 = " ".join(bench_toks[20:35])               # 15 tokens: 3 windows
+    only12 = " ".join(bench_toks[0:12])                # below w: no collision
+    pad = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (43, bench),
+            # exact13 copied at token position 6 (after 5 pad tokens)
+            (1, pad("x", 5) + " " + exact13 + " " + pad("y", 4)),
+            # two disjoint copies: positions 1 and 1+13+6=20
+            (2, exact13 + " " + pad("z", 6) + " " + span15),
+            (3, only12 + " " + pad("q", 10)),          # 12-token copy: clean
+            (4, pad("u", 30)),                         # no overlap at all
+        ],
+        "doc_id long, text string",
+    )
+    from gomapreduce_spark.operators.dedup import contamination_spans
+
+    rows = {r["doc_id"]: r for r in contamination_spans(docs).collect()}
+    assert set(rows) == {1, 2}, rows  # 3 and 4 clean; 43 is bench-side
+    r1 = rows[1]
+    assert (r1["n_hit_windows"], r1["contaminated_tokens"], r1["first_hit_start"]) == (1, 13, 6)
+    assert abs(r1["contam_frac"] - round(13 / 22, 4)) < 1e-9
+    r2 = rows[2]
+    # span 1: tokens 1-13 (1 window); span 2: tokens 20-34 (15 tokens,
+    # 3 overlapping windows unioning to 15) -> 4 windows, 28 tokens
+    assert (r2["n_hit_windows"], r2["contaminated_tokens"], r2["first_hit_start"]) == (4, 28, 1)
+    assert r2["n_tokens"] == 34
+
+
 def test_dsir_weights_target_alignment_orders_docs(spark):
     docs = spark.createDataFrame(
         [

@@ -451,6 +451,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
         "max_single_partition": 0,
     },
+    # -- round-13: span-level decontamination (13-gram collisions) --
+    # the benchmark hash set must BROADCAST (the train side never
+    # shuffles for the membership join); coverage union is the
+    # duplicate_spans doc-keyed window; rollup reuses its partitioning
+    "contamination_spans": {
+        "require": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_single_partition": 0,
+    },
     # DSIR: the per-bucket log-ratio table (<= 1024 rows) must come
     # back as a BROADCAST join onto the token stream — a shuffled join
     # would re-partition the whole corpus by bucket for nothing

@@ -132,6 +132,7 @@ PROBE_QUERIES = [
     # round-13 additions
     "video_shot_frames",
     "events_partition_stats",
+    "contamination_spans",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
