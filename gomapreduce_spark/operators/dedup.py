@@ -102,6 +102,57 @@ def paragraph_dedup(docs: DataFrame, sep: str = PARA_SEP) -> DataFrame:
     )
 
 
+def _window_hashes(toks: DataFrame, w: int, stride: int) -> DataFrame:
+    """(doc_id, n_tokens, start, win_hash): W-token windows at the
+    given stride over a (doc_id, t: array<string>, n_tokens) relation —
+    the shared fan-out of :func:`duplicate_spans` and
+    :func:`contamination_spans`. Docs with 1 <= n_tokens < w emit one
+    NULL-hash sentinel row (duplicate_spans' rollup needs every doc;
+    contamination_spans filters them). Narrow: sequence + explode +
+    slice/concat/md5, zero shuffle, all JVM-side."""
+    return (
+        toks.where(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.col("n_tokens") - F.lit(w - 1), F.lit(1)),
+                    F.lit(stride),
+                )
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start",
+            F.when(
+                F.col("n_tokens") >= w,
+                h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))),
+            ).alias("win_hash"),
+        )
+    )
+
+
+def _span_union_add(spans: DataFrame) -> DataFrame:
+    """Exact interval-union increments: for (doc_id, start, end) spans,
+    add a column ``add`` = how many token positions this span covers
+    beyond the running-max frontier of all preceding spans (ordered by
+    start, end within the doc) — summing ``add`` per doc gives the
+    exact union length. One doc-keyed window, never a global sort;
+    shared by duplicate_spans and contamination_spans so the subtle
+    off-by-one frontier arithmetic lives in exactly one place."""
+    prev_end = F.max("end").over(
+        W.partitionBy("doc_id").orderBy("start", "end").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return spans.withColumn("prev_end", F.coalesce(prev_end, F.lit(0))).withColumn(
+        "add",
+        F.greatest(F.lit(0), F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1)),
+    )
+
+
 def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     """Repeated-substring detection at window granularity — the
     distributed form of exact substring dedup (Lee et al. 2021,
@@ -139,31 +190,7 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     # One row per W-token window; docs with 1 <= n_tokens < w get a
     # single sentinel row (win_hash NULL) so every visible doc reaches
     # the final rollup from this ONE checkpointed relation.
-    wins = (
-        toks.where(F.col("n_tokens") >= 1)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.col("n_tokens") - F.lit(w - 1), F.lit(1)),
-                    F.lit(stride),
-                )
-            ).alias("start"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "start",
-            F.when(
-                F.col("n_tokens") >= w,
-                h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))),
-            ).alias("win_hash"),
-        )
-        .localCheckpoint()
-    )
+    wins = _window_hashes(toks, w, stride).localCheckpoint()
     real_wins = wins.where(F.col("win_hash").isNotNull())
     dup_hashes = (
         real_wins.groupBy("win_hash").agg(F.count("*").alias("n_occ")).where(F.col("n_occ") > 1)
@@ -171,20 +198,8 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     dup_wins = real_wins.join(dup_hashes, "win_hash").select(
         "doc_id", "start", (F.col("start") + F.lit(w - 1)).alias("end")
     )
-    # Interval-union length per doc: sort duplicated windows by start,
-    # track the running max end over preceding rows, count only the
-    # positions each window adds beyond that frontier.
-    prev_end = F.max("end").over(
-        W.partitionBy("doc_id").orderBy("start", "end").rowsBetween(W.unboundedPreceding, -1)
-    )
     covered = (
-        dup_wins.withColumn("prev_end", F.coalesce(prev_end, F.lit(0)))
-        .select(
-            "doc_id",
-            F.greatest(
-                F.lit(0), F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1)
-            ).alias("add"),
-        )
+        _span_union_add(dup_wins)
         .groupBy("doc_id")
         .agg(F.sum("add").alias("dup_tokens"), F.count("*").alias("n_dup_windows"))
     )
@@ -241,45 +256,20 @@ def contamination_spans(
     partitioning). Stride-1 fan-out ships ~n_tokens slim rows per doc
     — linear, and entirely JVM-side (regexp tokenize, slice,
     concat_ws, md5)."""
-    toks = docs.select("doc_id", tokenize("text").alias("t"))
-    wins = (
-        toks.select("doc_id", F.size("t").alias("n_tokens"), "t")
-        .where(F.col("n_tokens") >= w)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(w - 1), F.lit(1))
-            ).alias("start"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "start",
-            h64(F.concat_ws(" ", F.slice("t", F.col("start"), w))).alias("win_hash"),
-        )
-        .localCheckpoint()
+    toks = docs.select(
+        "doc_id", tokenize("text").alias("t"), F.size(tokenize("text")).alias("n_tokens")
     )
+    # shared fan-out with duplicate_spans; sentinel (NULL-hash) rows of
+    # sub-w docs are dropped — a doc shorter than w has no window to
+    # collide and never reaches the output
+    wins = _window_hashes(toks, w, 1).where(F.col("win_hash").isNotNull()).localCheckpoint()
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_hashes = wins.where(is_bench).select("win_hash").distinct()
     hits = wins.where(~is_bench).join(F.broadcast(bench_hashes), "win_hash").select(
         "doc_id", "n_tokens", "start", (F.col("start") + F.lit(w - 1)).alias("end")
     )
-    # interval-union coverage: the duplicate_spans running-max frontier
-    prev_end = F.max("end").over(
-        W.partitionBy("doc_id").orderBy("start", "end").rowsBetween(W.unboundedPreceding, -1)
-    )
     return (
-        hits.withColumn("prev_end", F.coalesce(prev_end, F.lit(0)))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "start",
-            F.greatest(
-                F.lit(0), F.col("end") - F.greatest(F.col("prev_end"), F.col("start") - 1)
-            ).alias("add"),
-        )
+        _span_union_add(hits)
         .groupBy("doc_id")
         .agg(
             F.first("n_tokens").cast("long").alias("n_tokens"),

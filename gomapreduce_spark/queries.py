@@ -634,13 +634,16 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 # round. Round 13 executes the round-12 verdict's rotation order
 # (item 3), stalest-first: the ENTIRE 41-query r9-stale block (the
 # only queries whose last driver row is older than r10 after r12) in
-# registration order; then the three round-13 additions; then the two
+# registration order; then the three round-13 additions; then the three
 # queries whose implementation changed this round
 # (lineitem_footer_stats gained the signed-zero min/max normalization
 # that root-caused its r12 driver hash FAIL — the re-cut row is the
 # fix's done-condition; embedding_near_dup's cell construction was
-# extracted for the candidate-law probe); then four r10-stale
-# backfills to fill the 50-row budget. After r13 no
+# extracted for the candidate-law probe; duplicate_spans' window
+# fan-out and interval-union frontier were extracted into shared
+# helpers contamination_spans reuses — values/plan verified
+# unchanged); then three r10-stale backfills to fill the 50-row
+# budget. After r13 no
 # registered query's last driver row is older than r10. Every entry is
 # still re-verified each round by pytest + tools/check_oracle.py
 # regardless of position. Note the r12 verdict's standing suggestion
@@ -706,11 +709,11 @@ _R13_PRIORITY = [
     # in block (a))
     "lineitem_footer_stats",      # r12 (FAIL -> re-cut)
     "embedding_near_dup",         # r10 (refactor re-row)
+    "duplicate_spans",            # r10 (refactor re-row: shared _window_hashes/_span_union_add)
     # (d) r10-stale backfill to the 50-row budget, registration order
     'winnow_fingerprints',                # r10
     'canonical_docs',                # r10
     'leakage_safe_split',                # r10
-    'image_dhash_index',                # r10
 ]
 _order = [n for n in QUERIES if n not in _R13_PRIORITY]
 _order[0:0] = _R13_PRIORITY
@@ -3179,16 +3182,21 @@ ORACLES["corpus_ingest_e2e"] = f"""
 # parquet row-group footers (PushedAggregation, plan-gated); DuckDB
 # computes the same aggregates its own way, so the hash compare proves
 # the metadata path returns exactly what a full scan would
+# the + 0.0 on DOUBLE min/max mirrors the operator's declared
+# signed-zero contract (footer stats report any zero as +0.0 —
+# sources/pushdown._normalize_signed_zero): IEEE -0.0 + 0.0 = +0.0
+# and every other value is unchanged, so genuinely-negative-zero DATA
+# stays oracle-green under the driver's sign-strict value hash
 ORACLES["lineitem_footer_stats"] = """
     SELECT count(*) AS n_rows,
            min(l_orderkey) AS min_l_orderkey,
            max(l_orderkey) AS max_l_orderkey,
-           min(l_quantity) AS min_l_quantity,
-           max(l_quantity) AS max_l_quantity,
-           min(l_extendedprice) AS min_l_extendedprice,
-           max(l_extendedprice) AS max_l_extendedprice,
-           min(l_discount) AS min_l_discount,
-           max(l_discount) AS max_l_discount
+           min(l_quantity) + 0.0 AS min_l_quantity,
+           max(l_quantity) + 0.0 AS max_l_quantity,
+           min(l_extendedprice) + 0.0 AS min_l_extendedprice,
+           max(l_extendedprice) + 0.0 AS max_l_extendedprice,
+           min(l_discount) + 0.0 AS min_l_discount,
+           max(l_discount) + 0.0 AS max_l_discount
     FROM lineitem
 """
 
@@ -3203,8 +3211,8 @@ ORACLES["events_partition_stats"] = """
            max(event_id) AS max_event_id,
            min(user_id) AS min_user_id,
            max(user_id) AS max_user_id,
-           min(value) AS min_value,
-           max(value) AS max_value
+           min(value) + 0.0 AS min_value,
+           max(value) + 0.0 AS max_value
     FROM events
     GROUP BY event_type
 """

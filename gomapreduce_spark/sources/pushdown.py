@@ -66,7 +66,16 @@ def _normalize_signed_zero(df: DataFrame) -> DataFrame:
     both zero signs (IEEE ``-0.0 == 0.0``) and, unlike ``+ lit(0.0)``,
     preserves integer/decimal column types instead of widening them to
     double. Applied only to float/double outputs — the only types with
-    a signed zero."""
+    a signed zero.
+
+    This is a declared CONTRACT, not just a footer workaround: footer
+    stats report any zero as ``+0.0`` even when the DATA's true
+    min/max is ``-0.0`` (both zeros are numerically equal; only the
+    hash-compare distinguishes them). The registered oracles mirror it
+    (``min(col) + 0.0`` on double columns — IEEE addition normalizes
+    the sign and changes nothing else), so a source that genuinely
+    contains ``-0.0`` stays oracle-green under the driver's
+    sign-strict value hash."""
     exprs = []
     for field in df.schema.fields:
         if isinstance(field.dataType, (FloatType, DoubleType)):
@@ -149,8 +158,16 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's compare run, bench's repeats — is footers-only. Equals
     ``SELECT event_type, count(*), min/max(...) FROM events GROUP BY
     event_type`` by construction, which is exactly the DuckDB oracle:
-    the oracle needs no hive_partitioning, because a lossless
-    repartition-by-column round trip preserves group contents."""
+    the oracle needs no hive_partitioning, because a
+    repartition-by-column round trip preserves group contents — FOR
+    PARTITIONABLE KEYS. Hive directory encoding cannot round-trip
+    empty-string or NULL partition values distinctly (both collapse
+    into ``__HIVE_DEFAULT_PARTITION__`` and read back as NULL), so the
+    materialization step checks ONCE for such values and, if any
+    exist, drops an ``_UNPARTITIONABLE`` marker instead of a layout —
+    every invocation then answers via the direct grouped aggregate
+    over the source (correct on any input; only the footers-only fast
+    path is forfeited, exactly for the sources that cannot have it)."""
     import hashlib
     import os
     import tempfile
@@ -165,16 +182,9 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = os.path.join(
         tempfile.gettempdir(), "gomapreduce_spark_cache", f"events_by_type_{key}"
     )
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        # plain v1 read of the SOURCE columns: ts/props dropped — the
-        # stats query never touches them, so neither should the layout
-        df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
-        write_partitioned_corpus(df, cache, "event_type")
-    if not any(e.startswith("event_type=") for e in os.listdir(cache)):
-        # zero-row source: partitionBy wrote no leaf dirs, so the
-        # layout has no files to infer a schema from. The grouped
-        # aggregate over the (empty) source is the same empty relation
-        # with the same column names/types — still zero data pages.
+    unpartitionable = os.path.join(cache, "_UNPARTITIONABLE")
+
+    def direct_agg() -> DataFrame:
         return _normalize_signed_zero(
             spark.read.parquet(src)
             .groupBy("event_type")
@@ -187,6 +197,32 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
         )
+
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")) and not os.path.exists(
+        unpartitionable
+    ):
+        # plain v1 read of the SOURCE columns: ts/props dropped — the
+        # stats query never touches them, so neither should the layout
+        df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
+        bad = df.where(
+            F.col("event_type").isNull() | (F.col("event_type") == "")
+        ).limit(1)
+        if bad.count():
+            # ''/NULL can't round-trip a Hive directory name (both read
+            # back as NULL) — mark once, answer directly forever
+            os.makedirs(cache, exist_ok=True)
+            with open(unpartitionable, "w", encoding="utf-8") as fh:
+                fh.write("empty-string or NULL event_type: Hive layout would merge groups")
+        else:
+            write_partitioned_corpus(df, cache, "event_type")
+    if os.path.exists(unpartitionable):
+        return direct_agg()
+    if not any(e.startswith("event_type=") for e in os.listdir(cache)):
+        # zero-row source: partitionBy wrote no leaf dirs, so the
+        # layout has no files to infer a schema from. The grouped
+        # aggregate over the (empty) source is the same empty relation
+        # with the same column names/types — still zero data pages.
+        return direct_agg()
     return partition_stats(
         spark, cache, ["event_type"], ["event_id", "user_id", "value"]
     )

@@ -258,3 +258,67 @@ def test_events_partition_stats_cache_keyed_by_source_identity(spark, tmp_path):
 
     second = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
     assert second == {"click": 2, "error": 1}, "stale cache served after source rewrite"
+
+
+def test_signed_zero_contract_matches_oracle_side(spark, tmp_path):
+    """The normalization is a CONTRACT mirrored by the oracles: when
+    the DATA's true min is -0.0, the Spark side reports +0.0 and the
+    oracle side's `min(col) + 0.0` reports +0.0 too — bit-equal under
+    a sign-strict comparator (the round-13 self-review finding: the
+    old oracle SQL would have answered -0.0 and hash-diverged)."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "neg_zero_data.parquet")
+    pq.write_table(pa.table({"v": pa.array([-0.0, 3.0], type=pa.float64())}), path)
+    [row] = footer_stats(spark, path, ["v"]).collect()
+    oracle_min = duckdb.sql(
+        f"SELECT min(v) + 0.0 FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    raw_min = duckdb.sql(f"SELECT min(v) FROM read_parquet('{path}')").fetchone()[0]
+    assert math.copysign(1.0, raw_min) == -1.0  # the data genuinely holds -0.0
+    assert row["min_v"] == oracle_min == 0.0
+    assert math.copysign(1.0, row["min_v"]) == math.copysign(1.0, oracle_min) == 1.0
+
+
+def test_events_partition_stats_unpartitionable_values_fall_back(spark, tmp_path):
+    """Hive directory encoding cannot round-trip '' or NULL partition
+    values (both collapse into __HIVE_DEFAULT_PARTITION__ and read
+    back as NULL, merging distinct groups): a source containing either
+    must be detected ONCE, marked _UNPARTITIONABLE, and answered via
+    the direct grouped aggregate — with '' and NULL kept as distinct
+    groups, exactly like the GROUP BY oracle."""
+    import os
+    import shutil
+
+    from gomapreduce_spark.sources.pushdown import events_partition_stats
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0, "click"), (2, 11, 2.0, ""), (3, 12, 3.0, None)],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    ev.coalesce(1).write.parquet(str(tmp_path / "ev"))
+    src = [f for f in os.listdir(str(tmp_path / "ev")) if f.endswith(".parquet")][0]
+    shutil.copyfile(str(tmp_path / "ev" / src), f"{sf}/events.parquet")
+
+    rows = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
+    assert rows == {"click": 1, "": 1, None: 1}, rows
+    # the marker exists and no Hive layout was written
+    import hashlib
+    import tempfile
+
+    st = os.stat(f"{sf}/events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf + '/events.parquet')}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), "gomapreduce_spark_cache", f"events_by_type_{key}")
+    assert os.path.exists(os.path.join(cache, "_UNPARTITIONABLE"))
+    assert not any(e.startswith("event_type=") for e in os.listdir(cache))
+    # second invocation takes the marker path (no rebuild, same answer)
+    rows2 = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
+    assert rows2 == rows
