@@ -134,12 +134,30 @@ def partition_stats(
     because each leaf directory's footers already hold its group's
     stats — the per-slice profile of a 100 TB corpus for the cost of
     listing + footers. Grouping by a DATA column declines the whole
-    pushdown (same all-or-nothing rule as non-numeric min/max)."""
+    pushdown (same all-or-nothing rule as non-numeric min/max).
+
+    Partition columns come back as STRING — exactly the directory-name
+    round trip. Spark's default ``partitionColumnTypeInference`` would
+    instead guess a type from the VALUE ('2021' → int, 'true' →
+    boolean), so a string source column holding a numeric-looking
+    value would silently change type (and group identity under a
+    typed value hash) across the layout round trip. The flip is
+    scoped to the (eager) relation resolution, same discipline as
+    :func:`read_parquet_v2`'s v1-list flip; callers whose partition
+    column genuinely held a non-string type cast it back — str() of
+    an int/bool round-trips exactly through the directory name."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    agg = read_parquet_v2(spark, path).groupBy(*group_cols).agg(*aggs)
+    infer_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(infer_conf)
+    spark.conf.set(infer_conf, "false")
+    try:
+        rel = read_parquet_v2(spark, path)
+    finally:
+        spark.conf.set(infer_conf, old)
+    agg = rel.groupBy(*group_cols).agg(*aggs)
     return _normalize_signed_zero(agg)
 
 
@@ -167,7 +185,19 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist, drops an ``_UNPARTITIONABLE`` marker instead of a layout —
     every invocation then answers via the direct grouped aggregate
     over the source (correct on any input; only the footers-only fast
-    path is forfeited, exactly for the sources that cannot have it)."""
+    path is forfeited, exactly for the sources that cannot have it).
+
+    Cache hygiene (round-14 advisor finding): the cache root is
+    OWNER-PRIVATE (``gomapreduce_spark_cache_u<uid>``, created 0700
+    and verified owned-by-us on every use — a pre-created dir owned
+    by another local user is an error, never trusted), and a layout
+    is PUBLISHED ATOMICALLY: built under a pid-suffixed temp dir,
+    then ``os.rename``\\ d into place. A concurrent builder that loses
+    the rename race discards its own build — the winner's layout came
+    from the identical source identity, so either is correct — and a
+    crash mid-build leaves only a temp dir that can never be read as
+    a cache entry. The cache key carries a ``v2`` version tag so
+    pre-hardening entries are never consulted."""
     import hashlib
     import os
     import tempfile
@@ -177,11 +207,20 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
     ).hexdigest()[:16]
-    cache = os.path.join(
-        tempfile.gettempdir(), "gomapreduce_spark_cache", f"events_by_type_{key}"
+    root = os.path.join(
+        tempfile.gettempdir(), f"gomapreduce_spark_cache_u{os.getuid()}"
     )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    rst = os.stat(root)
+    if rst.st_uid != os.getuid() or (rst.st_mode & 0o077):
+        raise RuntimeError(
+            f"cache root {root} is not a private directory owned by uid "
+            f"{os.getuid()} (uid={rst.st_uid}, mode={oct(rst.st_mode & 0o777)}) "
+            "— refusing to trust a cache another local user can write"
+        )
+    cache = os.path.join(root, f"events_by_type_{key}")
     unpartitionable = os.path.join(cache, "_UNPARTITIONABLE")
 
     def direct_agg() -> DataFrame:
@@ -198,9 +237,10 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")) and not os.path.exists(
-        unpartitionable
-    ):
+    if not os.path.isdir(cache):
+        # build under a temp sibling, publish with one atomic rename —
+        # a partially-built layout is never visible under `cache`
+        tmp = f"{cache}.tmp-{os.getpid()}"
         # plain v1 read of the SOURCE columns: ts/props dropped — the
         # stats query never touches them, so neither should the layout
         df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
@@ -210,11 +250,19 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bad.count():
             # ''/NULL can't round-trip a Hive directory name (both read
             # back as NULL) — mark once, answer directly forever
-            os.makedirs(cache, exist_ok=True)
-            with open(unpartitionable, "w", encoding="utf-8") as fh:
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "_UNPARTITIONABLE"), "w", encoding="utf-8") as fh:
                 fh.write("empty-string or NULL event_type: Hive layout would merge groups")
         else:
-            write_partitioned_corpus(df, cache, "event_type")
+            write_partitioned_corpus(df, tmp, "event_type")
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            # lost the publish race: the winner built from the same
+            # source identity (same key), so its layout is equivalent
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     if os.path.exists(unpartitionable):
         return direct_agg()
     if not any(e.startswith("event_type=") for e in os.listdir(cache)):

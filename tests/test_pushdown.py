@@ -284,6 +284,62 @@ def test_signed_zero_contract_matches_oracle_side(spark, tmp_path):
     assert math.copysign(1.0, row["min_v"]) == math.copysign(1.0, oracle_min) == 1.0
 
 
+def test_cache_root_must_be_private(spark, tmp_path, monkeypatch):
+    """The layout cache root must be owned by us with no group/other
+    access: a pre-created world-writable root (another local user
+    squatting the predictable path) is an ERROR, never trusted — and a
+    root we created ourselves (0700) is accepted."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from gomapreduce_spark.sources.pushdown import events_partition_stats
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0, "click")],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    ev.coalesce(1).write.parquet(str(tmp_path / "ev"))
+    src = [f for f in os.listdir(str(tmp_path / "ev")) if f.endswith(".parquet")][0]
+    import shutil
+
+    shutil.copyfile(str(tmp_path / "ev" / src), f"{sf}/events.parquet")
+
+    fake_tmp = str(tmp_path / "faketmp")
+    os.makedirs(fake_tmp)
+    monkeypatch.setattr(tempfile, "tempdir", fake_tmp)
+    root = os.path.join(fake_tmp, f"gomapreduce_spark_cache_u{os.getuid()}")
+    os.makedirs(root)
+    os.chmod(root, 0o777)
+    with pytest.raises(RuntimeError, match="private directory"):
+        events_partition_stats(spark, sf)
+    os.chmod(root, 0o700)
+    rows = {r["event_type"]: r["n_rows"] for r in events_partition_stats(spark, sf).collect()}
+    assert rows == {"click": 1}
+
+
+def test_partition_stats_string_keys_survive_numeric_looking_values(spark, tmp_path):
+    """partitionColumnTypeInference is disabled for the layout read: a
+    STRING partition value that LOOKS numeric/boolean ('2021', 'true')
+    must round-trip as the identical string, not an inferred int/bool
+    (the round-14 advisor finding — the type flip would diverge from
+    the GROUP BY oracle's VARCHAR key under a typed value hash)."""
+    from gomapreduce_spark.sources.registry import write_partitioned_corpus
+
+    path = str(tmp_path / "layout")
+    df = spark.createDataFrame(
+        [(1, "2021"), (2, "true"), (3, "0.5"), (4, "plain")],
+        "doc_id long, tag string",
+    )
+    write_partitioned_corpus(df, path, "tag")
+    got = partition_stats(spark, path, ["tag"], ["doc_id"])
+    assert dict(got.dtypes)["tag"] == "string"
+    assert {r["tag"] for r in got.collect()} == {"2021", "true", "0.5", "plain"}
+
+
 def test_events_partition_stats_unpartitionable_values_fall_back(spark, tmp_path):
     """Hive directory encoding cannot round-trip '' or NULL partition
     values (both collapse into __HIVE_DEFAULT_PARTITION__ and read
@@ -314,9 +370,13 @@ def test_events_partition_stats_unpartitionable_values_fall_back(spark, tmp_path
 
     st = os.stat(f"{sf}/events.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(sf + '/events.parquet')}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+        f"{os.path.abspath(sf + '/events.parquet')}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
     ).hexdigest()[:16]
-    cache = os.path.join(tempfile.gettempdir(), "gomapreduce_spark_cache", f"events_by_type_{key}")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"gomapreduce_spark_cache_u{os.getuid()}",
+        f"events_by_type_{key}",
+    )
     assert os.path.exists(os.path.join(cache, "_UNPARTITIONABLE"))
     assert not any(e.startswith("event_type=") for e in os.listdir(cache))
     # second invocation takes the marker path (no rebuild, same answer)
