@@ -225,6 +225,59 @@ def duplicate_spans(docs: DataFrame, w: int = 10, stride: int = 5) -> DataFrame:
     )
 
 
+def _doc_window_hashes(docs: DataFrame, w: int) -> DataFrame:
+    """Stride-1 ``w``-token window hashes of a (doc_id, text) relation
+    — the tokenize + fan-out pass both sides of the decontamination
+    family share. Sentinel (NULL-hash) rows of sub-``w`` docs are
+    dropped: a doc shorter than ``w`` has no window to collide."""
+    toks = docs.select(
+        "doc_id", tokenize("text").alias("t"), F.size(tokenize("text")).alias("n_tokens")
+    )
+    return _window_hashes(toks, w, 1).where(F.col("win_hash").isNotNull())
+
+
+def _contamination_screen(
+    train_docs: DataFrame, bench_hashes: DataFrame, w: int, broadcast_index: bool = True
+) -> DataFrame:
+    """Screen a train-document relation against a benchmark
+    window-hash relation (one ``win_hash`` column): the shared core of
+    :func:`contamination_spans`, :func:`contamination_against_index`
+    and the streaming filter. ``bench_hashes`` is broadcast by default
+    — eval sets are tiny vs a 100 TB corpus, so the train side NEVER
+    shuffles for the join; the only exchange is the per-doc
+    interval-union window + rollup, keyed on doc_id.
+    ``broadcast_index=False`` leaves the join strategy to the planner
+    — the sort-merge fallback for an index union too big to ship,
+    where a bucketed index scan (save_contamination_index) avoids its
+    own Exchange."""
+    idx = F.broadcast(bench_hashes) if broadcast_index else bench_hashes
+    hits = (
+        _doc_window_hashes(train_docs, w)
+        .join(idx, "win_hash")
+        .select("doc_id", "n_tokens", "start", (F.col("start") + F.lit(w - 1)).alias("end"))
+    )
+    return (
+        _span_union_add(hits)
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_hit_windows"),
+            F.sum("add").cast("long").alias("contaminated_tokens"),
+            F.min("start").cast("long").alias("first_hit_start"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hit_windows",
+            "contaminated_tokens",
+            F.round(F.col("contaminated_tokens") / F.col("n_tokens").cast("double"), 4).alias(
+                "contam_frac"
+            ),
+            "first_hit_start",
+        )
+    )
+
+
 def contamination_spans(
     docs: DataFrame, w: int = 13, bench_mod: int = 43
 ) -> DataFrame:
@@ -246,47 +299,80 @@ def contamination_spans(
     table (benchmark_overlap's convention); production swaps in any
     (doc_id, text) eval DataFrame unchanged.
 
-    Scale shape: tokenize + window-hash — the expensive text pass —
-    runs ONCE over the whole input (train and bench split AFTER, off
-    one localCheckpointed relation, the duplicate_spans doctrine);
-    eval sets are tiny vs a 100 TB corpus, so the benchmark hash set
-    is DISTINCT'd and BROADCAST — the train side never shuffles for
-    the join; the only exchange is the per-doc interval-union window +
-    rollup, keyed on doc_id (the rollup reuses the window's
-    partitioning). Stride-1 fan-out ships ~n_tokens slim rows per doc
-    — linear, and entirely JVM-side (regexp tokenize, slice,
-    concat_ws, md5)."""
-    toks = docs.select(
-        "doc_id", tokenize("text").alias("t"), F.size(tokenize("text")).alias("n_tokens")
-    )
-    # shared fan-out with duplicate_spans; sentinel (NULL-hash) rows of
-    # sub-w docs are dropped — a doc shorter than w has no window to
-    # collide and never reaches the output
-    wins = _window_hashes(toks, w, 1).where(F.col("win_hash").isNotNull()).localCheckpoint()
+    Scale shape: the bench and train sides split BEFORE the tokenize
+    (the ``doc_id`` predicate pushes to the parquet scan on each
+    branch — disjoint slices, so every doc is still tokenized exactly
+    once across the two branches) and NOTHING corpus-sized is
+    checkpointed: the round-13 form localCheckpointed the whole
+    stride-1 window relation to share one tokenize pass, which pins
+    O(corpus tokens) rows in executor storage for the query's lifetime
+    — the round-14 advisor flagged it, and the split-first form is
+    strictly better (same total tokenize work, zero pinned storage;
+    the train side streams straight through the broadcast join). The
+    benchmark hash set is DISTINCT'd and BROADCAST — the train side
+    never shuffles for the join; the only exchange is the per-doc
+    interval-union window + rollup, keyed on doc_id. Stride-1 fan-out
+    ships ~n_tokens slim rows per doc — linear, and entirely JVM-side
+    (regexp tokenize, slice, concat_ws, md5)."""
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench_hashes = wins.where(is_bench).select("win_hash").distinct()
-    hits = wins.where(~is_bench).join(F.broadcast(bench_hashes), "win_hash").select(
-        "doc_id", "n_tokens", "start", (F.col("start") + F.lit(w - 1)).alias("end")
+    bench_hashes = (
+        _doc_window_hashes(docs.where(is_bench), w).select("win_hash").distinct()
     )
-    return (
-        _span_union_add(hits)
-        .groupBy("doc_id")
-        .agg(
-            F.first("n_tokens").cast("long").alias("n_tokens"),
-            F.count("*").cast("long").alias("n_hit_windows"),
-            F.sum("add").cast("long").alias("contaminated_tokens"),
-            F.min("start").cast("long").alias("first_hit_start"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_hit_windows",
-            "contaminated_tokens",
-            F.round(F.col("contaminated_tokens") / F.col("n_tokens").cast("double"), 4).alias(
-                "contam_frac"
-            ),
-            "first_hit_start",
-        )
+    return _contamination_screen(docs.where(~is_bench), bench_hashes, w)
+
+
+def save_contamination_index(
+    bench_docs: DataFrame, table: str, w: int = 13, buckets: int = 16
+) -> None:
+    """Persist the benchmark/eval set's stride-1 window-hash set as the
+    STANDING contamination index — the production shape of
+    :func:`contamination_spans` (round-13 verdict item 4): eval sets
+    change rarely, arriving corpus batches constantly, so the bench
+    tokenize+window pass is paid ONCE here and every
+    :func:`contamination_against_index` screen reads the result.
+
+    The table is DISTINCT'd (hash-set semantics at rest — a window
+    repeated across eval docs stores one row) and BUCKETED on
+    ``win_hash``: the index never re-shuffles for a join — the
+    broadcast fast path reads it as-is, and the sort-merge fallback
+    (an eval-set union too big to broadcast) reads the bucketed scan
+    co-located, shuffling only the arriving batch (the
+    save_signature_index doctrine, asserted by the same plan-shape
+    test)."""
+    (
+        _doc_window_hashes(bench_docs, w)
+        .select("win_hash")
+        .distinct()
+        .write.bucketBy(buckets, "win_hash")
+        .sortBy("win_hash")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def contamination_against_index(
+    train_docs: DataFrame,
+    index_table: str,
+    w: int = 13,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """The arriving-batch half of standing-index decontamination:
+    window-hash ONLY the new batch and screen it against the persisted
+    index (:func:`save_contamination_index`). Output schema and values
+    are identical to :func:`contamination_spans` on the equivalent
+    split — parity-asserted in tests, and the registered query shares
+    its DuckDB oracle.
+
+    ``broadcast_index=True`` (default — eval sets are small) ships the
+    index to every executor; the batch side never shuffles for the
+    join. ``False`` exercises the sort-merge fallback for oversized
+    index unions, where the BUCKETED index scan still avoids its
+    Exchange (only the batch side moves) — the plan-shape test pins
+    both."""
+    spark = train_docs.sparkSession
+    return _contamination_screen(
+        train_docs, spark.table(index_table), w, broadcast_index=broadcast_index
     )
 
 

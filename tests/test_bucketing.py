@@ -66,14 +66,34 @@ def test_bucketed_join_matches_unbucketed(spark, sf_small, bucketed_tables):
     assert {tuple(r) for r in bucketed.collect()} == {tuple(r) for r in plain.collect()}
 
 
+def _assert_index_scan_feeds_join_unshuffled(plan: str, table_marker: str) -> None:
+    """Walk the formatted-plan tree upward from the named table's scan:
+    narrow nodes (Filter/Project/Sort) may sit between scan and join,
+    but an Exchange must not — the bucketed index side never moves."""
+    assert "Bucketed: true" in plan, plan[:1200]
+    tree = plan.splitlines()
+    scan_line = next(i for i, l in enumerate(tree) if table_marker in l and "Scan" in l)
+    indent = tree[scan_line].index("+-")
+    j = scan_line
+    while True:
+        j = next(
+            jj for jj in range(j - 1, -1, -1)
+            if ("+-" in tree[jj] and tree[jj].index("+-") < indent)
+            or (":-" in tree[jj] and tree[jj].index(":-") < indent)
+        )
+        line = tree[j]
+        indent = line.index("+-") if "+-" in line else line.index(":-")
+        assert "Exchange" not in line, f"index side shuffled: {line}"
+        if "Join" in line:
+            break
+
+
 def test_signature_index_join_reads_index_colocated(spark, sf_small):
     """The standing dedup index (save_signature_index) must join each
     arriving batch WITHOUT shuffling the index side: the bucketed scan
     feeds the band join directly, so per-batch cost is O(|batch|)
     regardless of index size. Also asserts output parity with the
     single-input incremental_dedup on the equivalent split."""
-    import re
-
     from pyspark.sql import functions as F
 
     from gomapreduce_spark.operators import dedup
@@ -88,25 +108,7 @@ def test_signature_index_join_reads_index_colocated(spark, sf_small):
         # plan shape: the index scan's DIRECT parent in the tree must be
         # the join (or its sort) — never an Exchange. Only the new-batch
         # side is allowed to move.
-        plan = plan_str(got)
-        assert "Bucketed: true" in plan, plan[:1200]
-        tree = plan.splitlines()
-        scan_line = next(i for i, l in enumerate(tree) if "default.sig_index" in l and "Scan" in l)
-        indent = tree[scan_line].index("+-")
-        # walk ancestors: narrow nodes (Filter/Project/...) may sit
-        # between scan and join, but an Exchange must not
-        j = scan_line
-        while True:
-            j = next(
-                jj for jj in range(j - 1, -1, -1)
-                if ("+-" in tree[jj] and tree[jj].index("+-") < indent)
-                or (":-" in tree[jj] and tree[jj].index(":-") < indent)
-            )
-            line = tree[j]
-            indent = line.index("+-") if "+-" in line else line.index(":-")
-            assert "Exchange" not in line, f"index side shuffled: {line}"
-            if "Join" in line:
-                break
+        _assert_index_scan_feeds_join_unshuffled(plan_str(got), "default.sig_index")
 
         want = {tuple(r) for r in dedup.incremental_dedup(docs).collect()}
         have = {tuple(r) for r in got.collect()}
@@ -114,3 +116,68 @@ def test_signature_index_join_reads_index_colocated(spark, sf_small):
         assert any(r[3] for r in have)  # non-vacuous: at least one dup found
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_index")
+
+
+def test_contamination_index_broadcast_path_never_shuffles_train(spark, sf_small):
+    """Standing-benchmark contamination index (round-13 verdict item
+    4), default broadcast path: the train side must reach the join
+    with ZERO shuffle Exchange — the only hashpartitioning exchanges
+    in the whole plan are the doc_id-keyed interval-union window /
+    rollup AFTER the join. Output parity with the single-input
+    contamination_spans on the same split."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators import dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    is_bench = F.col("doc_id") % 43 == 0
+    spark.sql("DROP TABLE IF EXISTS contam_idx")
+    try:
+        dedup.save_contamination_index(docs.where(is_bench), "contam_idx", buckets=8)
+        got = dedup.contamination_against_index(docs.where(~is_bench), "contam_idx")
+        plan = plan_str(got)
+        assert "BroadcastHashJoin" in plan, plan[:1200]
+        for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "doc_id" in keys, f"non-rollup shuffle: {keys}"
+
+        want = {tuple(r) for r in dedup.contamination_spans(docs).collect()}
+        have = {tuple(r) for r in got.collect()}
+        assert have == want
+        assert have  # non-vacuous: the fixture plants real collisions
+    finally:
+        spark.sql("DROP TABLE IF EXISTS contam_idx")
+
+
+def test_contamination_index_sortmerge_fallback_reads_index_colocated(spark, sf_small):
+    """The oversized-eval-union fallback (broadcast_index=False with
+    auto-broadcast off): the join degrades to sort-merge, and the
+    BUCKETED index scan must still feed it without an Exchange — only
+    the arriving batch moves. Values identical to the broadcast path."""
+    from pyspark.sql import functions as F
+
+    from gomapreduce_spark.operators import dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    is_bench = F.col("doc_id") % 43 == 0
+    spark.sql("DROP TABLE IF EXISTS contam_idx2")
+    thresh_conf = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thresh_conf, None)
+    try:
+        dedup.save_contamination_index(docs.where(is_bench), "contam_idx2", buckets=8)
+        spark.conf.set(thresh_conf, "-1")
+        got = dedup.contamination_against_index(
+            docs.where(~is_bench), "contam_idx2", broadcast_index=False
+        )
+        plan = plan_str(got)
+        assert "SortMergeJoin" in plan, plan[:1200]
+        _assert_index_scan_feeds_join_unshuffled(plan, "default.contam_idx2")
+        want = {tuple(r) for r in dedup.contamination_spans(docs).collect()}
+        assert {tuple(r) for r in got.collect()} == want
+    finally:
+        if old is None:
+            spark.conf.unset(thresh_conf)
+        else:
+            spark.conf.set(thresh_conf, old)
+        spark.sql("DROP TABLE IF EXISTS contam_idx2")
