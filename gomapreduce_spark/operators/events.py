@@ -310,6 +310,75 @@ def value_deciles_approx(
     )
 
 
+def value_deciles_bounds(events: DataFrame, accuracy: int = 1000) -> DataFrame:
+    """Driver-checkable certificate for the LIVE approx-decile path —
+    closing the one designed oracle hole (round-13 verdict item 2):
+    :func:`value_deciles_approx`'s cutpoint VALUES are
+    merge-order-nondeterministic (partial GK sketches merge in
+    shuffle-arrival order), but the sketch's rank-error BOUND is not.
+    This query runs the real multi-partition sketch (no
+    ``repartition(1)`` — the merge path the ``_seq`` twin deliberately
+    bypasses), then verifies each returned cutpoint against the exact
+    rank it holds in the data, and outputs ONLY the deterministic
+    verdict: per decile, the corpus size, the certified error bound,
+    and whether the cutpoint's rank interval intersects the target
+    rank ± bound. Any run of the sketch that honors the documented GK
+    guarantee (rank error ≤ n/accuracy; Spark's percentile_approx
+    contract) produces the identical — hash-oracle-able — output, so
+    the row is stable while the nondeterministic path it certifies is
+    genuinely exercised.
+
+    ``err_bound`` is floor(n/accuracy) + 2: the documented sketch
+    error plus two ranks of slack for the rank-convention / tie
+    ambiguity of mapping a returned ELEMENT back to a rank (the
+    element's rank is an interval [#{v < c}+1, #{v ≤ c}] under ties;
+    the check passes iff that interval comes within ``err_bound`` of
+    the target rank p·n).
+
+    Scale shape: pass 1 is the partial-mergeable sketch aggregate
+    (one tiny row); pass 2 broadcasts that row onto a narrow
+    projection and folds 19 counting aggregates in ONE partial+final
+    aggregate — no global sort, no window, same envelope as
+    value_deciles_approx. The 9-row explode at the end fans out a
+    single driver-visible row."""
+    probs = [i / 10.0 for i in range(1, 10)]
+    cuts = events.agg(
+        F.percentile_approx("value", F.array(*[F.lit(p) for p in probs]), accuracy).alias("cuts")
+    )
+    counting = [F.count("*").alias("n")]
+    for i in range(1, 10):
+        c = F.element_at("cuts", i)
+        counting.append(F.sum((F.col("value") < c).cast("long")).alias(f"lt_{i}"))
+        counting.append(F.sum((F.col("value") <= c).cast("long")).alias(f"le_{i}"))
+    stats = events.select("value").join(F.broadcast(cuts)).agg(*counting)
+    per_decile = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("decile"),
+                F.col(f"lt_{i}").alias("lt"),
+                F.col(f"le_{i}").alias("le"),
+            )
+            for i in range(1, 10)
+        ]
+    )
+    n = F.col("n").cast("double")
+    bound = (F.floor(F.col("n") / F.lit(accuracy)) + F.lit(2)).cast("long")
+    target = F.col("d.decile") * n / F.lit(10.0)
+    return (
+        stats.where(F.col("n") > 0)
+        .select("n", F.explode(per_decile).alias("d"))
+        .select(
+            F.col("d.decile").alias("decile"),
+            F.col("n").alias("n_rows"),
+            bound.alias("err_bound"),
+            (
+                ((F.col("d.lt") + F.lit(1)).cast("double") <= target + bound.cast("double"))
+                & (F.col("d.le").cast("double") >= target - bound.cast("double"))
+            ).alias("within_bound"),
+        )
+    )
+
+
 def value_deciles(events: DataFrame) -> DataFrame:
     """ntile decile assignment over event values, rolled up per decile —
     the ranking-window surface (ntile) next to row_number.

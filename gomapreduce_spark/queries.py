@@ -116,6 +116,20 @@ def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _contamination_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-index decontamination, driver-runnable form: build (or
+    overwrite) the bench window-hash index from the deterministic
+    ``doc_id % 43 == 0`` eval slice, then screen the train slice
+    against the persisted table. Equals contamination_spans on the
+    same split (parity-asserted in tests), so it shares that oracle;
+    what it additionally certifies is the PERSISTED index round trip —
+    bucketed write, broadcast read, batch-only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 43 == 0
+    dedup.save_contamination_index(docs.where(is_bench), "contamination_index")
+    return dedup.contamination_against_index(docs.where(~is_bench), "contamination_index")
+
+
 # Ordering is priority-ordering: the driver records CORRECTNESS rows
 # for only the FIRST ~50 entries, so the first 50 are (a) the reference
 # core dataflow, (b) every entry that is NEW or whose implementation
@@ -309,6 +323,13 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_spans": lambda s, d: dedup.contamination_spans(
         load_table(s, d, "documents")
     ),
+    # -- round-14: standing-benchmark contamination index (the
+    # incremental_dedup shape for decontamination): persist the bench
+    # window-hash set ONCE, screen the arriving batch against it.
+    # Same split/params as contamination_spans, so it shares that
+    # oracle; the saveAsTable is the production index build, keyed by
+    # query name in the session warehouse
+    "contamination_against_index": lambda s, d: _contamination_against_index(s, d),
     "dsir_weights": lambda s, d: text.dsir_weights(load_table(s, d, "documents")),
     "token_budget_sample": lambda s, d: text.token_budget_sample(load_table(s, d, "documents")),
     "grouping_sets_revenue": lambda s, d: relational.grouping_sets_revenue(
@@ -387,6 +408,11 @@ QUERIES: dict[str, QueryFn] = {
     "value_deciles_approx_seq": lambda s, d: events.value_deciles_approx(
         load_table(s, d, "events"), sequential=True
     ),
+    # hash-stable certificate for the LIVE multi-sketch merge path
+    # (round-13 verdict item 2): outputs only the deterministic
+    # rank-bound verdict, so the driver can green-check the very path
+    # value_deciles_approx leaves rows-only by design
+    "value_deciles_bounds": lambda s, d: events.value_deciles_bounds(load_table(s, d, "events")),
     "heavy_hitters_approx": lambda s, d: text.heavy_hitters_approx(load_table(s, d, "documents")),
     # -- implementation CHANGED this round (re-verify) --
     "token_stats": lambda s, d: text.token_stats(load_table(s, d, "documents")),
@@ -2299,6 +2325,12 @@ ORACLES["contamination_spans"] = f"""
     FROM cov GROUP BY doc_id
 """
 
+# the standing-index form screens the identical train slice against
+# the identical bench window-hash set — only the index's storage
+# (persisted bucketed table vs in-plan relation) differs, so the SQL
+# oracle is the same relation-level restatement
+ORACLES["contamination_against_index"] = ORACLES["contamination_spans"]
+
 ORACLES["dsir_weights"] = f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     occ AS (
@@ -2831,6 +2863,22 @@ from .vda_expected import (
 )
 
 ORACLES["value_deciles_approx_seq"] = VALUE_DECILES_APPROX_SEQ_SQL
+
+# value_deciles_bounds: the oracle RESTATES the GK guarantee the Spark
+# side verifies against the live sketch — n, the certified bound
+# floor(n/accuracy)+2, and within_bound TRUE for all nine deciles. If
+# the sketch ever returned a cutpoint whose rank interval missed the
+# target by more than the bound, the Spark side would emit FALSE and
+# the hash would diverge — the row is a real check, not an echo.
+ORACLES["value_deciles_bounds"] = """
+    WITH n AS (SELECT count(*)::BIGINT AS n FROM events)
+    SELECT i::BIGINT AS decile,
+           n AS n_rows,
+           (n // 1000 + 2)::BIGINT AS err_bound,
+           TRUE AS within_bound
+    FROM n, range(1, 10) AS r(i)
+    WHERE n > 0
+"""
 
 # n-gram jaccard, parameterized over the hot-shingle df cap so the
 # registered query (capped, mirroring the Spark default) and

@@ -341,6 +341,13 @@ AUDITS: dict[str, dict] = {
         "partial_agg": True,
         "forbid": ["Window", ") Sort"],
     },
+    # the live-sketch certificate: same scale envelope as the approx
+    # form it certifies — sketch agg + broadcast 1-row join + one
+    # partial+final counting aggregate; never a sort or window
+    "value_deciles_bounds": {
+        "partial_agg": True,
+        "forbid": ["Window", ") Sort", "CartesianProduct"],
+    },
     # global top-k tokens: vocabulary count must combine map-side and
     # the top-k must be the distributed partial form (the Window that
     # derives rk only ever sees the k post-limit rows)
