@@ -321,6 +321,26 @@ def contamination_spans(
     return _contamination_screen(docs.where(~is_bench), bench_hashes, w)
 
 
+def _drop_table_with_orphan_location(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS, then remove any ORPHAN warehouse
+    directory left behind by a PREVIOUS session: the default catalog
+    is in-memory, so a managed table written by one driver process is
+    unknown to the next — whose ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS on the leftover directory. Production
+    metastores don't have this failure mode (the catalog persists);
+    this is the local-session stand-in, scoped to simple table names
+    in the default database."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, table.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def save_contamination_index(
     bench_docs: DataFrame, table: str, w: int = 13, buckets: int = 16
 ) -> None:
@@ -339,6 +359,7 @@ def save_contamination_index(
     co-located, shuffling only the arriving batch (the
     save_signature_index doctrine, asserted by the same plan-shape
     test)."""
+    _drop_table_with_orphan_location(bench_docs.sparkSession, table)
     (
         _doc_window_hashes(bench_docs, w)
         .select("win_hash")
@@ -1265,6 +1286,7 @@ def save_signature_index(
     tests/test_bucketing.py), so per-batch cost is O(|batch|) shuffle
     regardless of index size. At 100 TB, raise ``buckets`` to ~2-3× the
     executor count."""
+    _drop_table_with_orphan_location(docs.sparkSession, table)
     (
         banded_signatures(minhash_wide(docs, k), k, bands)
         .write.bucketBy(buckets, "band", "band_hash")

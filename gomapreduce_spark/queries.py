@@ -116,6 +116,26 @@ def _mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _knn_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the standing IVF+PQ index: the index is built ONCE
+    per source identity into the owner-private cache (sources/cache.py
+    — same staleness/atomicity contract as events_partition_stats'
+    layout) and every invocation serves the query batch from it — no
+    training or corpus encode in the query path. Same parameters and
+    query slice as knn_ivf_pq, so the output is bit-equal (parity-
+    asserted in tests) and shares its independent VALUES oracle."""
+    from .sources.cache import ensure_cached, identity_cache_dir
+
+    src = f"{sf_dir}/embeddings.parquet"
+    cache = identity_cache_dir("knn_index", src, "v1")
+    ensure_cached(
+        cache,
+        lambda tmp: similarity.save_knn_index(load_table(spark, sf_dir, "embeddings"), tmp),
+    )
+    queries_df = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return similarity.knn_against_index(spark, cache, queries_df)
+
+
 def _contamination_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing-index decontamination, driver-runnable form: build (or
     overwrite) the bench window-hash index from the deterministic
@@ -160,6 +180,9 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ivf": lambda s, d: similarity.knn_ivf(load_table(s, d, "embeddings")),
     "knn_pq": lambda s, d: similarity.knn_pq(load_table(s, d, "embeddings")),
     "knn_ivf_pq": lambda s, d: similarity.knn_ivf_pq(load_table(s, d, "embeddings")),
+    # -- round-14: ANN served from a PERSISTED index (no in-query
+    # training/encoding) — bit-equal to knn_ivf_pq, shares its oracle
+    "knn_against_index": lambda s, d: _knn_against_index(s, d),
     "approx_distinct_users": lambda s, d: events.approx_distinct_users(load_table(s, d, "events")),
     # -- NEW this round --
     "simhash_pairs": lambda s, d: dedup.simhash_pairs(load_table(s, d, "documents")),
@@ -586,6 +609,18 @@ QUERIES["streaming_interval_join"] = _streaming_interval_join
 QUERIES["streaming_session_windows"] = _streaming_session_windows
 QUERIES["streaming_dedup_events"] = _streaming_dedup
 QUERIES["streaming_gopher_filter"] = _streaming_gopher
+
+
+def _streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import streaming_contamination_filter
+
+    return streaming_contamination_filter(spark, f"{sf_dir}/documents.parquet")
+
+
+# equals contamination_spans row-for-row on a finite replay (stateless
+# stream-static membership join; order-free sorted-array union fold),
+# so it carries the batch form's full value-hash oracle
+QUERIES["streaming_contamination_filter"] = _streaming_contamination
 
 
 def _streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2330,6 +2365,11 @@ ORACLES["contamination_spans"] = f"""
 # (persisted bucketed table vs in-plan relation) differs, so the SQL
 # oracle is the same relation-level restatement
 ORACLES["contamination_against_index"] = ORACLES["contamination_spans"]
+# the streaming screen is deterministic on a finite replay and equals
+# the batch form row-for-row (doc-level decisions are stream-split
+# independent: the membership join is stateless and the union fold is
+# order-free) — same oracle
+ORACLES["streaming_contamination_filter"] = ORACLES["contamination_spans"]
 
 ORACLES["dsir_weights"] = f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
@@ -2835,6 +2875,10 @@ ORACLES["knn_lsh"] = KNN_LSH_EXPECTED_SQL
 ORACLES["knn_ivf"] = KNN_IVF_EXPECTED_SQL
 ORACLES["knn_pq"] = KNN_PQ_EXPECTED_SQL
 ORACLES["knn_ivf_pq"] = KNN_IVF_PQ_EXPECTED_SQL
+# the standing-index form is operation-identical to knn_ivf_pq (same
+# training sample, matmuls, tie rules — only the storage of the model
+# and lists differs), so it shares the independent VALUES oracle
+ORACLES["knn_against_index"] = KNN_IVF_PQ_EXPECTED_SQL
 
 # HLL++ oracle (round 8): HLL registers are MAX-merged (commutative,
 # associative, idempotent), so approx_count_distinct is a pure function
@@ -3670,6 +3714,7 @@ PRECOMPUTED_ORACLE_SF = {
     "knn_ivf": _ANN_SF,
     "knn_pq": _ANN_SF,
     "knn_ivf_pq": _ANN_SF,
+    "knn_against_index": _ANN_SF,
     "approx_distinct_users": _HLL_SF,
     "value_deciles_approx_seq": _VDA_SF,
 }
@@ -3708,6 +3753,9 @@ def _load_by_sf() -> None:
         PRECOMPUTED_ORACLE_SQL_BY_SF.setdefault("bpe_learn_merges_distributed", {})[sfd] = (
             f"SELECT * FROM ({sql}) WHERE rank <= 8"
         )
+    # the standing-index ANN form is bit-equal to knn_ivf_pq at every SF
+    for sfd, sql in PRECOMPUTED_ORACLE_SQL_BY_SF.get("knn_ivf_pq", {}).items():
+        PRECOMPUTED_ORACLE_SQL_BY_SF.setdefault("knn_against_index", {})[sfd] = sql
 
 
 _load_by_sf()

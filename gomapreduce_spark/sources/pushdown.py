@@ -187,40 +187,18 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the source (correct on any input; only the footers-only fast
     path is forfeited, exactly for the sources that cannot have it).
 
-    Cache hygiene (round-14 advisor finding): the cache root is
-    OWNER-PRIVATE (``gomapreduce_spark_cache_u<uid>``, created 0700
-    and verified owned-by-us on every use — a pre-created dir owned
-    by another local user is an error, never trusted), and a layout
-    is PUBLISHED ATOMICALLY: built under a pid-suffixed temp dir,
-    then ``os.rename``\\ d into place. A concurrent builder that loses
-    the rename race discards its own build — the winner's layout came
-    from the identical source identity, so either is correct — and a
-    crash mid-build leaves only a temp dir that can never be read as
-    a cache entry. The cache key carries a ``v2`` version tag so
-    pre-hardening entries are never consulted."""
-    import hashlib
+    Cache hygiene (round-14 advisor finding): the cache lives under
+    the OWNER-PRIVATE identity-keyed cache (sources/cache.py — 0700
+    root verified on every use, atomic rename publish, pid-suffixed
+    temp build, version tag ``v2`` so pre-hardening entries are never
+    consulted)."""
     import os
-    import tempfile
 
+    from .cache import ensure_cached, identity_cache_dir
     from .registry import write_partitioned_corpus
 
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"gomapreduce_spark_cache_u{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    rst = os.stat(root)
-    if rst.st_uid != os.getuid() or (rst.st_mode & 0o077):
-        raise RuntimeError(
-            f"cache root {root} is not a private directory owned by uid "
-            f"{os.getuid()} (uid={rst.st_uid}, mode={oct(rst.st_mode & 0o777)}) "
-            "— refusing to trust a cache another local user can write"
-        )
-    cache = os.path.join(root, f"events_by_type_{key}")
+    cache = identity_cache_dir("events_by_type", src, "v2")
     unpartitionable = os.path.join(cache, "_UNPARTITIONABLE")
 
     def direct_agg() -> DataFrame:
@@ -237,10 +215,7 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    if not os.path.isdir(cache):
-        # build under a temp sibling, publish with one atomic rename —
-        # a partially-built layout is never visible under `cache`
-        tmp = f"{cache}.tmp-{os.getpid()}"
+    def build(tmp: str) -> None:
         # plain v1 read of the SOURCE columns: ts/props dropped — the
         # stats query never touches them, so neither should the layout
         df = spark.read.parquet(src).select("event_id", "user_id", "value", "event_type")
@@ -255,14 +230,8 @@ def events_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write("empty-string or NULL event_type: Hive layout would merge groups")
         else:
             write_partitioned_corpus(df, tmp, "event_type")
-        try:
-            os.rename(tmp, cache)
-        except OSError:
-            # lost the publish race: the winner built from the same
-            # source identity (same key), so its layout is equivalent
-            import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+    ensure_cached(cache, build)
     if os.path.exists(unpartitionable):
         return direct_agg()
     if not any(e.startswith("event_type=") for e in os.listdir(cache)):

@@ -467,6 +467,22 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "SortMergeJoin"],
         "max_single_partition": 0,
     },
+    # -- round-14: standing-index decontamination — same plan contract
+    # as contamination_spans (index broadcasts, batch never shuffles
+    # for the join), with the index side a persisted bucketed table
+    "contamination_against_index": {
+        "require": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+        "max_single_partition": 0,
+    },
+    # -- round-14: ANN served from the persisted IVF+PQ index — the
+    # lists scan must carry the cell partition filter (probed
+    # directories only; at production centroid counts that is the
+    # entire scan reduction), and the shortlist rerank must broadcast
+    "knn_against_index": {
+        "require": ["PartitionFilters: [cent#", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     # DSIR: the per-bucket log-ratio table (<= 1024 rows) must come
     # back as a BROADCAST join onto the token stream — a shuffled join
     # would re-partition the whole corpus by bucket for nothing
