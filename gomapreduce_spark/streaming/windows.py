@@ -538,6 +538,90 @@ def streaming_gopher_filter(spark: SparkSession, docs_path: str) -> DataFrame:
     return _run_to_memory(gopher_rules(stream), "append")
 
 
+def streaming_contamination_filter(
+    spark: SparkSession, docs_path: str, w: int = 13, bench_mod: int = 43
+) -> DataFrame:
+    """Streaming span-level decontamination — the batch
+    ``contamination_spans`` screen applied to a DOCUMENTS stream
+    (round-13 verdict item 6): every arriving train doc is window-
+    hashed and membership-checked against the STATIC benchmark hash
+    set, the shape a production ingest runs so contaminated documents
+    are flagged as they land instead of in a nightly batch sweep.
+
+    Dataflow: the bench side is a BATCH relation (the deterministic
+    ``doc_id % bench_mod == 0`` slice, same convention as the batch
+    form — production swaps in the standing index table from
+    ``save_contamination_index`` unchanged); the stream side reuses the
+    batch operator's own stride-1 window fan-out
+    (``dedup._doc_window_hashes`` — narrow ops are streaming-agnostic)
+    and joins it to the bench hashes as a STREAM-STATIC broadcast
+    inner join: completely STATELESS — no watermark, no join state,
+    O(1) memory per arriving doc at any ingest rate. The only stateful
+    node is the per-doc rollup, where the batch form's analytic-window
+    interval union (unsupported over streams) is replaced by the
+    equivalent sorted-array FOLD: collect the hit starts, array_sort,
+    and run the same running-max-frontier arithmetic as
+    ``dedup._span_union_add`` inside one higher-order ``aggregate`` —
+    order-free (sorting happens after collection), so the result is
+    batch-identical however the stream is micro-batched. Complete
+    output mode on a finite replay emits the final per-doc state,
+    which equals ``contamination_spans`` row-for-row — the query
+    carries the batch form's full value-hash DuckDB oracle, plus
+    batch-parity and split-invariance tests.
+
+    Per-doc state is O(hit windows) — bounded by the doc's own length,
+    not the corpus; uncontaminated docs (the overwhelming majority at
+    production contamination rates) are filtered by the inner join
+    BEFORE the stateful rollup and hold no state at all."""
+    from ..operators.dedup import _doc_window_hashes
+
+    is_bench = F.col("doc_id") % bench_mod == 0
+    static_docs = spark.read.parquet(docs_path)
+    bench_hashes = (
+        _doc_window_hashes(static_docs.where(is_bench), w).select("win_hash").distinct()
+    )
+    stream = _read_parquet_stream(spark, docs_path).where(~is_bench)
+    hits = (
+        _doc_window_hashes(stream, w)
+        .join(F.broadcast(bench_hashes), "win_hash")
+        .select("doc_id", "n_tokens", "start")
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_hit_windows"),
+        F.array_sort(F.collect_list("start")).alias("starts"),
+    )
+    # the _span_union_add frontier arithmetic as a fold over the sorted
+    # starts: add = max(0, end - max(frontier, start-1)); span ends are
+    # start + w - 1 (cast to long — `start` is the int sequence index)
+    fold = F.aggregate(
+        F.transform("starts", lambda s: s.cast("long")),
+        F.struct(
+            F.lit(0).cast("long").alias("frontier"),
+            F.lit(0).cast("long").alias("covered"),
+        ),
+        lambda acc, s: F.struct(
+            F.greatest(acc["frontier"], s + F.lit(w - 1)).alias("frontier"),
+            (
+                acc["covered"]
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    (s + F.lit(w - 1)) - F.greatest(acc["frontier"], s - F.lit(1)),
+                )
+            ).alias("covered"),
+        ),
+    )
+    out = agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_hit_windows",
+        fold["covered"].alias("contaminated_tokens"),
+        F.round(fold["covered"] / F.col("n_tokens").cast("double"), 4).alias("contam_frac"),
+        F.element_at("starts", 1).cast("long").alias("first_hit_start"),
+    )
+    return _run_to_memory(out, "complete")
+
+
 def streaming_weighted_sample(
     spark: SparkSession,
     docs_path: str,

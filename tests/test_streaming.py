@@ -417,6 +417,38 @@ def test_streaming_gopher_filter_matches_batch(spark, sf_small):
     assert got == want and len(got) > 0
 
 
+def test_streaming_contamination_filter_matches_batch(spark, sf_small):
+    """The streaming decontamination screen must equal batch
+    contamination_spans row-for-row on a static replay (shared oracle
+    contract): the stateless membership join plus the order-free
+    sorted-array union fold reproduce the batch interval-union window
+    exactly."""
+    from gomapreduce_spark.operators.dedup import contamination_spans
+    from gomapreduce_spark.streaming import streaming_contamination_filter
+
+    batch = contamination_spans(load_table(spark, sf_small, "documents"))
+    stream = streaming_contamination_filter(spark, f"{sf_small}/documents.parquet")
+    got, want = _as_set(stream.select(*batch.columns)), _as_set(batch)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_contamination_filter_split_invariant(spark, sf_small, tmp_path):
+    """Doc-level verdicts cannot depend on micro-batch boundaries: a
+    3-file replay (maxFilesPerTrigger=1 — genuinely incremental) must
+    equal the single-file replay."""
+    import os
+
+    from gomapreduce_spark.streaming import streaming_contamination_filter
+
+    docs = load_table(spark, sf_small, "documents")
+    mb_dir = str(tmp_path / "mb_docs_contam")
+    os.makedirs(mb_dir, exist_ok=True)
+    docs.repartition(3).write.mode("overwrite").parquet(mb_dir)
+    single = _as_set(streaming_contamination_filter(spark, f"{sf_small}/documents.parquet"))
+    multi = _as_set(streaming_contamination_filter(spark, mb_dir))
+    assert single == multi and len(single) > 0
+
+
 def test_streaming_weighted_sample_matches_batch(spark, sf_small):
     """The streaming importance thinner, calibrated by the static
     snapshot of the same corpus, must equal batch weighted_sample
