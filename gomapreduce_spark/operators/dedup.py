@@ -1013,6 +1013,45 @@ def hamming_band_pairs(
 
 NEAR_DUP_PLANES = 6   # sign-LSH planes per table (bucket space 2^6)
 NEAR_DUP_TABLES = 24  # independent tables; recall compounds across them
+# calibration point for the scale-derived sizing: the sf0.1 fixture's
+# ~2k vectors are where the pinned 6×24 setting was verified to
+# recover every >=0.4 pair — at or below this N the derived params ARE
+# the pinned params, so every oracle stays pinned by construction
+LSH_SIZING_BASE_N = 2_000
+
+
+def derived_lsh_params(
+    n_vectors: int,
+    base_planes: int = NEAR_DUP_PLANES,
+    base_tables: int = NEAR_DUP_TABLES,
+    base_n: int = LSH_SIZING_BASE_N,
+) -> tuple[int, int]:
+    """The measured LSH sizing rule as a function (round-13 verdict
+    item 3): ``tools/probe_embedding_candidates.py`` proved candidate
+    volume at FIXED planes grows quadratically with corpus size (×100
+    per decade — occupancy N/2^planes is the law), and measured the
+    mitigation live at the 10× point: +⌊log2(N/N₀)⌋ planes holds
+    expected cell occupancy (and per-vector candidate work) roughly
+    constant (candidates ×0.196, wall ×0.6 of the fixed-plane run),
+    and DOUBLING the tables at the new occupancy buys recall back
+    (93.8 % → 99.6 % of the fixed-plane output). This function encodes
+    exactly that: planes grow with ⌊log2(N/base_n)⌋; tables double
+    once the plane count grows at all (the doubling was measured at
+    one decade — re-verify recall per decade when raising further,
+    probe-style, rather than extrapolating the table count).
+
+    At or below ``base_n`` the result is the pinned fixture setting,
+    so oracle-pinned queries are unchanged at every committed SF; the
+    10× point returns the probe's measured mitigation setting (9, 48)
+    — both pinned by tests."""
+    import math
+
+    if n_vectors <= base_n:
+        return base_planes, base_tables
+    extra = int(math.floor(math.log2(n_vectors / base_n)))
+    if extra == 0:
+        return base_planes, base_tables
+    return base_planes + extra, base_tables * 2
 
 
 def _embedding_cells(
@@ -1075,8 +1114,8 @@ def _embedding_cells(
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = NEAR_DUP_PLANES,
-    n_tables: int = NEAR_DUP_TABLES,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     max_cell: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥
@@ -1118,20 +1157,31 @@ def embedding_near_dup(
     observation ``embedding_near_dup_hot_cells`` (n_hot_cells,
     n_member_rows_dropped).
 
-    100 TB plane scaling: wall is LINEAR IN CANDIDATES (measured —
-    tools/probe_embedding_candidates.py; SCALE.md "candidate-growth
+    100 TB plane scaling — now the DEFAULT, not just a docstring rule
+    (round-13 verdict item 3): wall is LINEAR IN CANDIDATES (measured
+    — tools/probe_embedding_candidates.py; SCALE.md "candidate-growth
     law"), and candidate volume is governed by expected cell occupancy
-    N / 2^n_planes per table. The fixture's 6 planes (64 cells/table)
-    are an oracle-pinned setting sized to guarantee 100% recall at the
-    fixture SFs; at production scale the standard LSH sizing applies:
-    grow ``n_planes`` with log2(N) to hold occupancy — and therefore
-    per-vector candidate work — constant, and buy recall back with
-    ``n_tables`` / probe radius rather than coarser cells. The
-    ``max_cell`` cap stays as the skew backstop either way.
+    N / 2^n_planes per table. When ``n_planes``/``n_tables`` are left
+    None, they derive from the OBSERVED table size via
+    :func:`derived_lsh_params` — a single cheap ``count()`` job (a
+    1-long result, never a data collect; at production the count comes
+    from the footer-stats path for free) feeding the probe-measured
+    rule: +⌊log2(N/2000)⌋ planes to hold occupancy constant, tables
+    doubled to buy recall back. At or below the 2k calibration point
+    (every committed fixture SF) the derived params equal the pinned
+    6×24 setting — verified to recover 100 % of ≥threshold pairs there
+    — so all oracles stay pinned while production corpora
+    automatically get the mitigation. Explicit arguments override (the
+    probe tool pins its own settings). The ``max_cell`` cap stays as
+    the skew backstop either way.
     """
     import numpy as np
     import pandas as pd
 
+    if n_planes is None or n_tables is None:
+        dp, dt = derived_lsh_params(emb.count())
+        n_planes = dp if n_planes is None else n_planes
+        n_tables = dt if n_tables is None else n_tables
     cells = _embedding_cells(emb, n_planes, n_tables, max_cell)
 
     def _lr_sims(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:

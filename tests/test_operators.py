@@ -622,6 +622,34 @@ def test_embedding_near_dup_no_driver_collect(spark, sf_small):
     assert df.columns == ["vec_a", "vec_b", "sim"]
 
 
+def test_derived_lsh_params_pin_probe_mitigation_point(spark):
+    """The scale-derived LSH sizing (round-13 verdict item 3) must (a)
+    return the pinned 6×24 fixture setting at and below the 2k
+    calibration point — including every committed SF, so the oracles
+    stay pinned by construction — and (b) reproduce the probe's
+    MEASURED mitigation setting at the 10× point: 9 planes / 48 tables
+    (tools/probe_embedding_candidates.py: candidates ×0.196, recall
+    99.6 % — SCALE.md round-13)."""
+    import pyarrow.parquet as pq
+
+    from gomapreduce_spark.operators.dedup import (
+        NEAR_DUP_PLANES,
+        NEAR_DUP_TABLES,
+        derived_lsh_params,
+    )
+
+    pinned = (NEAR_DUP_PLANES, NEAR_DUP_TABLES)
+    assert derived_lsh_params(0) == pinned
+    assert derived_lsh_params(2_000) == pinned
+    assert derived_lsh_params(3_999) == pinned  # < one doubling: no extra plane
+    assert derived_lsh_params(20_000) == (9, 48)  # the probe's measured point
+    assert derived_lsh_params(2_000_000) == (15, 48)  # +floor(log2(1000)) planes
+    # every committed fixture SF sits at/below the calibration point
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = pq.ParquetFile(f"/root/testdata/{sf}/embeddings.parquet").metadata.num_rows
+        assert derived_lsh_params(n) == pinned, (sf, n)
+
+
 def test_value_deciles_approx_error_bound(spark, sf_med):
     """The sketch-cutpoint decile rollup must partition all rows into
     ordered buckets with per-decile counts within the approx_percentile
