@@ -45,12 +45,23 @@ def cache_root() -> str:
 
 def identity_cache_dir(prefix: str, src: str, version: str) -> str:
     """Cache path for an artifact derived from ``src``, keyed by the
-    source's (path, size, mtime) identity plus a ``version`` tag that
-    callers bump whenever the DERIVATION changes."""
+    source's identity plus a ``version`` tag that callers bump
+    whenever the DERIVATION changes. A file's identity is its (path,
+    size, mtime); a DIRECTORY's identity folds every immediate entry's
+    (name, size, mtime) — a regenerated multi-file corpus changes the
+    key even when the writer reuses file names and pins mtimes (sizes
+    differ), so a stale artifact (or a stale streaming checkpoint kept
+    under the cache dir) can never be consulted for new data."""
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{version}".encode()
-    ).hexdigest()[:16]
+    if os.path.isdir(src):
+        parts = []
+        for name in sorted(os.listdir(src)):
+            est = os.stat(os.path.join(src, name))
+            parts.append(f"{name}|{est.st_size}|{est.st_mtime_ns}")
+        ident = f"dir:{os.path.abspath(src)}|" + "|".join(parts)
+    else:
+        ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.md5(f"{ident}|{version}".encode()).hexdigest()[:16]
     return os.path.join(cache_root(), f"{prefix}_{key}")
 
 

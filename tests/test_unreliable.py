@@ -433,3 +433,123 @@ def test_incremental_dedup_crash_between_sinks(spark, sf_small, tmp_path):
         r["batch_id"] for r in idx.select("batch_id").distinct().collect()
     ) == [0, 1, 2]
     assert idx.count() == idx.select("band", "band_hash", "doc_id").distinct().count()
+
+
+def test_incremental_dedup_source_regeneration_after_mid_index_crash(
+    spark, sf_small, tmp_path
+):
+    """Round-14 ratchet: a crash lands BETWEEN the verdict and index
+    writes (mid-batch on the signature-index path), and the run is
+    COMPOSED with a testdata regeneration — the source corpus
+    rewritten in place with the same file names and pinned mtimes, the
+    way the driver regenerates fixtures. Two guarantees must compose:
+
+    (1) replay correctness on the ORIGINAL identity: restarting the v1
+        run absorbs the mid-index crash exactly once (manifest equals
+        the chaos-free v1 run; index holds every batch exactly once);
+    (2) identity isolation across the regeneration: the work dir
+        (checkpoint + verdicts + index) is keyed by the SOURCE's
+        identity (sources.cache.identity_cache_dir — directory
+        identity folds per-entry sizes, so same-name same-mtime
+        rewrites still change the key). The regenerated corpus maps to
+        a FRESH work dir: the v2 run starts from a clean checkpoint
+        (every v2 doc gets a verdict — a reused checkpoint would
+        silently skip the same-named files as already-seen), and the
+        v1 work dir is left byte-untouched. Resuming a stale
+        checkpoint against regenerated files is exactly the hazard the
+        identity key forecloses."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from test_streaming import _as_set, _write_time_ordered_files
+
+    from gomapreduce_spark.mapreduce.chaos import unreliable_sink_gap
+    from gomapreduce_spark.sources.cache import identity_cache_dir
+    from gomapreduce_spark.sources.registry import load_table
+    from gomapreduce_spark.streaming import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_small, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0)
+
+    def write_corpus(df, out_dir):
+        _write_time_ordered_files(
+            spark,
+            df.withColumn("_chunk", F.ntile(3).over(W.orderBy("doc_id"))),
+            out_dir,
+            n_files=3,
+            chunk_col="_chunk",
+        )
+
+    mb_dir = str(tmp_path / "mb_docs")
+    write_corpus(v1, mb_dir)
+    work1 = identity_cache_dir("sid_work", mb_dir, "test_regen")
+
+    want_v1 = _as_set(
+        streaming_incremental_dedup(
+            spark, mb_dir, str(tmp_path / "w_clean1"), max_files_per_trigger=1
+        )
+    )
+
+    # crash between the two sinks on batch 1's first delivery only
+    gap = unreliable_sink_gap(
+        "regen", str(tmp_path / "att"), marker_dir=str(tmp_path / "mrk")
+    )
+
+    def gap_b1(batch_id: int) -> None:
+        if batch_id == 1:
+            gap(batch_id)
+
+    try:
+        n_failures = _run_with_restarts(
+            lambda: streaming_incremental_dedup(
+                spark, mb_dir, work1, max_files_per_trigger=1, between_sinks=gap_b1
+            )
+        )
+        # (1) the restart absorbed the mid-index crash on the same identity
+        assert n_failures == 1
+        got_v1 = _as_set(
+            spark.read.parquet(f"{work1}/verdicts").select(
+                "doc_id", "n_matches", "best_jaccard", "is_dup"
+            )
+        )
+        assert got_v1 == want_v1
+        idx = spark.read.parquet(f"{work1}/index")
+        assert sorted(
+            r["batch_id"] for r in idx.select("batch_id").distinct().collect()
+        ) == [0, 1, 2]
+        assert idx.count() == idx.select("band", "band_hash", "doc_id").distinct().count()
+
+        # regenerate the corpus IN PLACE: same file names, pinned
+        # mtimes, different content/sizes (v2 = the full corpus)
+        write_corpus(docs, mb_dir)
+        work2 = identity_cache_dir("sid_work", mb_dir, "test_regen")
+        assert work2 != work1, "directory identity must change on regeneration"
+
+        def snapshot(d):
+            return {
+                os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+                for r, _, fs in os.walk(d)
+                for f in fs
+            }
+
+        before = snapshot(work1)
+        got_v2 = _as_set(
+            streaming_incremental_dedup(spark, mb_dir, work2, max_files_per_trigger=1)
+        )
+        # (2) fresh identity => fresh checkpoint: EVERY v2 doc verdicted
+        assert len(got_v2) == docs.count()
+        want_v2 = _as_set(
+            streaming_incremental_dedup(
+                spark, mb_dir, str(tmp_path / "w_clean2"), max_files_per_trigger=1
+            )
+        )
+        assert got_v2 == want_v2
+        assert snapshot(work1) == before, "v2 run touched the v1 work dir"
+    finally:
+        for d in (work1,):
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(
+            identity_cache_dir("sid_work", mb_dir, "test_regen"), ignore_errors=True
+        )
