@@ -46,9 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query. Exactly ONE query is
     intentionally absent — value_deciles_approx (GK sketch merges in
-    shuffle-arrival order; dual-bound tests + the hash-oracled
-    repartition(1) twin value_deciles_approx_seq compensate); every
-    streaming query IS present (deterministic on finite replay), and
-    the deterministic codec/ANN/BPE/HLL/kmeans pipelines carry
-    precomputed independent-reference VALUES oracles."""
+    shuffle-arrival order; dual-bound tests, the hash-oracled
+    repartition(1) twin value_deciles_approx_seq, AND — round 14 —
+    the hash-oracled value_deciles_bounds certificate that runs the
+    LIVE multi-sketch merge path and verifies its rank bound,
+    compensate); every streaming query IS present (deterministic on
+    finite replay), and the deterministic codec/ANN/BPE/HLL/kmeans
+    pipelines carry precomputed independent-reference VALUES
+    oracles."""
     return dict(_q.ORACLES)

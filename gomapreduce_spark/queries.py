@@ -692,92 +692,83 @@ QUERIES["streaming_transition_matrix"] = _streaming_transition_matrix
 
 # Driver-check priority: the driver records CORRECTNESS rows for only
 # the first ~50 entries, so the front of the dict is rebuilt each
-# round. Round 13 executes the round-12 verdict's rotation order
-# (item 3), stalest-first: the ENTIRE 41-query r9-stale block (the
-# only queries whose last driver row is older than r10 after r12) in
-# registration order; then the three round-13 additions; then the three
-# queries whose implementation changed this round
-# (lineitem_footer_stats gained the signed-zero min/max normalization
-# that root-caused its r12 driver hash FAIL — the re-cut row is the
-# fix's done-condition; embedding_near_dup's cell construction was
-# extracted for the candidate-law probe; duplicate_spans' window
-# fan-out and interval-union frontier were extracted into shared
-# helpers contamination_spans reuses — values/plan verified
-# unchanged); then three r10-stale backfills to fill the 50-row
-# budget. After r13 no
-# registered query's last driver row is older than r10. Every entry is
-# still re-verified each round by pytest + tools/check_oracle.py
-# regardless of position. Note the r12 verdict's standing suggestion
-# is satisfied structurally this round: value_deciles_approx (the
-# designed no_oracle hole) is NOT in this window, while its
-# hash-oracled _seq twin IS (r9-stale), so the compensation lands in
-# CORRECTNESS_r13 on its own.
-_R13_PRIORITY = [
-    # (a) the complete r9-stale pool, registration order
-    'sum_reduce',
-    'multimodal_features',
-    'tf_idf',
-    'embedding_dedup_clusters',
-    'q13_customer_distribution',
-    'q22_global_sales_opportunity',
-    'paragraph_dedup',
-    'lm_perplexity',
-    'boilerplate_spans',
-    'incremental_dedup',
-    'ordered_funnel',
-    'rolling_active_users',
-    'retention_cohorts',
-    'bpe_learn_merges',
-    'bpe_encode_stats',
-    'dsir_weights',
-    'token_budget_sample',
-    'grouping_sets_revenue',
-    'k_anonymity_audit',
-    'chunk_documents_udtf',
-    'full_outer_user_activity',
-    'map_funcs_showcase',
-    'math_funcs_showcase',
-    'regression_stats',
-    'corpus_quality_report',
-    'bm25_search',
-    'distribution_drift',
-    'ngram_novelty',
-    'vocab_coverage',
-    'monthly_revenue_trend',
-    'bloom_decontamination',
-    'q11_important_parts',
-    'q12_late_by_returnflag',
-    'q15_top_supplier',
-    'q20_excess_suppliers',
-    'trimmed_mean_distributed',
-    'value_deciles_approx_seq',
-    'token_stats',
-    'lateral_topk_orders',
-    'streaming_left_outer_join',
-    'streaming_chained_windows',
-    # (b) NEW in round 13 — no driver row exists yet
-    "video_shot_frames",          # per-shot keyframe sampling (r12 verdict item 5)
-    "events_partition_stats",     # grouped footer-stat pushdown (r12 verdict item 4)
-    "contamination_spans",        # span-level decontamination (13-gram collisions)
-    # (c) implementation changed in round 13 (re-row):
-    # lineitem_footer_stats gained the signed-zero normalization
-    # projection above the pushed aggregate (the r12 driver window's
-    # one hash FAIL, now fixed); embedding_near_dup's candidate-cell
-    # construction was extracted into _embedding_cells so the
-    # candidate-law probe measures the operator's own plan (values and
-    # plan unchanged — verified — but the implementation moved, so the
-    # row is re-cut; its consumer embedding_dedup_clusters is already
-    # in block (a))
-    "lineitem_footer_stats",      # r12 (FAIL -> re-cut)
-    "embedding_near_dup",         # r10 (refactor re-row)
-    "duplicate_spans",            # r10 (refactor re-row: shared _window_hashes/_span_union_add)
-    # (d) r10-stale backfill to the 50-row budget, registration order
-    'winnow_fingerprints',                # r10
-    'canonical_docs',                # r10
-    'leakage_safe_split',                # r10
+# round. Round 14 executes the round-13 verdict's rotation order
+# (item 1), stalest-first: the ENTIRE 41-query r10-stale block (the
+# only queries whose last driver row is older than r11 after r13) in
+# registration order; then the four round-14 additions
+# (value_deciles_bounds closes the last designed oracle hole with a
+# hash-stable certificate of the LIVE GK merge path;
+# contamination_against_index and knn_against_index are the
+# standing-index production forms; streaming_contamination_filter the
+# streaming decontamination screen); then the three queries whose
+# implementation changed this round (contamination_spans dropped its
+# corpus-sized localCheckpoint for the split-before-tokenize form —
+# values verified unchanged; events_partition_stats moved to the
+# hardened owner-private atomic cache with partition type inference
+# disabled; embedding_near_dup gained the scale-derived
+# n_planes/n_tables default — derived == pinned at every fixture SF,
+# values verified unchanged); then two r11-stale backfills to fill
+# the 50-row budget. After r14 no registered query's last driver row
+# is older than r11. Every entry is still re-verified each round by
+# pytest + tools/check_oracle.py regardless of position.
+_R14_PRIORITY = [
+    # (a) the complete r10-stale pool, registration order
+    'image_dhash_index',
+    'audio_spectral',
+    'event_transition_matrix',
+    'bpe_pair_counts',
+    'sparse_doc_similarity',
+    'scd2_user_state',
+    'merge_upsert_customers',
+    'bpe_learn_merges_distributed',
+    'dedup_recall_audit',
+    'html_boilerplate_strip',
+    'pagerank_dedup_graph',
+    'variant_props_stats',
+    'triangle_stats',
+    'weighted_sample',
+    'ppjoin_pairs',
+    'corpus_snapshot_diff',
+    'dedup_clusters',
+    'q4_late_shipments',
+    'asof_join_orders',
+    'range_join_shipments',
+    'percentile_stats',
+    'topk_per_group',
+    'rollup_revenue',
+    'anti_join_customers',
+    'semi_join_big_spenders',
+    'order_status_pivot',
+    'tumbling_window_counts',
+    'running_totals',
+    'cube_by_type_hour',
+    'funnel_set_ops',
+    'json_props_stats',
+    'latest_event_per_user',
+    'value_deciles',
+    'value_prop_correlation',
+    'trimmed_mean_by_type',
+    'distinct_words',
+    'string_funcs_showcase',
+    'date_funcs_showcase',
+    'salted_user_counts',
+    'streaming_weighted_sample',
+    'streaming_transition_matrix',
+    # (b) NEW in round 14 — no driver row exists yet
+    "value_deciles_bounds",           # live-sketch rank-bound certificate (r13 verdict item 2)
+    "contamination_against_index",    # standing-benchmark index screen (r13 verdict item 4)
+    "knn_against_index",              # ANN served from the persisted IVF+PQ index (r13 verdict item 5)
+    "streaming_contamination_filter", # streaming decontamination screen (r13 verdict item 6)
+    # (c) implementation changed in round 14 (re-row)
+    "contamination_spans",            # r13 (checkpoint-removal refactor)
+    "events_partition_stats",         # r13 (hardened cache + inference off)
+    "embedding_near_dup",             # r13 (scale-derived LSH defaults)
+    # (d) r11-stale backfill to the 50-row budget, registration order
+    'knn_ivf',                        # r11
+    'knn_pq',                         # r11
 ]
-_order = [n for n in QUERIES if n not in _R13_PRIORITY]
-_order[0:0] = _R13_PRIORITY
+_order = [n for n in QUERIES if n not in _R14_PRIORITY]
+_order[0:0] = _R14_PRIORITY
 QUERIES = {k: QUERIES[k] for k in _order}
 
 
