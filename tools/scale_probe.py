@@ -133,6 +133,13 @@ PROBE_QUERIES = [
     "video_shot_frames",
     "events_partition_stats",
     "contamination_spans",
+    # round-14 additions (standing indexes + the live-sketch
+    # certificate + the streaming screen's batch twin is covered by
+    # contamination_spans; knn_against_index expected ~flat once the
+    # identity-keyed index cache is warm — the build is keyed per SF)
+    "contamination_against_index",
+    "knn_against_index",
+    "value_deciles_bounds",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
