@@ -27,12 +27,12 @@ from pyspark.sql import functions as F
 
 from ..functions import h64
 from .dedup import canonical_docs, exact_dedup, synth_corpus_snapshot
-from .text import gopher_rules, quality_classifier
+from .text import gopher_keep_expr, quality_keep_expr
 from .web import (
     DEFAULT_BLOCKLIST,
-    blocklist_filter,
+    blocklist_pass_expr,
     registered_domain_expr,
-    synth_doc_urls,
+    synth_url_expr,
     canonical_url_expr,
 )
 
@@ -79,29 +79,40 @@ def doc_provenance(
 
     Scale shape: the expensive subtree is canonical_docs' LSH cluster
     pipeline, paid once; everything else is narrow projections and
-    three doc_id-keyed joins of already-reduced sides (ids + hashes +
-    short strings, never text). At 100 TB the manifest costs the dedup
-    pipeline + three 8-byte-key joins — and it is the artifact that
-    makes the whole corpus auditable."""
+    TWO doc_id-keyed joins of already-reduced sides (ids + hashes +
+    short strings, never text) — the url/domain columns ride the
+    old-text-hash scan as expressions instead of costing a third join.
+    At 100 TB the manifest costs the dedup pipeline + two 8-byte-key
+    joins — and it is the artifact that makes the whole corpus
+    auditable."""
     bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
-    web_side = synth_doc_urls(docs)
-    canon_url = canonical_url_expr(F.col("url"))
-    urls = web_side.select(
-        "doc_id",
-        "url",
-        canon_url.alias("canonical_url"),
-        registered_domain_expr(canon_url).alias("registered_domain"),
-    )
+    # url / canonical_url / registered_domain are row-level expressions
+    # of (doc_id, source), so they ride the SAME scan that hashes the
+    # old text (optimization r14, guide §2.4) — the former shape
+    # computed them in a separate corpus scan and re-attached them with
+    # a doc_id-keyed join, shuffling the whole manifest once more
+    url = synth_url_expr()
+    canon_url = canonical_url_expr(url)
     # per-doc snapshot status: LEFT join old→new on doc_id (the fresh
     # docs the synth crawl ADDS have ids ≥ 2^60 and can't match, so
     # an old doc is removed / changed / unchanged, never 'added')
     new_h = synth_corpus_snapshot(docs).select("doc_id", h64(F.col("text")).alias("h_new"))
     snap = (
-        docs.select("doc_id", "source", h64(F.col("text")).alias("h_old"))
+        docs.select(
+            "doc_id",
+            "source",
+            url.alias("url"),
+            canon_url.alias("canonical_url"),
+            registered_domain_expr(canon_url).alias("registered_domain"),
+            h64(F.col("text")).alias("h_old"),
+        )
         .join(new_h, "doc_id", "left")
         .select(
             "doc_id",
             "source",
+            "url",
+            "canonical_url",
+            "registered_domain",
             F.when(F.col("h_new").isNull(), F.lit("removed"))
             .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
@@ -113,8 +124,7 @@ def doc_provenance(
     )
     split = _split_col("cluster_id")
     out = (
-        snap.join(urls, "doc_id")
-        .join(clusters, "doc_id")
+        snap.join(clusters, "doc_id")
         .withColumn("blocked", F.col("registered_domain").isin(bl))
         .withColumn("split", split)
     )
@@ -231,46 +241,45 @@ def corpus_ingest_e2e(
     count chain even when every stage is green in isolation.
 
     Stage semantics: the three admission stages are ROW-LEVEL pure
-    functions of a document, so their verdicts are computed as flags
-    over one frame and counted with a conjunctive aggregate — which is
-    arithmetically identical to running them as sequential filters (a
-    row-level stage's verdict cannot depend on which OTHER docs
-    survived an earlier stage), and avoids materializing each
-    intermediate corpus (test-pinned equal to the sequential run). The
-    flags come from the REAL operators (blocklist_filter /
-    gopher_rules / quality_classifier), never restatements, joined on
-    doc_id so a semantics change in any stage changes this row.
+    functions of a document, so their verdicts are computed as flag
+    EXPRESSIONS inlined into the scan and counted with a conjunctive
+    aggregate — which is arithmetically identical to running them as
+    sequential filters (a row-level stage's verdict cannot depend on
+    which OTHER docs survived an earlier stage), and avoids
+    materializing each intermediate corpus (test-pinned equal to the
+    sequential run). The flag expressions are the REAL operators'
+    single-source-of-truth Columns (web.blocklist_pass_expr /
+    text.gopher_keep_expr / text.quality_keep_expr — the same objects
+    blocklist_filter / gopher_rules / quality_classifier project), so
+    a semantics change in any stage changes this row.
 
-    Scale shape: three corpus scans for the admission flags (each
-    row-level, no shuffle of text — the joined sides are (doc_id,
-    flag) pairs), then the exact-dedup hash-groupBy and the
-    canonical_docs LSH subtree on the ADMITTED set only (the whole
-    point of admission-first ordering: the expensive near-dup pass
-    never sees rejected docs). The certification layer is two 1-row
-    aggregates, a broadcast-of-1-row crossJoin, and stack() — 11 rows
-    out at any corpus size."""
+    Scale shape (optimization r14, guide §2.3/§2.4): the admission
+    flags are narrow scalar expressions, so ALL THREE ride ONE scan
+    into the checkpointed (doc_id, 3 booleans) flag relation — the
+    former shape computed them in three separate corpus scans (two of
+    which tokenized the corpus independently) and re-attached them
+    with three doc_id-keyed joins before the same checkpoint; one
+    combined projection tokenizes ONCE (the gopher and classifier
+    token exprs are identical subtrees, eliminated by codegen CSE) and
+    joins NOTHING. The checkpoint itself stays: the flag relation is
+    consumed by both the admission aggregate and the admitted-set
+    join, and re-inlining interpreted higher-order token lambdas into
+    every downstream reference re-prices the corpus scan 5× (measured
+    at sf0.1: 11–16 s vs 6.5 s — the checkpointed form is the fast
+    one at every scale once >1 consumer exists). Downstream is
+    unchanged: exact-dedup hash-groupBy and the canonical_docs LSH
+    subtree on the ADMITTED set only (the whole point of
+    admission-first ordering: the expensive near-dup pass never sees
+    rejected docs). The certification layer is two 1-row aggregates, a
+    broadcast-of-1-row crossJoin, and stack() — 11 rows out at any
+    corpus size."""
     bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
-    passed_bl = blocklist_filter(docs, bl).select("doc_id", F.lit(True).alias("__bl"))
-    gop = gopher_rules(docs).select("doc_id", (F.col("keep") == 1).alias("__gop"))
-    qual = quality_classifier(docs).select("doc_id", F.col("keep").alias("__q"))
-    # the flags table is consumed by BOTH the admission aggregate and
-    # the admitted-set join; localCheckpoint (the minhash_wide
-    # doctrine) pays the three row-level admission scans ONCE instead
-    # of re-inlining the whole subtree per consumer — the materialized
-    # relation is (doc_id, 3 booleans), ~10 bytes/doc at any scale
-    flags = (
-        docs.select("doc_id")
-        .join(passed_bl, "doc_id", "left")
-        .join(gop, "doc_id")
-        .join(qual, "doc_id")
-        .select(
-            "doc_id",
-            F.coalesce("__bl", F.lit(False)).alias("bl"),
-            F.col("__gop").alias("gop"),
-            F.col("__q").alias("q"),
-        )
-        .localCheckpoint()
-    )
+    flags = docs.select(
+        "doc_id",
+        blocklist_pass_expr(bl).alias("bl"),
+        gopher_keep_expr().alias("gop"),
+        quality_keep_expr().alias("q"),
+    ).localCheckpoint()
     admission = flags.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("bl").cast("long")).alias("n_blocklist_pass"),

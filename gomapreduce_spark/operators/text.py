@@ -585,16 +585,13 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
-    """Gopher-style rule-based quality filter: hard bounds on word
-    count, mean word length, symbol-to-word ratio ('#' and '...'),
-    alphabetic-word ratio, and distinct-stopword presence; ``keep`` is
-    the conjunction. The standard first-pass corpus filter (C4/Gopher
-    lineage), distinct from :func:`quality_score`'s soft composite.
-
-    All built-in functions over one narrow scan — no shuffle, no UDF;
-    at 100 TB this is an embarrassingly parallel filter whose selectivity
-    reaches the parquet scan via the usual pushdown when composed."""
+def _gopher_metrics() -> dict[str, Column]:
+    """The five Gopher rule metrics plus the ``keep`` conjunction as
+    plain Column expressions over a ``text`` column — the single
+    source of truth :func:`gopher_rules` projects and composed
+    pipelines (corpus_ingest_e2e) inline into their own scan, so the
+    flag is the REAL operator's expression either way (the
+    quality_expr precedent)."""
     toks = tokenize("text")
     n = F.size(toks)
     nn = F.greatest(n, F.lit(1))
@@ -613,6 +610,37 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
         & (alpha_ratio > GOPHER_MIN_ALPHA_RATIO)
         & (stop_distinct >= GOPHER_MIN_STOPWORDS)
+    )
+    return {
+        "n": n,
+        "mean_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stop_distinct": stop_distinct,
+        "keep": keep,
+    }
+
+
+def gopher_keep_expr() -> Column:
+    """The Gopher ``keep`` verdict as a boolean Column (the exact
+    conjunction :func:`gopher_rules` emits as its int flag)."""
+    return _gopher_metrics()["keep"]
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: hard bounds on word
+    count, mean word length, symbol-to-word ratio ('#' and '...'),
+    alphabetic-word ratio, and distinct-stopword presence; ``keep`` is
+    the conjunction. The standard first-pass corpus filter (C4/Gopher
+    lineage), distinct from :func:`quality_score`'s soft composite.
+
+    All built-in functions over one narrow scan — no shuffle, no UDF;
+    at 100 TB this is an embarrassingly parallel filter whose selectivity
+    reaches the parquet scan via the usual pushdown when composed."""
+    m = _gopher_metrics()
+    n, mean_len, symbol_ratio, alpha_ratio, stop_distinct, keep = (
+        m["n"], m["mean_len"], m["symbol_ratio"], m["alpha_ratio"],
+        m["stop_distinct"], m["keep"],
     )
     return docs.select(
         "doc_id",
@@ -1055,6 +1083,43 @@ QC_WEIGHTS = {
 }
 
 
+def _qc_num_den() -> tuple[Column, Column]:
+    """The classifier's exact-rational logit as (num, den) Column
+    expressions over a ``text`` column — the single source of truth
+    :func:`quality_classifier` projects and composed pipelines
+    (corpus_ingest_e2e) inline into their own scan."""
+    toks = tokenize("text")
+    nt = F.size(toks).cast("long")
+    n = F.greatest(nt, F.lit(1))
+    L = F.greatest(F.length("text").cast("long"), F.lit(1))
+    s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    u = F.size(F.array_distinct(toks)).cast("long")
+    a = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
+    # 10·logit · (100·n·L) — int64: |NUM| ≤ 9500·n·L (term bounds
+    # s,u ≤ n and a ≤ L), so num itself is safe while n·L < ~9.7e14
+    # (a 1e5-token doc of 1e6 chars sits at 9.5e14 — inside). The
+    # ROUNDING step multiplies by a further 2·10⁴, which would blow
+    # int64 at n·L ≈ 4.8e13 (a multi-MB document) and wrap silently
+    # under non-ANSI Spark — so that step runs in DECIMAL(38,0)
+    # below, which is exact to 1e38 (`keep` compares raw num and
+    # never needed the headroom)
+    num = (
+        F.lit(-2000) * n * L
+        + F.lit(18) * F.least(nt, F.lit(100)) * n * L
+        + F.lit(3000) * s * L
+        + F.lit(1200) * u * L
+        + F.lit(1500) * a * n
+    )
+    den = F.lit(1000) * n * L
+    return num, den
+
+
+def quality_keep_expr() -> Column:
+    """The classifier's keep verdict (p ≥ 0.5 ⇔ exact logit ≥ 0) as a
+    boolean Column — the exact flag :func:`quality_classifier` emits."""
+    return _qc_num_den()[0] >= 0
+
+
 def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Model-based quality filtering, inference side: engineered
     features (length, stopword ratio, type-token ratio, alpha ratio —
@@ -1087,29 +1152,7 @@ def quality_classifier(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             f"logit >= 0; threshold={threshold} needs logit >= ln(t/(1-t)) "
             "— extend the integer comparison before changing it"
         )
-    toks = tokenize("text")
-    nt = F.size(toks).cast("long")
-    n = F.greatest(nt, F.lit(1))
-    L = F.greatest(F.length("text").cast("long"), F.lit(1))
-    s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
-    u = F.size(F.array_distinct(toks)).cast("long")
-    a = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
-    # 10·logit · (100·n·L) — int64: |NUM| ≤ 9500·n·L (term bounds
-    # s,u ≤ n and a ≤ L), so num itself is safe while n·L < ~9.7e14
-    # (a 1e5-token doc of 1e6 chars sits at 9.5e14 — inside). The
-    # ROUNDING step multiplies by a further 2·10⁴, which would blow
-    # int64 at n·L ≈ 4.8e13 (a multi-MB document) and wrap silently
-    # under non-ANSI Spark — so that step runs in DECIMAL(38,0)
-    # below, which is exact to 1e38 (`keep` compares raw num and
-    # never needed the headroom)
-    num = (
-        F.lit(-2000) * n * L
-        + F.lit(18) * F.least(nt, F.lit(100)) * n * L
-        + F.lit(3000) * s * L
-        + F.lit(1200) * u * L
-        + F.lit(1500) * a * n
-    )
-    den = F.lit(1000) * n * L
+    num, den = _qc_num_den()
     # signed HALF_UP to 4 decimals in exact integers (away from zero);
     # `div` is int64 division — a float `/` + floor can be off by one
     # when the quotient sits within an ulp of an integer

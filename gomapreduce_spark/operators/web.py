@@ -46,14 +46,11 @@ _TRACKING = r"(utm_[a-z]+|ref|fbclid|gclid)"
 _MULTIPART_SUFFIX = r"([^.]+\.(?:co|ac|gov)\.[a-z]+)$"
 
 
-def synth_doc_urls(docs: DataFrame) -> DataFrame:
-    """Deterministic synthetic URL per document — a pure function of
-    (doc_id, source) reproducible in ANSI SQL, covering every branch
-    the canonicalizer handles: mixed-case scheme and host, ``WWW.`` /
-    ``m.`` subdomains, multi-part (``.co.uk``) and plain (``.com``)
-    suffixes, default (``:443``) and explicit (``:8080``) ports,
-    trailing slashes, tracking parameters in leading and trailing
-    query positions, and fragments."""
+def synth_url_expr() -> Column:
+    """The synthetic URL as a plain Column expression over (doc_id,
+    source) — the single source of truth :func:`synth_doc_urls`
+    projects and composed pipelines (corpus_ingest_e2e's admission
+    flag) inline into their own scan."""
     did = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     scheme = (
@@ -73,8 +70,18 @@ def synth_doc_urls(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
     )
     frag = F.when(did % 3 == 2, F.lit("#Section2")).otherwise(F.lit(""))
-    url = F.concat(scheme, F.lit("://"), sub, host, tld, port, path, slash, query, frag)
-    return docs.withColumn("url", url)
+    return F.concat(scheme, F.lit("://"), sub, host, tld, port, path, slash, query, frag)
+
+
+def synth_doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URL per document — a pure function of
+    (doc_id, source) reproducible in ANSI SQL, covering every branch
+    the canonicalizer handles: mixed-case scheme and host, ``WWW.`` /
+    ``m.`` subdomains, multi-part (``.co.uk``) and plain (``.com``)
+    suffixes, default (``:443``) and explicit (``:8080``) ports,
+    trailing slashes, tracking parameters in leading and trailing
+    query positions, and fragments."""
+    return docs.withColumn("url", synth_url_expr())
 
 
 def _auth_parts(url: Column) -> tuple[Column, Column, Column]:
@@ -394,6 +401,20 @@ def domain_rollup(docs: DataFrame, blocklist: list[str] | None = None) -> DataFr
         )
         .withColumn("blocked", F.col("registered_domain").isin(bl))
     )
+
+
+def blocklist_pass_expr(blocklist: list[str] | None = None) -> Column:
+    """The blocklist admission verdict (registered domain of the
+    canonical synthetic URL NOT blocklisted) as a boolean Column over
+    (doc_id, source) — the same decision :func:`blocklist_filter`'s
+    anti-join makes, as an expression composed pipelines
+    (corpus_ingest_e2e) inline into their own scan. ``isin`` over the
+    catalog-bounded list is the :func:`domain_rollup` convention;
+    ``registered_domain_expr`` yields '' (never NULL) for unparseable
+    hosts, so the NOT is total."""
+    bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    canon = canonical_url_expr(synth_url_expr())
+    return ~registered_domain_expr(canon).isin(bl)
 
 
 def blocklist_filter(docs: DataFrame, blocklist: list[str] | None = None) -> DataFrame:

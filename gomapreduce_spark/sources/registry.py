@@ -34,9 +34,9 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def rebalance_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a scan whose file count is far below the
-    session parallelism.
+def rebalance_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition a scan whose file count is far below the session
+    parallelism — HASH-keyed when the table has a stable row key.
 
     The testdata tables are ONE parquet file each (single row group), so
     every scan stage would otherwise run as ONE task — 31 of 32 local
@@ -46,11 +46,24 @@ def rebalance_small_scan(df: DataFrame) -> DataFrame:
     catastrophic full-input shuffle. Catalyst still pushes filters and
     prunes columns *through* the repartition into the scan (verified by
     tools/explain_audit.py).
+
+    Keyed vs round-robin (optimization r14, guide §2.4/§2.5): a
+    keyless ``repartition(n)`` pays a local sort of its input first
+    (``spark.sql.execution.sortBeforeRepartition``, on so retried
+    tasks reproduce their row→partition assignment) — measured 0.71 s
+    vs 0.30 s for the bare rebalance+noop at sf0.1. Hashing on the
+    row key skips that sort (hash of the VALUE is retry-deterministic
+    for free) AND establishes the clustering every per-doc
+    aggregation/window downstream needs, so Catalyst reuses the one
+    exchange instead of adding its own (per-doc token rollup measured
+    1.32 s → 0.31 s, 2 Exchanges → 1). Same trade at production: a
+    corpus table laid out by doc key serves doc-keyed operators
+    shuffle-free, which is why real deployments bucket it so.
     """
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if len(df.inputFiles()) < max(2, target // 4):
-        return df.repartition(target)
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
     return df
 
 
@@ -85,10 +98,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "documents":
         # documents feed scan-bound narrow pipelines (tokenize/shingle/
-        # hash) where the single-file scan is the whole job — rebalance.
-        # Other tables' heavy work happens after a keyed shuffle that
-        # already spreads across cores; an extra exchange only costs.
-        df = rebalance_small_scan(df)
+        # hash) where the single-file scan is the whole job — rebalance,
+        # hash-keyed on doc_id so per-doc rollups/windows reuse the
+        # exchange (see rebalance_small_scan). Other tables' heavy work
+        # happens after a keyed shuffle that already spreads across
+        # cores; an extra exchange only costs.
+        df = rebalance_small_scan(df, key="doc_id")
     return df
 
 

@@ -184,3 +184,36 @@ def test_ingest_e2e_count_chain_and_sequential_equivalence(spark, sf_small):
     # would be vacuous if any stage passed everything through)
     assert got["ing_01_blocklist_pass"] < got["ing_00_input"]
     assert got["ing_02_gopher_pass"] < got["ing_01_blocklist_pass"]
+
+
+def test_admission_flag_exprs_equal_operators(spark, sf_small):
+    """The single-source-of-truth flag expressions corpus_ingest_e2e
+    inlines into its scan (optimization r14) must equal the standalone
+    operators' verdicts doc-for-doc — the contract that lets the e2e
+    row claim its flags 'come from the REAL operators'."""
+    from gomapreduce_spark.operators.text import (
+        gopher_keep_expr,
+        gopher_rules,
+        quality_classifier,
+        quality_keep_expr,
+    )
+    from gomapreduce_spark.operators.web import blocklist_filter, blocklist_pass_expr
+
+    docs = _docs(spark, sf_small)
+    got = {
+        r.doc_id: (r.bl, r.gop, r.q)
+        for r in docs.select(
+            "doc_id",
+            blocklist_pass_expr().alias("bl"),
+            gopher_keep_expr().alias("gop"),
+            quality_keep_expr().alias("q"),
+        ).collect()
+    }
+    bl_pass = {r.doc_id for r in blocklist_filter(docs).select("doc_id").collect()}
+    gop = {r.doc_id: r.keep == 1 for r in gopher_rules(docs).collect()}
+    q = {r.doc_id: bool(r.keep) for r in quality_classifier(docs).collect()}
+    assert set(got) == set(gop)
+    for did, (f_bl, f_gop, f_q) in got.items():
+        assert f_bl == (did in bl_pass), did
+        assert f_gop == gop[did], did
+        assert f_q == q[did], did

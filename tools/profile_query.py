@@ -44,6 +44,8 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -53,15 +55,23 @@ def main() -> None:
 
     sc = spark.sparkContext
     for name in names:
-        sc.setJobGroup(name, name)
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        wall = time.time() - t0
-        print(f"\n=== {name}: {wall:.3f}s total ===")
+        for rep in (1, 2):  # rep2 is the warm run — read that one
+            sc.setJobGroup(f"{name}#r{rep}", name)
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            print(f"=== {name} rep{rep}: {wall:.3f}s total ===")
     spark.stop()
 
-    # parse the single application event log
-    logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.startswith(".")]
+    # parse the single application event log (rolling dir on Spark 4)
+    logs = []
+    for root, _dirs, files in os.walk(evdir):
+        logs += [
+            os.path.join(root, f)
+            for f in files
+            if "events" in f or f.startswith("eventlog") or f.startswith("local-")
+        ]
+    assert logs, f"no event log under {evdir}"
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     with open(logs[0]) as fh:
@@ -92,7 +102,7 @@ def main() -> None:
         j = jobs[jid]
         by_group.setdefault(j["group"], []).append((jid, j))
     for group, js in by_group.items():
-        if group not in names:
+        if group.split("#")[0] not in names:
             continue
         print(f"\n##### {group} — {len(js)} jobs")
         for jid, j in js:
