@@ -106,14 +106,70 @@ def _assign(q: DataFrame, cmat) -> DataFrame:
     )
 
 
-def _update_centroids(assigned: DataFrame, prev: list[list[int]]) -> list[list[int]]:
-    """Exact integer centroid update. The shuffle carries only
-    (cluster, pos) partial sums after map-side combine; the collect is
-    k × d rows — fixed-size driver state, not a data-sized collect."""
+def _assign_partials(q: DataFrame, cmat) -> DataFrame:
+    """One fused assignment + partial-centroid-sum pass: per Arrow
+    batch, assign each vector to its nearest centroid (same exact
+    int64 L2² / lowest-id tie-break as :func:`_assign`) and emit the
+    batch's per-(cluster, pos) integer sums and counts — k×d rows per
+    batch instead of n×d exploded rows (optimization r14, guide
+    §2.3/§4.2: the update round formerly shipped every (vec_id, label,
+    qvec, …) row back to the JVM and posexploded it through a partial
+    aggregate; the partial sums ARE the map-side combine, computed
+    where the vectors already live). numpy int64 batch sums are exact
+    (|q| ≤ ~1.2e6 × ≤ batch rows ≪ 2^63) and integer addition is
+    order-independent, so the rolled-up totals are bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(cmat, dtype=np.int64)  # k × d
+    k, d = c.shape
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]], dtype=np.int64)
+            diff = mat[:, None, :] - c[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            cl = np.argmin(d2, axis=1)
+            present = np.unique(cl)
+            rows = []
+            for ci in present:
+                sel = mat[cl == ci]
+                s = sel.sum(axis=0, dtype=np.int64)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.int64(ci),
+                            "pos": np.arange(d, dtype=np.int64),
+                            "s": s,
+                            "n": np.int64(len(sel)),
+                        }
+                    )
+                )
+            yield pd.concat(rows)
+
+    return q.mapInPandas(partials, "cluster long, pos long, s long, n long")
+
+
+def _update_centroids(q_or_assigned: DataFrame, prev: list[list[int]], cmat=None) -> list[list[int]]:
+    """Exact integer centroid update. With ``cmat`` given, the input is
+    the quantized relation and assignment + partial sums run fused in
+    one Arrow pass (:func:`_assign_partials`); otherwise the input is a
+    pre-assigned relation (kept for parity tests). The shuffle carries
+    only (cluster, pos) partial sums; the collect is k × d rows —
+    fixed-size driver state, not a data-sized collect."""
+    if cmat is not None:
+        partials = _assign_partials(q_or_assigned, cmat)
+    else:
+        partials = q_or_assigned.select(
+            "cluster", F.posexplode("qvec").alias("pos", "val")
+        ).groupBy("cluster", "pos").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
     rows = (
-        assigned.select("cluster", F.posexplode("qvec").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        partials.groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
     cents = [list(c) for c in prev]  # empty clusters keep their centroid
@@ -145,7 +201,7 @@ def fit_centroids(q: DataFrame, k: int, rounds: int) -> list[list[int]] | None:
     while len(cents) < k:  # degenerate tiny input: duplicate last seed
         cents.append(list(cents[-1]))
     for _ in range(rounds):
-        cents = _update_centroids(_assign(q, cents), cents)
+        cents = _update_centroids(q, cents, cmat=cents)
     return cents
 
 
@@ -168,15 +224,22 @@ def kmeans_embeddings(
             "purity double, inertia double, c_norm double",
         )
 
-    final = _assign(q, cents).localCheckpoint()  # consumed by 2 branches
-    stats = final.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_points"),
+    # ONE (cluster, label) aggregation pass serves both the per-cluster
+    # stats (rolled up from the per-label partials — DECIMAL sums are
+    # exact and order-independent, so the two-level rollup equals the
+    # direct sum bit-for-bit) and the majority-label argmax; the former
+    # shape checkpointed the full assignment and aggregated it twice
+    # (optimization r14: one Python-stage job + one checkpoint fewer)
+    per_lab = _assign(q, cents).groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("c"),
         # DECIMAL sum: exact + order-independent + overflow-proof
-        F.sum(F.col("d2").cast("decimal(30,0)")).alias("ssd"),
+        F.sum(F.col("d2").cast("decimal(30,0)")).alias("ssd_l"),
     )
-    lab = final.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_lab.groupBy("cluster").agg(
+        F.sum("c").alias("n_points"), F.sum("ssd_l").alias("ssd")
+    )
     wl = W.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("label").asc())
-    lab = lab.withColumn("rk", F.row_number().over(wl)).where(F.col("rk") == 1)
+    lab = per_lab.withColumn("rk", F.row_number().over(wl)).where(F.col("rk") == 1)
 
     norms = emb.sparkSession.createDataFrame(
         [(i, float(math.sqrt(sum(v * v for v in c))) / KM_SCALE) for i, c in enumerate(cents)],
@@ -333,7 +396,7 @@ def kmeans_incremental_update(
         )
     cents = [list(c) for c in cents0]
     for _ in range(refresh_rounds):
-        cents = _update_centroids(_assign(q, cents), cents)
+        cents = _update_centroids(q, cents, cmat=cents)
 
     stats = (
         _assign(q, cents)

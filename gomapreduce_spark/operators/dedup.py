@@ -836,8 +836,15 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: in
     # exception) — coalesced inside connected_components so each
     # round's jobs don't pay 32 near-empty tasks
     labels, _ = connected_components(pairs.select("doc_a", "doc_b"), graph_partitions)
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    # cluster_size as a count window over cluster_id instead of a
+    # groupBy + self-join: one exchange serves both the count and the
+    # output rows (optimization r14, guide §2.4 — the aggregate+rejoin
+    # paid the cluster_id shuffle twice plus a join)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+    )
 
 
 def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -1423,9 +1430,12 @@ def embedding_dedup_clusters(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     labels, _ = connected_components(pairs, graph_partitions)
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select(
-        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    # count window over cluster_id instead of groupBy + self-join —
+    # one exchange instead of two plus a join (guide §2.4)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
     )
 
 
