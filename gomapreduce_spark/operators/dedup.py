@@ -1926,9 +1926,13 @@ def lpa_communities(docs: DataFrame, threshold: float = 0.5, iters: int = 3) -> 
             .select("doc_id", (-F.col("m.neg")).alias("label"))
             .localCheckpoint()
         )
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
-    return labels.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("community"), F.col("n_members").cast("long").alias("n_members")
+    # member count as a window over the final labels instead of a
+    # groupBy + self-join — one exchange instead of two plus a join
+    # (guide §2.4; the dedup_clusters idiom)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("long").alias("n_members"),
     )
 
 

@@ -104,6 +104,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # happens after a keyed shuffle that already spreads across
         # cores; an extra exchange only costs.
         df = rebalance_small_scan(df, key="doc_id")
+    # embeddings deliberately NOT rebalanced (re-measured r14): its
+    # Arrow passes are k-round iterative with tiny per-round compute,
+    # and 32 concurrent python tasks × per-task Arrow overhead cost
+    # 2× the single-task form at fixture scale (kmeans_embeddings
+    # 2.7 s → 5.6 s when keyed on vec_id); at production N the scan
+    # arrives multi-split and parallelism is free.
     return df
 
 
