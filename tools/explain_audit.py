@@ -730,11 +730,21 @@ AUDITS: dict[str, dict] = {
     # synchronous LPA: per round ONE label-lookup join + two
     # partial-aggregable agg levels (the argmax is a max over
     # (n, -label) structs, NOT a per-node sort window); lineage cut
-    # per round, so the final plan is the last round over checkpoints
+    # per round, so the final plan is the ROUND-FREE tail: since r14
+    # the member count is a count window over the final checkpointed
+    # labels (one label-keyed exchange) instead of a groupBy +
+    # self-join (two exchanges + a join) — so the visible plan has
+    # exactly one Window, one Exchange, and NO join
     "lpa_communities": {
-        "partial_agg": True,
+        "max_exchanges": 1,
+        "require": ["Window"],
         "forbid_scaling_hints": True,
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+        ],
     },
     # per-source quality calibration: narrow score projection, one
     # doc_id equi-join, one source-keyed window — no hints, no
