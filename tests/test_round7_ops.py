@@ -322,8 +322,10 @@ def test_lang_id_confusion_fractions_sum_to_one(spark, sf_med):
 
 def test_late_round_gate_negative_controls(spark, sf_small):
     """The late-round plan gates detect exactly what they forbid:
-    (a) lpa_communities' Window ban flags a sort-window argmax variant
-    (the shape the operator deliberately avoids), and (b)
+    (a) lpa_communities' row_number ban flags a sort-window argmax
+    variant (the shape the operator deliberately avoids — since the
+    r14 optimization the gate permits the COUNT window that computes
+    n_members, so the ban is on the row_number token, not Window), and (b)
     translated_near_dups' FlatMapGroupsInPandas requirement flags a
     plan that skipped the Arrow cell-scoring stage."""
     from pyspark.sql import Window as W
@@ -338,7 +340,7 @@ def test_late_round_gate_negative_controls(spark, sf_small):
     w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("label").asc())
     windowed = votes.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     fails = audit_one("lpa_communities", windowed, AUDITS["lpa_communities"])
-    assert any("Window" in f for f in fails), "Window ban missed a sort-window argmax"
+    assert any("row_number" in f for f in fails), "row_number ban missed a sort-window argmax"
 
     # (b) a lang self-join with no Arrow scoring stage anywhere
     lang = docs.select("doc_id", "lang")

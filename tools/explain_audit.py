@@ -729,12 +729,13 @@ AUDITS: dict[str, dict] = {
     },
     # synchronous LPA: per round ONE label-lookup join + two
     # partial-aggregable agg levels (the argmax is a max over
-    # (n, -label) structs, NOT a per-node sort window); lineage cut
-    # per round, so the final plan is the ROUND-FREE tail: since r14
-    # the member count is a count window over the final checkpointed
+    # (n, -label) structs, NOT a per-node row_number sort window —
+    # that exact variant stays banned by token); lineage cut per
+    # round, so the final plan is the ROUND-FREE tail: since r14 the
+    # member count is a count window over the final checkpointed
     # labels (one label-keyed exchange) instead of a groupBy +
     # self-join (two exchanges + a join) — so the visible plan has
-    # exactly one Window, one Exchange, and NO join
+    # exactly one (count) Window, one Exchange, and NO join
     "lpa_communities": {
         "max_exchanges": 1,
         "require": ["Window"],
@@ -744,6 +745,7 @@ AUDITS: dict[str, dict] = {
             "BroadcastNestedLoopJoin",
             "SortMergeJoin",
             "BroadcastHashJoin",
+            "row_number()",
         ],
     },
     # per-source quality calibration: narrow score projection, one
