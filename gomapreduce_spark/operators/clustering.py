@@ -225,30 +225,40 @@ def kmeans_embeddings(
         )
 
     # ONE (cluster, label) aggregation pass serves both the per-cluster
-    # stats (rolled up from the per-label partials — DECIMAL sums are
-    # exact and order-independent, so the two-level rollup equals the
-    # direct sum bit-for-bit) and the majority-label argmax; the former
-    # shape checkpointed the full assignment and aggregated it twice
-    # (optimization r14: one Python-stage job + one checkpoint fewer)
+    # stats and the majority-label argmax. The stats are WINDOW sums
+    # over the SAME per_lab relation that carries the argmax window —
+    # structurally one consumer of the _assign subtree, so the Arrow
+    # assignment pass cannot run twice even when AQE exchange reuse
+    # fails (the r14 shape aggregated per_lab twice — stats groupBy +
+    # argmax window — and relied on runtime exchange reuse to dedup the
+    # Python stage; advisor-flagged dependency, optimization r15).
+    # long/DECIMAL window sums are exact and order-independent, so the
+    # rollup equals the direct per-cluster sum bit-for-bit; the
+    # windowed relation is k×|labels| rows (k=8, labels catalog-
+    # bounded), so the per-cluster window partitions are tiny at any SF.
     per_lab = _assign(q, cents).groupBy("cluster", "label").agg(
         F.count(F.lit(1)).alias("c"),
         # DECIMAL sum: exact + order-independent + overflow-proof
         F.sum(F.col("d2").cast("decimal(30,0)")).alias("ssd_l"),
     )
-    stats = per_lab.groupBy("cluster").agg(
-        F.sum("c").alias("n_points"), F.sum("ssd_l").alias("ssd")
-    )
+    wc = W.partitionBy("cluster")
     wl = W.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("label").asc())
-    lab = per_lab.withColumn("rk", F.row_number().over(wl)).where(F.col("rk") == 1)
+    best = per_lab.select(
+        "cluster",
+        "label",
+        "c",
+        F.sum("c").over(wc).alias("n_points"),
+        F.sum("ssd_l").over(wc).alias("ssd"),
+        F.row_number().over(wl).alias("rk"),
+    ).where(F.col("rk") == 1)
 
     norms = emb.sparkSession.createDataFrame(
         [(i, float(math.sqrt(sum(v * v for v in c))) / KM_SCALE) for i, c in enumerate(cents)],
         "cluster long, c_norm_raw double",
     )
-    # k-row joins: genuinely fixed-size sides (k = 8 regardless of SF)
+    # k-row join: genuinely fixed-size side (k = 8 regardless of SF)
     return (
-        stats.join(lab.select("cluster", "label", "c"), "cluster")
-        .join(norms, "cluster")
+        best.join(norms, "cluster")
         .select(
             F.col("cluster").cast("long").alias("cluster_id"),
             F.col("n_points").cast("long").alias("n_points"),

@@ -839,7 +839,16 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: in
     # cluster_size as a count window over cluster_id instead of a
     # groupBy + self-join: one exchange serves both the count and the
     # output rows (optimization r14, guide §2.4 — the aggregate+rejoin
-    # paid the cluster_id shuffle twice plus a join)
+    # paid the cluster_id shuffle twice plus a join).
+    # SKEW HAZARD at production scale (guide §2.5): the window puts
+    # every row of a cluster in ONE task, and connected-component
+    # graphs can grow a giant component (boilerplate megacluster). AQE
+    # skew-split does NOT apply to windows. The aggregate+broadcast-
+    # rejoin shape (sizes relation is tiny, AQE broadcasts it) or a
+    # salted two-level count is the deployment fallback when any
+    # single cluster approaches a task's memory — same doctrine as the
+    # LSH hot-bucket cap above; here the labels relation is the
+    # already-reduced pair graph, orders of magnitude under the corpus.
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -847,7 +856,9 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5, graph_partitions: in
     )
 
 
-def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def canonical_docs(
+    docs: DataFrame, threshold: float = 0.5, quality: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection — the decision stage a production
     dedup pipeline ends with: per near-dup cluster keep exactly ONE
     representative (highest :func:`~..text.quality_score` quality,
@@ -859,6 +870,18 @@ def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     downstream can materialize either the kept corpus or a removal
     report.
 
+    ``quality`` (optional, optimization r15): a precomputed
+    (doc_id, quality[, extra passthrough columns...]) relation covering
+    EXACTLY the docs to emit. Composed pipelines (corpus_dedup_e2e /
+    corpus_ingest_e2e / doc_provenance) already pay a narrow corpus
+    scan for their own bookkeeping; letting them hand the quality
+    column in on that relation removes a second full tokenizing scan
+    of the corpus (guide §2.3 — the quality expr re-expanded the whole
+    survivors subtree once per consumer). When given, it must carry
+    the same ``quality`` values :func:`~..text.quality_expr` computes
+    (parity test-pinned by the callers); extra columns ride through to
+    the output between doc_id and cluster_id.
+
     Scale shape: clusters come from the banded-LSH pipeline
     (:func:`dedup_clusters`), quality is a narrow scan, and the argmax
     is one row_number window partitioned by cluster_id — cluster sizes
@@ -868,9 +891,11 @@ def canonical_docs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     from .text import quality_score
 
     clusters = dedup_clusters(docs, threshold)
-    q = quality_score(docs).select("doc_id", "quality")
+    q = quality if quality is not None else quality_score(docs).select("doc_id", "quality")
+    passthrough = [c for c in q.columns if c not in ("doc_id", "quality")]
     joined = q.join(clusters, "doc_id", "left").select(
         "doc_id",
+        *passthrough,
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
         "quality",
@@ -1431,7 +1456,11 @@ def embedding_dedup_clusters(
     )
     labels, _ = connected_components(pairs, graph_partitions)
     # count window over cluster_id instead of groupBy + self-join —
-    # one exchange instead of two plus a join (guide §2.4)
+    # one exchange instead of two plus a join (guide §2.4). Same skew
+    # hazard + fallback as dedup_clusters: a giant semantic cluster
+    # lands in one window task (AQE can't split windows) — revert to
+    # aggregate + broadcast rejoin or a salted two-level count if one
+    # component approaches task memory.
     return labels.select(
         F.col("doc_id").alias("vec_id"),
         "cluster_id",
@@ -1928,7 +1957,8 @@ def lpa_communities(docs: DataFrame, threshold: float = 0.5, iters: int = 3) -> 
         )
     # member count as a window over the final labels instead of a
     # groupBy + self-join — one exchange instead of two plus a join
-    # (guide §2.4; the dedup_clusters idiom)
+    # (guide §2.4; the dedup_clusters idiom, including its documented
+    # giant-community skew hazard and aggregate+broadcast fallback)
     return labels.select(
         "doc_id",
         F.col("label").alias("community"),

@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import h64
-from .dedup import canonical_docs, exact_dedup, synth_corpus_snapshot
-from .text import gopher_keep_expr, quality_keep_expr
+from .dedup import canonical_docs, synth_corpus_snapshot
+from .text import gopher_keep_expr, quality_expr, quality_keep_expr
 from .web import (
     DEFAULT_BLOCKLIST,
     blocklist_pass_expr,
@@ -90,7 +90,14 @@ def doc_provenance(
     # of (doc_id, source), so they ride the SAME scan that hashes the
     # old text (optimization r14, guide §2.4) — the former shape
     # computed them in a separate corpus scan and re-attached them with
-    # a doc_id-keyed join, shuffling the whole manifest once more
+    # a doc_id-keyed join, shuffling the whole manifest once more.
+    # r15 (guide §2.3): the QUALITY composite rides that scan too and
+    # is handed straight into canonical_docs — the former shape let
+    # canonical_docs run its own quality_score pass, i.e. a SECOND
+    # full tokenizing corpus scan, and then paid one more doc_id join
+    # to re-attach the manifest columns to the cluster columns. Now
+    # the manifest relation IS canonical_docs' quality side (its
+    # passthrough contract), so one scan + one join serve both.
     url = synth_url_expr()
     canon_url = canonical_url_expr(url)
     # per-doc snapshot status: LEFT join old→new on doc_id (the fresh
@@ -105,6 +112,7 @@ def doc_provenance(
             canon_url.alias("canonical_url"),
             registered_domain_expr(canon_url).alias("registered_domain"),
             h64(F.col("text")).alias("h_old"),
+            quality_expr().alias("quality"),
         )
         .join(new_h, "doc_id", "left")
         .select(
@@ -117,14 +125,13 @@ def doc_provenance(
             .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
             .alias("snapshot_status"),
+            "quality",
         )
     )
-    clusters = canonical_docs(docs, threshold).select(
-        "doc_id", "cluster_id", "cluster_size", F.col("keep").alias("is_canonical")
-    )
+    canon = canonical_docs(docs, threshold, quality=snap)
     split = _split_col("cluster_id")
     out = (
-        snap.join(clusters, "doc_id")
+        canon.withColumnRenamed("keep", "is_canonical")
         .withColumn("blocked", F.col("registered_domain").isin(bl))
         .withColumn("split", split)
     )
@@ -170,14 +177,33 @@ def corpus_dedup_e2e(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     drift (schema, null handling, coalesce semantics) breaks the
     count chain even when every stage is green in isolation.
 
-    Scale shape: exact survivors are one hash-groupBy + a self-join on
-    doc_id; the LSH subtree is canonical_docs' (paid once, on the
-    reduced survivor set); the certification itself is two single-row
-    aggregates cross-joined (broadcast of 1 row) and unpivoted with
-    stack() — the output is 8 rows at any corpus size."""
-    keep_ids = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    survivors = docs.join(keep_ids, "doc_id")
-    canon = canonical_docs(survivors, threshold)
+    Scale shape (optimization r15, guide §2.3/§5): ONE narrow
+    (doc_id, content_hash, quality) pre-pass over the corpus is
+    checkpointed and feeds BOTH derived needs — the exact-dedup
+    keep_ids (a groupBy on the checkpointed hash, no second text
+    scan; arithmetically exact_dedup's keep_id: same h64(text) key,
+    same min(doc_id), filter-free input) and canonical_docs' quality
+    side (its precomputed-quality contract, no second tokenizing
+    scan). The former shape re-expanded the survivors subtree
+    (corpus ⋈ keep_ids over a full corpus hash-aggregate) once per
+    consumer — quality_score and the LSH pipeline each paid it. The
+    LSH subtree still reads text once (signatures need it); the
+    certification itself is two single-row aggregates cross-joined
+    (broadcast of 1 row) and unpivoted with stack() — the output is
+    8 rows at any corpus size. The checkpoint is ~24 B/doc — the
+    flag-relation doctrine from corpus_ingest_e2e."""
+    narrow = docs.select(
+        "doc_id",
+        h64(F.col("text")).alias("content_hash"),
+        quality_expr().alias("quality"),
+    ).localCheckpoint()
+    keep_ids = narrow.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keep_ids.select("doc_id"), "doc_id")
+    canon = canonical_docs(
+        survivors,
+        threshold,
+        quality=narrow.join(keep_ids.select("doc_id"), "doc_id").select("doc_id", "quality"),
+    )
     split = _split_col("cluster_id")
     enriched = canon.withColumn("split", split)
     stages = enriched.agg(
@@ -274,11 +300,26 @@ def corpus_ingest_e2e(
     broadcast-of-1-row crossJoin, and stack() — 11 rows out at any
     corpus size."""
     bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    # r15 (guide §2.3): the checkpointed flag relation also carries
+    # content_hash (exact_dedup's h64(text) key) and the quality
+    # composite — both row-level expressions of the SAME scan the
+    # flags already pay (the token subtree is shared with the gopher/
+    # classifier exprs and CSE'd), widening the checkpoint from ~11 to
+    # ~27 B/doc. That removes two further corpus-sized passes the
+    # former shape paid downstream: exact_dedup re-hashed the admitted
+    # corpus (a docs ⋈ flags join + text scan), and canonical_docs'
+    # quality_score re-expanded the whole survivors subtree. keep_ids
+    # is arithmetically exact_dedup(admitted)'s keep_id (same h64 key,
+    # same min(doc_id), identical admitted row set — the flag filter
+    # is row-level); quality enters canonical_docs through its
+    # precomputed-quality contract.
     flags = docs.select(
         "doc_id",
         blocklist_pass_expr(bl).alias("bl"),
         gopher_keep_expr().alias("gop"),
         quality_keep_expr().alias("q"),
+        h64(F.col("text")).alias("content_hash"),
+        quality_expr().alias("quality"),
     ).localCheckpoint()
     admission = flags.agg(
         F.count(F.lit(1)).alias("n_input"),
@@ -286,12 +327,14 @@ def corpus_ingest_e2e(
         F.sum((F.col("bl") & F.col("gop")).cast("long")).alias("n_gopher_pass"),
         F.sum((F.col("bl") & F.col("gop") & F.col("q")).cast("long")).alias("n_quality_pass"),
     )
-    admitted = docs.join(
-        flags.where(F.col("bl") & F.col("gop") & F.col("q")).select("doc_id"), "doc_id"
+    admitted_f = flags.where(F.col("bl") & F.col("gop") & F.col("q"))
+    keep_ids = admitted_f.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keep_ids.select("doc_id"), "doc_id")
+    canon = canonical_docs(
+        survivors,
+        threshold,
+        quality=admitted_f.join(keep_ids.select("doc_id"), "doc_id").select("doc_id", "quality"),
     )
-    keep_ids = exact_dedup(admitted).select(F.col("keep_id").alias("doc_id"))
-    survivors = admitted.join(keep_ids, "doc_id")
-    canon = canonical_docs(survivors, threshold)
     enriched = canon.withColumn("split", _split_col("cluster_id"))
     tail = enriched.agg(
         F.count(F.lit(1)).alias("n_exact_survivors"),

@@ -633,26 +633,29 @@ def image_dhash(px) -> int:
 DHASH_SCHEMA = "doc_id long, width int, height int, dhash long"
 
 
+def _dhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch generator of :func:`image_dhashes` — module-level so the
+    fused synth→feature single-pass operators can compose it Python-side
+    (optimization r15, guide §4)."""
+    for pdf in it:
+        rows = {k: [] for k in ("doc_id", "width", "height", "dhash")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, px = decode_rgb(bytes(payload))
+            except (ValueError, NotImplementedError):
+                continue
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["dhash"].append(image_dhash(px))
+        yield pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
+
+
 def image_dhashes(mm: DataFrame) -> DataFrame:
     """Per-image dHash fingerprints over decodable payloads (P6 PPM or
     8-bit PNG — both REAL decodes); undecodable rows are dropped, the
     standard corrupt-sample filter. One narrow Arrow pass, no shuffle."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "width", "height", "dhash")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                try:
-                    w, h, px = decode_rgb(bytes(payload))
-                except (ValueError, NotImplementedError):
-                    continue
-                rows["doc_id"].append(doc_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["dhash"].append(image_dhash(px))
-            yield pd.DataFrame(rows).astype({"width": "int32", "height": "int32"})
-
-    return mm.mapInPandas(batches, DHASH_SCHEMA)
+    return mm.mapInPandas(_dhash_batches, DHASH_SCHEMA)
 
 
 def image_dhash_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -687,6 +690,14 @@ def synth_ppm_payloads(
     registered query exercises every real decode path including the
     JPEG Huffman/IDCT one). No binary fixtures shipped; similar texts
     yield similar images, so near-dup structure carries through."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth_ppm_batches(width, height, formats), "doc_id long, payload binary"
+    )
+
+
+def _synth_ppm_batches(width: int, height: int, formats: tuple[str, ...]):
+    """Batch-generator factory of :func:`synth_ppm_payloads` (module
+    level for the fused single-pass composition — guide §4)."""
     import numpy as np
 
     from .jpeg import encode_jpeg
@@ -708,13 +719,21 @@ def synth_ppm_payloads(
                 payloads.append(encoders[formats[int(doc_id) % len(formats)]](px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+    return batches
 
 
 def synth_wav_payloads(docs: DataFrame, rate: int = 16000) -> DataFrame:
     """Deterministic REAL-audio corpus from the documents table: each
     doc's utf-8 bytes become int16 PCM samples wrapped in a RIFF/WAVE
     container (decoded by the real codec path downstream)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth_wav_batches(rate), "doc_id long, payload binary"
+    )
+
+
+def _synth_wav_batches(rate: int):
+    """Batch-generator factory of :func:`synth_wav_payloads` (module
+    level for the fused single-pass composition — guide §4)."""
     import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -729,7 +748,7 @@ def synth_wav_payloads(docs: DataFrame, rate: int = 16000) -> DataFrame:
                 payloads.append(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+    return batches
 
 
 SPECTRAL_SCHEMA = (
@@ -745,36 +764,39 @@ def audio_spectral_features(mm: DataFrame) -> DataFrame:
     speech-vs-music filter. Multi-channel is downmixed first;
     undecodable rows are dropped. Embarrassingly parallel per Arrow
     batch; no shuffle."""
+    return mm.mapInPandas(_spectral_batches, SPECTRAL_SCHEMA)
+
+
+def _spectral_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batch generator of :func:`audio_spectral_features` (module level
+    for the fused single-pass composition — guide §4)."""
     import numpy as np
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = {k: [] for k in ("doc_id", "n_samples", "centroid_hz", "rolloff_hz", "flatness")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                try:
-                    rate, samples = decode_wav(bytes(payload))
-                except (ValueError, NotImplementedError):
-                    continue
-                mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype("float64")
-                n = len(mono)
-                if n < 2:
-                    continue
-                power = np.abs(np.fft.rfft(mono)) ** 2
-                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
-                total = power.sum()
-                if total <= 0:
-                    continue
-                centroid = float((freqs * power).sum() / total)
-                rolloff = float(freqs[np.searchsorted(np.cumsum(power), 0.85 * total)])
-                flatness = float(np.exp(np.mean(np.log(power + 1e-12))) / (total / len(power)))
-                rows["doc_id"].append(doc_id)
-                rows["n_samples"].append(n)
-                rows["centroid_hz"].append(centroid)
-                rows["rolloff_hz"].append(rolloff)
-                rows["flatness"].append(flatness)
-            yield pd.DataFrame(rows).astype({"n_samples": "int64"})
-
-    return mm.mapInPandas(batches, SPECTRAL_SCHEMA)
+    for pdf in it:
+        rows = {k: [] for k in ("doc_id", "n_samples", "centroid_hz", "rolloff_hz", "flatness")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                rate, samples = decode_wav(bytes(payload))
+            except (ValueError, NotImplementedError):
+                continue
+            mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype("float64")
+            n = len(mono)
+            if n < 2:
+                continue
+            power = np.abs(np.fft.rfft(mono)) ** 2
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+            total = power.sum()
+            if total <= 0:
+                continue
+            centroid = float((freqs * power).sum() / total)
+            rolloff = float(freqs[np.searchsorted(np.cumsum(power), 0.85 * total)])
+            flatness = float(np.exp(np.mean(np.log(power + 1e-12))) / (total / len(power)))
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(n)
+            rows["centroid_hz"].append(centroid)
+            rows["rolloff_hz"].append(rolloff)
+            rows["flatness"].append(flatness)
+        yield pd.DataFrame(rows).astype({"n_samples": "int64"})
 
 
 def audio_chunk_stats(docs: DataFrame) -> DataFrame:
@@ -825,6 +847,14 @@ def synth_video_payloads(docs: DataFrame, width: int = VIDEO_W, height: int = VI
     rotated by ``s * VIDEO_SCENE_ROT``; frames within a scene are
     identical, so scene boundaries are the only gradient changes —
     the planted structure :func:`video_scene_cuts` must recover."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _synth_video_batches(width, height), "doc_id long, payload binary"
+    )
+
+
+def _synth_video_batches(width: int, height: int):
+    """Batch-generator factory of :func:`synth_video_payloads` (module
+    level for the fused single-pass composition — guide §4)."""
     import numpy as np
 
     n = width * height * 3
@@ -850,7 +880,7 @@ def synth_video_payloads(docs: DataFrame, width: int = VIDEO_W, height: int = VI
                 {"doc_id": "int64"}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(batches, "doc_id long, payload binary")
+    return batches
 
 
 SCENE_CUT_SCHEMA = "doc_id long, n_frames int, n_cuts int, cut_frames string, max_step int"
@@ -875,6 +905,12 @@ def video_scene_cuts(mm: DataFrame, threshold: int = 10) -> DataFrame:
     row per video at any corpus size (the reference engine has no
     binary/video surface at all; this is part of the repo's mandated
     multimodal leg)."""
+    return mm.mapInPandas(_scene_cut_batches(threshold), SCENE_CUT_SCHEMA)
+
+
+def _scene_cut_batches(threshold: int):
+    """Batch-generator factory of :func:`video_scene_cuts` (module
+    level for the fused single-pass composition — guide §4)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -900,7 +936,7 @@ def video_scene_cuts(mm: DataFrame, threshold: int = 10) -> DataFrame:
                 {"n_frames": "int32", "n_cuts": "int32", "max_step": "int32"}
             )
 
-    return mm.mapInPandas(batches, SCENE_CUT_SCHEMA)
+    return batches
 
 
 SHOT_FRAME_SCHEMA = (
@@ -934,6 +970,12 @@ def video_shot_frames(mm: DataFrame, threshold: int = 10) -> DataFrame:
     independent restatement in tools/gen_video_oracle.py (VALUES
     table, tri-SF). The reference engine has no binary/video surface;
     this extends the repo's mandated multimodal leg."""
+    return mm.mapInPandas(_shot_frame_batches(threshold), SHOT_FRAME_SCHEMA)
+
+
+def _shot_frame_batches(threshold: int):
+    """Batch-generator factory of :func:`video_shot_frames` (module
+    level for the fused single-pass composition — guide §4)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -978,4 +1020,80 @@ def video_shot_frames(mm: DataFrame, threshold: int = 10) -> DataFrame:
                 }
             )
 
-    return mm.mapInPandas(batches, SHOT_FRAME_SCHEMA)
+    return batches
+
+
+# ---------------------------------------------------------------------------
+# Fused synth→feature single-pass forms (optimization r15, guide §4).
+#
+# The registered queries compose a synthetic-payload generator with a
+# feature extractor: synth_ppm_payloads → image_dhashes,
+# synth_wav_payloads → audio_spectral_features, synth_video_payloads →
+# video_scene_cuts / video_shot_frames. Chained as two mapInPandas
+# operators, the intermediate BINARY PAYLOADS cross the JVM↔Python
+# boundary twice (py → JVM → py), paying a second Arrow round-trip
+# (measured fixed floor ~0.25-0.3 s per Python stage at local scale,
+# plus the payload serialization itself — frames are the widest rows in
+# the suite). Each fused form chains the SAME batch generators
+# Python-side inside ONE mapInPandas, so the payload bytes are
+# produced and consumed in the same worker and never re-enter the JVM.
+# Output is bit-identical by construction — the identical generator
+# code runs in the identical order on identical batches — and each
+# query keeps its independent VALUES oracle.
+# ---------------------------------------------------------------------------
+
+
+def synth_image_dhashes(
+    docs: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    formats: tuple[str, ...] = ("ppm", "png", "jpeg"),
+) -> DataFrame:
+    """Fused :func:`synth_ppm_payloads` → :func:`image_dhashes`: one
+    Arrow pass, payloads never re-enter the JVM (guide §4)."""
+    synth = _synth_ppm_batches(width, height, formats)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _dhash_batches(synth(it))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, DHASH_SCHEMA)
+
+
+def synth_audio_spectral(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Fused :func:`synth_wav_payloads` → :func:`audio_spectral_features`:
+    one Arrow pass, payloads never re-enter the JVM (guide §4)."""
+    synth = _synth_wav_batches(rate)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _spectral_batches(synth(it))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, SPECTRAL_SCHEMA)
+
+
+def synth_video_scene_cuts(
+    docs: DataFrame, threshold: int = 10, width: int = VIDEO_W, height: int = VIDEO_H
+) -> DataFrame:
+    """Fused :func:`synth_video_payloads` → :func:`video_scene_cuts`:
+    one Arrow pass — the concatenated frame streams (the widest rows in
+    the suite) never re-enter the JVM (guide §4)."""
+    synth = _synth_video_batches(width, height)
+    cuts = _scene_cut_batches(threshold)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from cuts(synth(it))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, SCENE_CUT_SCHEMA)
+
+
+def synth_video_shot_frames(
+    docs: DataFrame, threshold: int = 10, width: int = VIDEO_W, height: int = VIDEO_H
+) -> DataFrame:
+    """Fused :func:`synth_video_payloads` → :func:`video_shot_frames`:
+    one Arrow pass — frame streams never re-enter the JVM (guide §4)."""
+    synth = _synth_video_batches(width, height)
+    shots = _shot_frame_batches(threshold)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from shots(synth(it))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, SHOT_FRAME_SCHEMA)

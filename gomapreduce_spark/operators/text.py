@@ -1405,6 +1405,13 @@ def sparse_doc_similarity(docs: DataFrame, max_df: int = 50, top_k: int = 50) ->
         .agg(F.count("*").alias("tf"))
         .localCheckpoint()
     )
+    # df filter stays groupBy + join-back: the ppjoin count-over-window
+    # idiom was A/B'd here in r15 and measured equal-to-worse (1.85 vs
+    # 2.2 s best case on a matched window) — unlike ppjoin, tf is NOT
+    # pre-partitioned on g_h, so the window buys no exchange and its
+    # per-posting sort replaces a map-side-combined partial aggregate
+    # of a far smaller relation. Negative result recorded in
+    # OPTIMIZATION_r15.md.
     keep = (
         tf.groupBy("g_h")
         .agg(F.count("*").alias("df"))
@@ -2061,12 +2068,23 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
                 {"syms": [[*w] + ["</w>"] for w in pdf["w"]], "n": pdf["n"]}
             )
 
+    # LAZY localCheckpoints (optimization r15, guide §2.4 applied to
+    # jobs): the eager form ran TWO jobs per merge round — the argmax
+    # collect, then a whole-state materialization job for the
+    # checkpoint. eager=False defers each round's checkpoint until the
+    # NEXT action touches it, which is the next round's argmax collect
+    # — so the rewrite materializes (and its lineage is truncated)
+    # INSIDE that one job: 1 job per round instead of 2, identical
+    # merge sequence (the computation is unchanged, only when the
+    # checkpoint executes moves). The final round's rewrite is never
+    # acted on and never materializes — its merges are already
+    # collected, so that job was pure waste.
     state = (
         docs.select(F.explode(tokenize("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
         .mapInPandas(symbolize, "syms array<string>, n long")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     adj = (
         "transform(sequence(1, size(syms) - 1), "
         "i -> struct(syms[i-1] AS left, syms[i] AS right))"
@@ -2124,5 +2142,5 @@ def bpe_learn_merges_distributed(docs: DataFrame, n_merges: int = 8) -> DataFram
             .otherwise(F.col("syms"))
             .alias("syms"),
             "n",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(merges, "rank long, left string, right string, pair_count long")

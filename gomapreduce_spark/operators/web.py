@@ -411,8 +411,14 @@ def blocklist_pass_expr(blocklist: list[str] | None = None) -> Column:
     (corpus_ingest_e2e) inline into their own scan. ``isin`` over the
     catalog-bounded list is the :func:`domain_rollup` convention;
     ``registered_domain_expr`` yields '' (never NULL) for unparseable
-    hosts, so the NOT is total."""
+    hosts, so the NOT is total. An explicitly EMPTY blocklist
+    short-circuits to literal true: ``isin([])`` builds an empty IN
+    whose semantics differ across Spark versions, while
+    :func:`blocklist_filter`'s left-anti join against an empty dim
+    keeps every row — the expression must match that."""
     bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    if not bl:
+        return F.lit(True)
     canon = canonical_url_expr(synth_url_expr())
     return ~registered_domain_expr(canon).isin(bl)
 

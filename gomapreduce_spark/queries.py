@@ -259,24 +259,29 @@ QUERIES: dict[str, QueryFn] = {
     # -- by design (perceptual hashing and FFTs are not SQL); the real
     # -- work is pinned by exact-reference and planted-near-dup tests
     # -- in tests/test_multimodal_codecs.py --
-    "image_dhash_index": lambda s, d: multimodal.image_dhashes(
-        multimodal.synth_ppm_payloads(load_table(s, d, "documents"))
+    # r15: fused synth→feature single Arrow pass (bit-identical — the
+    # same batch generators chained Python-side; the synthetic payloads
+    # never re-enter the JVM, one Python stage instead of two)
+    "image_dhash_index": lambda s, d: multimodal.synth_image_dhashes(
+        load_table(s, d, "documents")
     ),
-    "audio_spectral": lambda s, d: multimodal.audio_spectral_features(
-        multimodal.synth_wav_payloads(load_table(s, d, "documents"))
+    "audio_spectral": lambda s, d: multimodal.synth_audio_spectral(
+        load_table(s, d, "documents")
     ),
     # -- round-12: the video leg — shot segmentation over a
     # -- synthesized-but-really-decoded concatenated-P6 frame stream;
     # -- hash-oracled via tools/gen_video_oracle.py (VALUES tables,
     # -- tri-SF, independent tiling/dhash/cut restatement) --
-    "video_scene_cuts": lambda s, d: multimodal.video_scene_cuts(
-        multimodal.synth_video_payloads(load_table(s, d, "documents"))
+    # r15: fused synth→cuts single Arrow pass (see image_dhash_index)
+    "video_scene_cuts": lambda s, d: multimodal.synth_video_scene_cuts(
+        load_table(s, d, "documents")
     ),
     # -- round-13: per-shot representative-frame sampling (the video
     # -- step a pipeline trains on: one keyframe + dHash per shot);
     # -- same tri-SF independent-restatement oracle discipline --
-    "video_shot_frames": lambda s, d: multimodal.video_shot_frames(
-        multimodal.synth_video_payloads(load_table(s, d, "documents"))
+    # r15: fused synth→shots single Arrow pass (see image_dhash_index)
+    "video_shot_frames": lambda s, d: multimodal.synth_video_shot_frames(
+        load_table(s, d, "documents")
     ),
     # -- round-6: record linkage, Markov transitions, BPE training --
     # -- step, sparse lexical similarity                            --

@@ -745,7 +745,15 @@ AUDITS: dict[str, dict] = {
             "BroadcastNestedLoopJoin",
             "SortMergeJoin",
             "BroadcastHashJoin",
+            # ban the argmax-by-window family wholesale, not just the
+            # literal row_number token: a rank()/dense_rank()/
+            # percent_rank() variant is the same per-token sorted
+            # window the gate exists to forbid ("rank(" matches all
+            # three). The one PERMITTED window is the unordered
+            # count-over-cluster frame (count(1) windowspecdefinition,
+            # no sort key), which contains none of these tokens.
             "row_number()",
+            "rank(",
         ],
     },
     # per-source quality calibration: narrow score projection, one

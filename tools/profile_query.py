@@ -74,29 +74,36 @@ def main() -> None:
     assert logs, f"no event log under {evdir}"
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(logs[0]) as fh:
-        for line in fh:
-            ev = json.loads(line)
-            et = ev.get("Event")
-            if et == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                jobs[ev["Job ID"]] = {
-                    "t0": ev["Submission Time"],
-                    "group": props.get("spark.jobGroup.id", ""),
-                    "desc": (props.get("spark.job.description") or "")[:90],
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
-                }
-            elif et == "SparkListenerJobEnd":
-                if ev["Job ID"] in jobs:
-                    jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
-            elif et == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "tasks": si["Number of Tasks"],
-                    "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
-                    / 1000.0,
-                }
+    # parse EVERY log file (sorted): with rolling event logs Spark
+    # splits one application across files, and reading only the first
+    # silently drops later jobs from the profile
+    def _lines():
+        for path in sorted(logs):
+            with open(path) as fh:
+                yield from fh
+
+    for line in _lines():
+        ev = json.loads(line)
+        et = ev.get("Event")
+        if et == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            jobs[ev["Job ID"]] = {
+                "t0": ev["Submission Time"],
+                "group": props.get("spark.jobGroup.id", ""),
+                "desc": (props.get("spark.job.description") or "")[:90],
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif et == "SparkListenerJobEnd":
+            if ev["Job ID"] in jobs:
+                jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+        elif et == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            stages[si["Stage ID"]] = {
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "tasks": si["Number of Tasks"],
+                "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
+                / 1000.0,
+            }
     by_group: dict[str, list] = {}
     for jid in sorted(jobs):
         j = jobs[jid]
