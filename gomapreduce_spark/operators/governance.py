@@ -86,20 +86,21 @@ def doc_provenance(
     joins — and it is the artifact that makes the whole corpus
     auditable."""
     bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
-    # url / canonical_url / registered_domain are row-level expressions
-    # of (doc_id, source), so they ride the SAME scan that hashes the
-    # old text (optimization r14, guide §2.4) — the former shape
-    # computed them in a separate corpus scan and re-attached them with
-    # a doc_id-keyed join, shuffling the whole manifest once more.
-    # r15 (guide §2.3): the QUALITY composite rides that scan too and
-    # is handed straight into canonical_docs — the former shape let
-    # canonical_docs run its own quality_score pass, i.e. a SECOND
-    # full tokenizing corpus scan, and then paid one more doc_id join
-    # to re-attach the manifest columns to the cluster columns. Now
-    # the manifest relation IS canonical_docs' quality side (its
-    # passthrough contract), so one scan + one join serve both.
-    url = synth_url_expr()
-    canon_url = canonical_url_expr(url)
+    # Scan/shuffle layout (optimization r15, guide §2.3/§2.4, closing
+    # the r14 local regression): the old-text-hash scan carries ONLY
+    # the text-dependent columns (h_old + the quality composite), and
+    # the joined manifest relation is handed straight into
+    # canonical_docs as its quality side (the precomputed-quality
+    # passthrough contract) — so canonical_docs runs NO second
+    # tokenizing corpus scan and the manifest needs no extra doc_id
+    # join to pick up the cluster columns. The url / canonical_url /
+    # registered_domain expressions are functions of (doc_id, source)
+    # ONLY, so they are projected AFTER the joins and the keep-window:
+    # the r14 shape computed them on the scan, which dragged three
+    # derived url strings through every exchange and the window sort
+    # (the measured r14 regression); here only the 8-byte doc_id and
+    # the short source ride the shuffles and the regex work happens
+    # once per output row with nothing downstream of it.
     # per-doc snapshot status: LEFT join old→new on doc_id (the fresh
     # docs the synth crawl ADDS have ids ≥ 2^60 and can't match, so
     # an old doc is removed / changed / unchanged, never 'added')
@@ -108,9 +109,6 @@ def doc_provenance(
         docs.select(
             "doc_id",
             "source",
-            url.alias("url"),
-            canon_url.alias("canonical_url"),
-            registered_domain_expr(canon_url).alias("registered_domain"),
             h64(F.col("text")).alias("h_old"),
             quality_expr().alias("quality"),
         )
@@ -118,9 +116,6 @@ def doc_provenance(
         .select(
             "doc_id",
             "source",
-            "url",
-            "canonical_url",
-            "registered_domain",
             F.when(F.col("h_new").isNull(), F.lit("removed"))
             .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
@@ -129,9 +124,14 @@ def doc_provenance(
         )
     )
     canon = canonical_docs(docs, threshold, quality=snap)
+    url = synth_url_expr()
+    canon_url = canonical_url_expr(url)
     split = _split_col("cluster_id")
     out = (
         canon.withColumnRenamed("keep", "is_canonical")
+        .withColumn("url", url)
+        .withColumn("canonical_url", canon_url)
+        .withColumn("registered_domain", registered_domain_expr(F.col("canonical_url")))
         .withColumn("blocked", F.col("registered_domain").isin(bl))
         .withColumn("split", split)
     )
