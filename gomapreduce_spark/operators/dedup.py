@@ -1543,11 +1543,17 @@ def ngram_novelty(docs: DataFrame, n: int = SHINGLE_N, batch_mod: int = 5) -> Da
     side LEFT JOINs it on the same key and aggregates per doc. The
     batch is small by definition, so its side of the join broadcasts
     under AQE."""
+    # localCheckpoint (optimization r15, guide §2.4/§4): the corpus and
+    # batch sides both filter sh on doc_id, but a mapInPandas is opaque
+    # to Catalyst, so the filters cannot push below the shingle pass —
+    # without the checkpoint BOTH subtrees ran the full-corpus Arrow
+    # shingle pass (2 Python stages over all docs, observed in the r15
+    # census). One pass, both consumers read the checkpoint.
     sh = (
         shingle_arrays(docs, n)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .select("doc_id", h64(F.col("shingle")).alias("sh_h"))
-    )
+    ).localCheckpoint()
     is_new = F.col("doc_id") % batch_mod == 0
     corpus = sh.where(~is_new).select("sh_h").distinct()
     new = sh.where(is_new)
@@ -1690,13 +1696,19 @@ def source_overlap_matrix(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     needed, unlike doc-pair joins where multiplicity is corpus-sized);
     the per-pair rollup partial-aggs, and the size joins move
     |sources| rows. Exact integer counts; one rounded ratio."""
+    # localCheckpoint (optimization r15, guide §2.4): sh feeds THREE
+    # consumers (sizes + both sides of the overlap self-join) — without
+    # it the static plan re-expands the shingle Arrow pass and the
+    # source join once per consumer (4 Python stages observed in the
+    # r15 census). Anonymous eager checkpoint, the ngram_jaccard_pairs
+    # doctrine.
     sh = (
         shingle_arrays(docs, n)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", F.explode("shingles").alias("s"))
         .select("source", h64(F.col("s")).alias("h"))
         .distinct()
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("source").alias("src_a"), "h")
     b = sh.select(F.col("source").alias("src_b"), "h")
