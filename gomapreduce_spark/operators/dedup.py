@@ -1099,7 +1099,14 @@ def _embedding_cells(
     # signatures feed TWO consumers (exact members + probe visitors);
     # materialize once instead of running the matmul pass per branch.
     # lsh_signatures is the shared sign-bit signer (one narrow Arrow
-    # matmul pass, zero shuffle)
+    # matmul pass, zero shuffle). Re-measured r15: rebalancing the
+    # embeddings before THIS one-pass matmul (vec_id-keyed, operator-
+    # local) also loses — the 0.72 s single-task pass became 32 python
+    # tasks whose per-task Arrow overhead cost MORE than it
+    # parallelized (embedding_dedup_clusters 2.9-3.0 → 3.3-3.5 s,
+    # translated_near_dups 2.6 → 2.9-3.1 s, matched A/B) — the r14
+    # global-rebalance negative result holds per-operator too at 2k
+    # vectors; at production N the scan arrives multi-split for free.
     from .similarity import lsh_signatures
 
     sigs = lsh_signatures(emb, n_planes, n_tables).localCheckpoint()
@@ -2135,6 +2142,16 @@ def ppjoin_pairs(docs: DataFrame, threshold: float = 0.5, observation=None) -> D
     )
     ta = tok.select(F.col("doc_id").alias("doc_a"), "tok_h")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "tok_h")
+    # Verify-stage width investigated and left to AQE (r15 negative
+    # result, guide §2.5/§3.1): the stage reads the byte-tiny candidate
+    # manifest coalesced to ~2 tasks, which LOOKS starved — but the
+    # stage cost is dominated by building the two broadcast token
+    # relations per task, so forcing it wide with an explicit
+    # repartition made it slower (1.42 s over 32 tasks vs 1.04 s over
+    # 2 — measured with both a pair-hash key and doc_a), because every
+    # extra task re-deserializes both broadcasts. AQE's byte-based
+    # choice is the right one here; at production scale the manifest
+    # carries real bytes and AQE sizes the stage accordingly.
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "tok_h"])
